@@ -1,0 +1,137 @@
+"""FM-index container: host (numpy) and device (jnp) views.
+
+Device layout is re-tiled for TPU gathers instead of the reference's single
+interleaved uint32 stream (bwt.h:73-80): checkpoints and 2-bit text words
+become separate arrays
+
+    ckpt  [n_ckpt, 4]   coord dtype (int32 when 2*l_pac < 2^31 else int64)
+    words [n_blocks, 8] uint32      (128 bases per block, 16 per word)
+    ssa   [n_sa]        coord dtype (sampled suffix array, interval 32)
+    pac   [l_pac/4+1]   uint8       (packed forward reference)
+
+One gather of (ckpt[j], words[j]) + SWAR popcounts reproduces bwt_occ4
+exactly (bwt.c:169-186).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+import numpy as np
+
+from bwa_tpu.index.build import read_bwt_file, read_sa_file, index_build
+from bwa_tpu.index.pack import Bnt, read_ann_amb, load_pac, unpack_pac
+
+
+@dataclass
+class FMIndex:
+    primary: int
+    L2: np.ndarray          # [5] int64 cumulative counts
+    seq_len: int            # 2 * l_pac
+    ckpt: np.ndarray        # [n_ckpt, 4] coord dtype
+    words: np.ndarray       # [n_blocks, 8] uint32
+    sa_intv: int
+    ssa: np.ndarray         # [n_sa] coord dtype
+    bnt: Bnt
+    pac: np.ndarray         # packed forward ref, uint8
+
+    @property
+    def l_pac(self) -> int:
+        return self.bnt.l_pac
+
+    @property
+    def coord_dtype(self):
+        return np.int32 if self.seq_len + 2 < 2**31 else np.int64
+
+    @classmethod
+    def load(cls, prefix) -> "FMIndex":
+        prefix = str(prefix)
+        primary, L2, seq_len, ckpt, words = read_bwt_file(prefix + ".bwt")
+        bnt = read_ann_amb(prefix)
+        assert seq_len == 2 * bnt.l_pac
+        cdt = np.int32 if seq_len + 2 < 2**31 else np.int64
+        sa_intv, ssa = read_sa_file(prefix + ".sa", primary, seq_len, cdt)
+        pac = load_pac(prefix, bnt.l_pac)
+        return cls(primary=primary, L2=L2.astype(np.int64), seq_len=seq_len,
+                   ckpt=ckpt.astype(cdt), words=words, sa_intv=sa_intv,
+                   ssa=ssa, bnt=bnt, pac=pac)
+
+    @classmethod
+    def build(cls, fasta_path, prefix=None) -> "FMIndex":
+        return cls.load(index_build(fasta_path, prefix))
+
+    @cached_property
+    def pac_codes(self) -> np.ndarray:
+        """Unpacked forward reference codes (uint8, 0..3)."""
+        return unpack_pac(self.pac, self.l_pac)
+
+    def get_seq(self, beg: int, end: int) -> np.ndarray:
+        """Reference subsequence on the doubled coordinate system, with
+        on-the-fly reverse complement (bns_get_seq, bntseq.c:403-424)."""
+        if end < beg:
+            beg, end = end, beg
+        end = min(end, self.seq_len)
+        beg = max(beg, 0)
+        if beg >= self.l_pac:  # reverse strand
+            beg_f = self.seq_len - end
+            end_f = self.seq_len - beg
+            return (3 - self.pac_codes[beg_f:end_f])[::-1]
+        if end <= self.l_pac:
+            return self.pac_codes[beg:end]
+        return np.zeros(0, dtype=np.uint8)  # bridges the fwd/rev boundary
+
+    def fetch_seq(self, beg: int, mid: int, end: int):
+        """bns_fetch_seq (bntseq.c:426-451): clamp [beg,end) to the contig
+        containing mid; returns (seq, rb, re, rid)."""
+        if end < beg:
+            beg, end = end, beg
+        pos_f, is_rev = self.bnt.depos(mid)
+        rid = self.bnt.pos2rid(pos_f)
+        c = self.bnt.contigs[rid]
+        far_beg, far_end = c.offset, c.offset + c.length
+        if is_rev:
+            far_beg, far_end = (self.seq_len - (c.offset + c.length),
+                                self.seq_len - c.offset)
+        beg = max(beg, far_beg)
+        end = min(end, far_end)
+        seq = self.get_seq(beg, end)
+        assert seq.shape[0] == end - beg
+        return seq, beg, end, rid
+
+
+class DeviceFMIndex:
+    """jnp view of an FMIndex (created lazily; one per process)."""
+
+    def __init__(self, fm: FMIndex):
+        import jax.numpy as jnp
+
+        self.fm = fm
+        cdt = fm.coord_dtype
+        self.primary = int(fm.primary)
+        self.seq_len = int(fm.seq_len)
+        self.l_pac = int(fm.l_pac)
+        self.sa_intv = int(fm.sa_intv)
+        self.L2 = jnp.asarray(fm.L2.astype(cdt))
+        self.ckpt = jnp.asarray(fm.ckpt)
+        self.words = jnp.asarray(fm.words)
+        self.ssa = jnp.asarray(fm.ssa)
+        self.pac = jnp.asarray(fm.pac)
+        self.coord_dtype = cdt
+
+    def tree(self):
+        """The pytree of device arrays consumed by jitted FM ops."""
+        import jax.numpy as jnp
+
+        cdt = self.coord_dtype
+        return dict(
+            primary=jnp.asarray(self.primary, cdt),
+            seq_len=jnp.asarray(self.seq_len, cdt),
+            l_pac=jnp.asarray(self.l_pac, cdt),
+            L2=self.L2,
+            ckpt=self.ckpt,
+            words=self.words,
+            ssa=self.ssa,
+            sa_intv=jnp.asarray(self.sa_intv, cdt),
+            pac=self.pac,
+        )

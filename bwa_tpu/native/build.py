@@ -1,0 +1,103 @@
+"""Compile-on-demand loader for the C++ native extension.
+
+The native library provides the host-side hot paths that the reference
+implements in C (kthread-free: the TPU framework's host side is
+single-process): SA-IS suffix-array construction for index building and
+scalar DP kernels for the low-volume host bookkeeping calls.
+
+We build one shared library from all .cpp files in this directory with g++
+-O3 and cache it keyed by a hash of the sources, loading through ctypes
+(no pybind11 in this environment).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_SRC_DIR = Path(__file__).resolve().parent
+_CACHE_DIR = Path(os.environ.get("BWA_TPU_CACHE", os.path.expanduser("~/.cache/bwa_tpu")))
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _source_files():
+    return sorted(_SRC_DIR.glob("*.cpp"))
+
+
+def _build_hash(files) -> str:
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.name.encode())
+        h.update(f.read_bytes())
+    return h.hexdigest()[:16]
+
+
+def _compile(files, out: Path) -> None:
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_suffix(".so.tmp")
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", str(tmp),
+    ] + [str(f) for f in files]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, out)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        files = _source_files()
+        so = _CACHE_DIR / f"bwa_tpu_native_{_build_hash(files)}.so"
+        if not so.exists():
+            _compile(files, so)
+        lib = ctypes.CDLL(str(so))
+
+        lib.sais_u8_i32.restype = ctypes.c_int
+        lib.sais_u8_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sais_u8_i64.restype = ctypes.c_int
+        lib.sais_u8_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return lib
+
+
+def suffix_array(text: np.ndarray) -> np.ndarray:
+    """Suffix array of a uint8 text (values < 255), implicit sentinel at end.
+
+    Returns int32 when n < 2^31 else int64.
+    """
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    n = text.shape[0]
+    lib = get_lib()
+    if n < 2**31:
+        sa = np.empty(n, dtype=np.int32)
+        rc = lib.sais_u8_i32(
+            text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            np.int32(n),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    else:
+        sa = np.empty(n, dtype=np.int64)
+        rc = lib.sais_u8_i64(
+            text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            np.int64(n),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    if rc != 0:
+        raise RuntimeError(f"sais failed with rc={rc}")
+    return sa
