@@ -72,6 +72,24 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        c_i = ctypes.c_int
+        lib.bt_ksw_extend2.restype = c_i
+        lib.bt_ksw_extend2.argtypes = [c_i, u8p, c_i, u8p, c_i, i8p,
+                                       c_i, c_i, c_i, c_i, c_i, c_i, c_i, c_i,
+                                       i32p, i32p, i32p, i32p, i32p]
+        lib.bt_ksw_global2.restype = c_i
+        lib.bt_ksw_global2.argtypes = [c_i, u8p, c_i, u8p, c_i, i8p,
+                                       c_i, c_i, c_i, c_i, c_i,
+                                       i32p, u32p, c_i]
+        lib.bt_ksw_align2.restype = None
+        lib.bt_ksw_align2.argtypes = [c_i, u8p, c_i, u8p, c_i, i8p,
+                                      c_i, c_i, c_i, c_i,
+                                      c_i, c_i, c_i, c_i, c_i, i32p]
         _lib = lib
         return lib
 

@@ -1,0 +1,384 @@
+// Host-side scalar affine-gap DP kernels.
+//
+// These are the executable specification for the batched TPU kernels in
+// ops/ksw*.py and serve the low-volume host bookkeeping calls (hit patching,
+// final CIGAR for odd shapes).  Semantics must match the reference ksw.c
+// cell-for-cell -- including the banded extension's adaptive band/z-drop
+// early exits (ksw.c:416-515), the banded global DP's direction encoding
+// (ksw.c:540-642), and the striped local SW's segment layout, saturating
+// arithmetic and capped lazy-F loop (ksw.c:122-370), all of which are
+// observable in the output.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+inline int imax(int a, int b) { return a > b ? a : b; }
+inline int imin(int a, int b) { return a < b ? a : b; }
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Banded extension from a seed (ksw_extend2 semantics).
+// Returns the best local score; fills qle/tle (local end), gtle/gscore
+// (to-query-end), max_off (max off-diagonal distance at improvements).
+int bt_ksw_extend2(int qlen, const uint8_t *query, int tlen, const uint8_t *target,
+                   int m, const int8_t *mat, int o_del, int e_del, int o_ins,
+                   int e_ins, int w, int end_bonus, int zdrop, int h0,
+                   int *_qle, int *_tle, int *_gtle, int *_gscore, int *_max_off) {
+  const int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+  std::vector<int8_t> qp((size_t)qlen * m);
+  for (int k = 0, i = 0; k < m; ++k)
+    for (int j = 0; j < qlen; ++j) qp[i++] = mat[k * m + query[j]];
+
+  std::vector<int32_t> H(qlen + 2, 0), E(qlen + 2, 0);
+  H[0] = h0;
+  H[1] = h0 > oe_ins ? h0 - oe_ins : 0;
+  for (int j = 2; j <= qlen && H[j - 1] > e_ins; ++j) H[j] = H[j - 1] - e_ins;
+
+  // clamp the band like the reference does (ksw.c:435-443)
+  int mmax = 0;
+  for (int i = 0; i < m * m; ++i) mmax = imax(mmax, mat[i]);
+  int max_ins = (int)((double)(qlen * mmax + end_bonus - o_ins) / e_ins + 1.);
+  w = imin(w, imax(max_ins, 1));
+  int max_del = (int)((double)(qlen * mmax + end_bonus - o_del) / e_del + 1.);
+  w = imin(w, imax(max_del, 1));
+
+  int max = h0, max_i = -1, max_j = -1, max_ie = -1, gscore = -1, max_off = 0;
+  int beg = 0, end = qlen;
+  for (int i = 0; i < tlen; ++i) {
+    int f = 0, h1, mrow = 0, mj = -1;
+    const int8_t *q = &qp[(size_t)target[i] * qlen];
+    if (beg < i - w) beg = i - w;
+    if (end > i + w + 1) end = i + w + 1;
+    if (end > qlen) end = qlen;
+    if (beg == 0) {
+      h1 = h0 - (o_del + e_del * (i + 1));
+      if (h1 < 0) h1 = 0;
+    } else h1 = 0;
+    int j = beg;
+    for (; j < end; ++j) {
+      // H[j] holds H(i-1,j-1); E[j] holds E(i,j); f = F(i,j); h1 = H(i,j-1)
+      int M = H[j], e = E[j];
+      H[j] = h1;
+      M = M ? M + q[j] : 0;  // disallow match extension from a 0 cell
+      int h = M > e ? M : e;
+      h = h > f ? h : f;
+      h1 = h;
+      mj = mrow > h ? mj : j;
+      mrow = mrow > h ? mrow : h;
+      int t = M - oe_del;
+      t = t > 0 ? t : 0;
+      e -= e_del;
+      e = e > t ? e : t;
+      E[j] = e;
+      t = M - oe_ins;
+      t = t > 0 ? t : 0;
+      f -= e_ins;
+      f = f > t ? f : t;
+    }
+    H[end] = h1;
+    E[end] = 0;
+    if (j == qlen) {
+      max_ie = gscore > h1 ? max_ie : i;
+      gscore = gscore > h1 ? gscore : h1;
+    }
+    if (mrow == 0) break;
+    if (mrow > max) {
+      max = mrow, max_i = i, max_j = mj;
+      max_off = imax(max_off, abs(mj - i));
+    } else if (zdrop > 0) {
+      if (i - max_i > mj - max_j) {
+        if (max - mrow - ((i - max_i) - (mj - max_j)) * e_del > zdrop) break;
+      } else {
+        if (max - mrow - ((mj - max_j) - (i - max_i)) * e_ins > zdrop) break;
+      }
+    }
+    // adaptive band shrink (ksw.c:502-505)
+    for (j = beg; j < end && H[j] == 0 && E[j] == 0; ++j) {}
+    beg = j;
+    for (j = end; j >= beg && H[j] == 0 && E[j] == 0; --j) {}
+    end = j + 2 < qlen ? j + 2 : qlen;
+  }
+  if (_qle) *_qle = max_j + 1;
+  if (_tle) *_tle = max_i + 1;
+  if (_gtle) *_gtle = max_ie + 1;
+  if (_gscore) *_gscore = gscore;
+  if (_max_off) *_max_off = max_off;
+  return max;
+}
+
+// ---------------------------------------------------------------------------
+// Banded global alignment with backtrack (ksw_global2 semantics).
+// cigar_out has capacity cigar_cap uint32s; *n_cigar set to the count
+// (or the required count if it exceeds the capacity -> caller retries).
+int bt_ksw_global2(int qlen, const uint8_t *query, int tlen, const uint8_t *target,
+                   int m, const int8_t *mat, int o_del, int e_del, int o_ins,
+                   int e_ins, int w, int *n_cigar_out, uint32_t *cigar_out,
+                   int cigar_cap) {
+  const int MINUS_INF = -0x40000000;
+  const int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+  const bool want_cigar = n_cigar_out != nullptr && cigar_out != nullptr;
+  if (n_cigar_out) *n_cigar_out = 0;
+
+  const int n_col = imin(qlen, 2 * w + 1);
+  std::vector<uint8_t> z;
+  if (want_cigar) z.resize((size_t)n_col * tlen);
+  std::vector<int8_t> qp((size_t)qlen * m);
+  for (int k = 0, i = 0; k < m; ++k)
+    for (int j = 0; j < qlen; ++j) qp[i++] = mat[k * m + query[j]];
+
+  std::vector<int32_t> H(qlen + 2), E(qlen + 2);
+  H[0] = 0; E[0] = MINUS_INF;
+  int j = 1;
+  for (; j <= qlen && j <= w; ++j) { H[j] = -(o_ins + e_ins * j); E[j] = MINUS_INF; }
+  for (; j <= qlen; ++j) H[j] = E[j] = MINUS_INF;
+
+  for (int i = 0; i < tlen; ++i) {
+    int32_t f = MINUS_INF, h1;
+    const int8_t *q = &qp[(size_t)target[i] * qlen];
+    int beg = i > w ? i - w : 0;
+    int end = i + w + 1 < qlen ? i + w + 1 : qlen;
+    h1 = beg == 0 ? -(o_del + e_del * (i + 1)) : MINUS_INF;
+    uint8_t *zi = want_cigar ? &z[(size_t)i * n_col] : nullptr;
+    for (j = beg; j < end; ++j) {
+      int32_t M = H[j], e = E[j];
+      H[j] = h1;
+      M += q[j];
+      uint8_t d = M >= e ? 0 : 1;
+      int32_t h = M >= e ? M : e;
+      d = h >= f ? d : 2;
+      h = h >= f ? h : f;
+      h1 = h;
+      int32_t t = M - oe_del;
+      e -= e_del;
+      d |= e > t ? 1 << 2 : 0;
+      e = e > t ? e : t;
+      E[j] = e;
+      t = M - oe_ins;
+      f -= e_ins;
+      d |= f > t ? 2 << 4 : 0;
+      f = f > t ? f : t;
+      if (zi) zi[j - beg] = d;
+    }
+    H[end] = h1;
+    E[end] = MINUS_INF;
+  }
+  int score = H[qlen];
+
+  if (want_cigar) {
+    // backtrack (ksw.c:624-638); run-length encode in reverse then flip
+    std::vector<uint32_t> cig;
+    auto push = [&](int op, int len) {
+      if (cig.empty() || op != (int)(cig.back() & 0xf))
+        cig.push_back((uint32_t)len << 4 | op);
+      else
+        cig.back() += (uint32_t)len << 4;
+    };
+    int i = tlen - 1;
+    int k = (i + w + 1 < qlen ? i + w + 1 : qlen) - 1;
+    int which = 0;
+    while (i >= 0 && k >= 0) {
+      int col = k - (i > w ? i - w : 0);
+      if (col < 0 || col >= n_col) break;  // infeasible band: UB in the
+                                           // reference; stop cleanly here
+      which = z[(size_t)i * n_col + col] >> (which << 1) & 3;
+      if (which == 0) { push(0, 1); --i; --k; }
+      else if (which == 1) { push(2, 1); --i; }
+      else { push(1, 1); --k; }
+    }
+    if (i >= 0) push(2, i + 1);
+    if (k >= 0) push(1, k + 1);
+    int nc = (int)cig.size();
+    *n_cigar_out = nc;
+    if (nc <= cigar_cap)
+      for (int x = 0; x < nc; ++x) cigar_out[x] = cig[nc - 1 - x];
+  }
+  return score;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Striped local Smith-Waterman (ksw_u8/ksw_i16/ksw_align2 semantics).
+//
+// We emulate the 128-bit striped layout lane-for-lane: query profile entry
+// for lane position p = i/NL + (i%NL)*slen; the lazy-F pass is capped at 16
+// wrap-arounds exactly like the SIMD code, because that cap is observable.
+
+namespace {
+
+struct LocalResult {
+  int score, te, qe, score2, te2, tb, qb;
+};
+
+// one striped pass; SZ=1 -> uint8 lanes of 16 with +shift bias, SZ=2 ->
+// int16 lanes of 8, unbiased
+template <int SZ>
+LocalResult striped_sw(int qlen, const uint8_t *query, int tlen,
+                       const uint8_t *target, int m, const int8_t *mat,
+                       int o_del, int e_del, int o_ins, int e_ins, int xtra) {
+  LocalResult r{0, -1, -1, -1, -1, -1, -1};
+  const int NL = SZ == 1 ? 16 : 8;           // lanes per vector
+  const int slen = (qlen + NL - 1) / NL;     // segment length
+  int shift = 0, mmax = 0;
+  if (SZ == 1) {
+    int mn = 127;
+    for (int a = 0; a < m * m; ++a) { mn = imin(mn, mat[a]); mmax = imax(mmax, mat[a]); }
+    shift = (uint8_t)(256 - mn);             // bias, as uint8_t
+  } else {
+    for (int a = 0; a < m * m; ++a) mmax = imax(mmax, mat[a]);
+  }
+  const int minsc = (xtra & 0x10000 /*KSW_XSUBO*/) ? (xtra & 0xffff) : 0x10000;
+  const int endsc = (xtra & 0x20000 /*KSW_XSTOP*/) ? (xtra & 0xffff) : 0x10000;
+  const int SAT = SZ == 1 ? 255 : 32767;
+
+  // query profile in striped order
+  std::vector<int32_t> qp((size_t)m * slen * NL);
+  {
+    int t = 0;
+    for (int a = 0; a < m; ++a) {
+      const int8_t *ma = mat + a * m;
+      for (int i = 0; i < slen; ++i)
+        for (int k = i; k < slen * NL; k += slen)
+          qp[t++] = (k >= qlen ? 0 : ma[query[k]]) + (SZ == 1 ? shift : 0);
+    }
+  }
+  auto sat_add = [&](int a, int b) { int v = a + b; return SZ == 1 ? imin(v, SAT) : imin(v, SAT); };
+  auto sat_sub = [&](int a, int b) { int v = a - b; return v < 0 ? 0 : v; };
+
+  std::vector<int32_t> H0((size_t)slen * NL, 0), H1((size_t)slen * NL, 0),
+      E((size_t)slen * NL, 0), Hmax((size_t)slen * NL, 0);
+  std::vector<uint64_t> b;
+  int gmax = 0, te = -1;
+
+  for (int i = 0; i < tlen; ++i) {
+    const int32_t *S = &qp[(size_t)target[i] * slen * NL];
+    std::vector<int32_t> f(NL, 0), maxv(NL, 0), h(NL);
+    // h = H0[slen-1] shifted by one lane (lane 0 <- 0)
+    h[0] = 0;
+    for (int l = 1; l < NL; ++l) h[l] = H0[(size_t)(slen - 1) * NL + l - 1];
+    for (int j = 0; j < slen; ++j) {
+      for (int l = 0; l < NL; ++l) {
+        int hv;
+        if (SZ == 1) {
+          hv = sat_sub(sat_add(h[l], S[j * NL + l]), shift);
+        } else {
+          hv = imin(h[l] + S[j * NL + l], SAT);  // adds_epi16 (no negative sat needed here)
+        }
+        int e = E[j * NL + l];
+        hv = imax(hv, e);
+        hv = imax(hv, f[l]);
+        maxv[l] = imax(maxv[l], hv);
+        H1[j * NL + l] = hv;
+        e = sat_sub(e, e_del);
+        int t2 = sat_sub(hv, o_del + e_del);
+        E[j * NL + l] = imax(e, t2);
+        f[l] = sat_sub(f[l], e_ins);
+        t2 = sat_sub(hv, o_ins + e_ins);
+        f[l] = imax(f[l], t2);
+        h[l] = H0[j * NL + l];
+      }
+    }
+    // lazy-F: up to 16 wrap-arounds (mirrors ksw.c:201-211,321-331)
+    bool done = false;
+    for (int k = 0; k < 16 && !done; ++k) {
+      // f <<= one lane
+      for (int l = NL - 1; l > 0; --l) f[l] = f[l - 1];
+      f[0] = 0;
+      for (int j = 0; j < slen; ++j) {
+        bool all_le = true;
+        for (int l = 0; l < NL; ++l) {
+          int hv = imax(H1[j * NL + l], f[l]);
+          H1[j * NL + l] = hv;
+          int hq = sat_sub(hv, o_ins + e_ins);
+          f[l] = sat_sub(f[l], e_ins);
+          if (SZ == 1 ? (sat_sub(f[l], hq) != 0) : (f[l] > hq)) all_le = false;
+        }
+        if (all_le) { done = true; break; }
+      }
+    }
+    int im = 0;
+    for (int l = 0; l < NL; ++l) im = imax(im, maxv[l]);
+    if (im >= minsc) {
+      if (b.empty() || (int32_t)(uint32_t)b.back() + 1 != i)
+        b.push_back((uint64_t)im << 32 | (uint32_t)i);
+      else if ((int)(b.back() >> 32) < im)
+        b.back() = (uint64_t)im << 32 | (uint32_t)i;
+    }
+    if (im > gmax) {
+      gmax = im; te = i;
+      Hmax = H1;
+      if ((SZ == 1 && gmax + shift >= 255) || gmax >= endsc) break;
+    }
+    std::swap(H0, H1);
+  }
+
+  if (SZ == 1) {
+    r.score = gmax + shift < 255 ? gmax : 255;
+    r.te = te;
+    if (r.score == 255) return r;  // qe/score2 not recovered at saturation
+  } else {
+    r.score = gmax;
+    r.te = te;
+  }
+  {
+    int best = -1;
+    const int tot = slen * NL;
+    for (int i = 0; i < tot; ++i) {
+      int v = Hmax[(size_t)(i / NL) * NL + i % NL];
+      // flat index i walks lanes fastest in the C code's byte order:
+      // value at byte i is segment j=i/NL? No: memory order is
+      // [vector j][lane l]; i = j*NL + l; query position = i/NL + (i%NL)*slen
+      int qpos = i / NL + (i % NL) * slen;
+      if (v > best) { best = v; r.qe = qpos; }
+      else if (v == best && qpos < r.qe) r.qe = qpos;
+    }
+    if (!b.empty()) {
+      int ii = (r.score + mmax - 1) / mmax;
+      int low = te - ii, high = te + ii;
+      for (size_t x = 0; x < b.size(); ++x) {
+        int e = (int32_t)(uint32_t)b[x];
+        if ((e < low || e > high) && (int)(b[x] >> 32) > r.score2) {
+          r.score2 = (int)(b[x] >> 32);
+          r.te2 = e;
+        }
+      }
+    }
+  }
+  return r;
+}
+
+}  // namespace
+
+// out[7] = {score, te, qe, score2, te2, tb, qb}
+extern "C" void bt_ksw_align2(int qlen, uint8_t *query, int tlen, uint8_t *target, int m,
+                   const int8_t *mat, int o_del, int e_del, int o_ins, int e_ins,
+                   int use_byte, int use_start, int use_subo, int use_stop,
+                   int thres, int *out) {
+  int xtra = (use_subo ? 0x10000 : 0) | (use_stop ? 0x20000 : 0) |
+             ((use_subo || use_stop) ? (thres & 0xffff) : 0);
+  LocalResult r = use_byte
+      ? striped_sw<1>(qlen, query, tlen, target, m, mat, o_del, e_del, o_ins, e_ins, xtra)
+      : striped_sw<2>(qlen, query, tlen, target, m, mat, o_del, e_del, o_ins, e_ins, xtra);
+  // start-position recovery by reversed re-alignment (ksw.c:392-400)
+  if (use_start && !(use_subo && r.score < thres)) {
+    // reference reverses the first qe+1/te+1 chars IN PLACE and reruns with
+    // the full tlen (ksw.c:393-396); query length becomes qe+1
+    std::vector<uint8_t> rq(query, query + r.qe + 1), rt(target, target + tlen);
+    for (int i = 0; i < (int)rq.size() / 2; ++i) std::swap(rq[i], rq[rq.size() - 1 - i]);
+    for (int i = 0; i < (r.te + 1) / 2; ++i) std::swap(rt[i], rt[r.te - i]);
+    int xtra2 = 0x20000 | r.score;
+    LocalResult rr = use_byte
+        ? striped_sw<1>(r.qe + 1, rq.data(), tlen, rt.data(), m, mat, o_del, e_del, o_ins, e_ins, xtra2)
+        : striped_sw<2>(r.qe + 1, rq.data(), tlen, rt.data(), m, mat, o_del, e_del, o_ins, e_ins, xtra2);
+    if (r.score == rr.score) { r.tb = r.te - rr.te; r.qb = r.qe - rr.qe; }
+  }
+  out[0] = r.score; out[1] = r.te; out[2] = r.qe; out[3] = r.score2;
+  out[4] = r.te2; out[5] = r.tb; out[6] = r.qb;
+}
