@@ -1,0 +1,274 @@
+"""Command-line interface, flag-compatible with the reference bwa.
+
+Subcommands: index, mem, fastmap (more ported each round).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from bwa_tpu import __version__
+
+
+def _hdr_lines(bnt, hdr_line: str | None, pg: str) -> str:
+    """bwa_print_sam_hdr (bwa.c:407-441)."""
+    out = []
+    n_hd = n_sq = 0
+    if hdr_line:
+        for ln in hdr_line.split("\n"):
+            if ln.startswith("@HD\t"):
+                n_hd += 1
+            if ln.startswith("@SQ\t"):
+                n_sq += 1
+    if n_hd == 0:
+        out.append("@HD\tVN:1.5\tSO:unsorted\tGO:query")
+    if n_sq == 0:
+        for c in bnt.contigs:
+            line = f"@SQ\tSN:{c.name}\tLN:{c.length}"
+            if c.is_alt:
+                line += "\tAH:*"
+            out.append(line)
+    if hdr_line:
+        out.append(hdr_line)
+    out.append(pg)
+    return "\n".join(out) + "\n"
+
+
+def _escape(s: str) -> str:
+    return (s.replace("\\t", "\t").replace("\\n", "\n")
+            .replace("\\r", "\r").replace("\\\\", "\\"))
+
+
+def main_mem(argv: list[str]) -> int:
+    import getopt as getopt_mod
+
+    from bwa_tpu.index.fmindex import FMIndex
+    from bwa_tpu.io.fastq import SeqReader, read_batch
+    from bwa_tpu.mem.pipeline import process_seqs
+    from bwa_tpu.options import (MEM_F_ALL, MEM_F_KEEP_SUPP_MAPQ,
+                                 MEM_F_NO_MULTI, MEM_F_NO_RESCUE,
+                                 MEM_F_NOPAIRING, MEM_F_PE, MEM_F_PRIMARY5,
+                                 MEM_F_REF_HDR, MEM_F_SMARTPE, MEM_F_SOFTCLIP,
+                                 MEM_F_XB, MemOptions)
+
+    opt = MemOptions()
+    mode = None
+    fixed_chunk_size = -1
+    rg_line = None
+    rg_id = None
+    hdr_line = None
+    ignore_alt = False
+    copy_comment = False
+    out_fp = sys.stdout
+    pes0 = None
+
+    try:
+        opts, args = getopt_mod.getopt(
+            argv, "51qpaMCSPVYjuk:c:v:s:r:t:R:A:B:O:E:U:w:L:d:T:Q:D:m:I:N:o:f:W:x:G:h:y:K:X:H:F:z:")
+    except getopt_mod.GetoptError as e:
+        print(f"[E::main_mem] {e}", file=sys.stderr)
+        return 1
+    for c, a in opts:
+        c = c[1:]
+        if c == "k": opt.set("min_seed_len", int(a))
+        elif c == "1": pass
+        elif c == "x": mode = a
+        elif c == "w": opt.set("w", int(a))
+        elif c == "A": opt.set("a", int(a))
+        elif c == "B": opt.set("b", int(a))
+        elif c == "T": opt.set("T", int(a))
+        elif c == "U": opt.set("pen_unpaired", int(a))
+        elif c == "t": opt.n_threads = max(int(a), 1)
+        elif c == "P": opt.flag |= MEM_F_NOPAIRING
+        elif c == "a": opt.flag |= MEM_F_ALL
+        elif c == "p": opt.flag |= MEM_F_PE | MEM_F_SMARTPE
+        elif c == "M": opt.flag |= MEM_F_NO_MULTI
+        elif c == "S": opt.flag |= MEM_F_NO_RESCUE
+        elif c == "Y": opt.flag |= MEM_F_SOFTCLIP
+        elif c == "V": opt.flag |= MEM_F_REF_HDR
+        elif c == "5": opt.flag |= MEM_F_PRIMARY5 | MEM_F_KEEP_SUPP_MAPQ
+        elif c == "q": opt.flag |= MEM_F_KEEP_SUPP_MAPQ
+        elif c == "u": opt.flag |= MEM_F_XB
+        elif c == "c": opt.set("max_occ", int(a))
+        elif c == "d": opt.set("zdrop", int(a))
+        elif c == "v": pass
+        elif c == "j": ignore_alt = True
+        elif c == "r": opt.set("split_factor", float(a))
+        elif c == "D": opt.set("drop_ratio", float(a))
+        elif c == "m": opt.set("max_matesw", int(a))
+        elif c == "s": opt.set("split_width", int(a))
+        elif c == "G": opt.set("max_chain_gap", int(a))
+        elif c == "N": opt.set("max_chain_extend", int(a))
+        elif c in ("o", "f"): out_fp = open(a, "w")
+        elif c == "W": opt.set("min_chain_weight", int(a))
+        elif c == "y": opt.set("max_mem_intv", int(a))
+        elif c == "C": copy_comment = True
+        elif c == "K": fixed_chunk_size = int(a)
+        elif c == "X": opt.mask_level = float(a)
+        elif c == "F": pass
+        elif c == "h":
+            opt.set("max_XA_hits", None)
+            parts = a.replace(",", " ").split()
+            opt.max_XA_hits = opt.max_XA_hits_alt = int(parts[0])
+            if len(parts) > 1:
+                opt.max_XA_hits_alt = int(parts[1])
+        elif c == "z": opt.XA_drop_ratio = float(a)
+        elif c == "Q":
+            import math
+            opt.set("mapQ_coef_len", int(a))
+            opt.mapQ_coef_fac = math.log(opt.mapQ_coef_len) if opt.mapQ_coef_len > 0 else 0
+        elif c == "O":
+            parts = a.replace(",", " ").split()
+            opt.set("o_del", int(parts[0]))
+            opt.set("o_ins", int(parts[-1]))
+        elif c == "E":
+            parts = a.replace(",", " ").split()
+            opt.set("e_del", int(parts[0]))
+            opt.set("e_ins", int(parts[-1]))
+        elif c == "L":
+            parts = a.replace(",", " ").split()
+            opt.set("pen_clip5", int(parts[0]))
+            opt.set("pen_clip3", int(parts[-1]))
+        elif c == "R":
+            rg_line = _escape(a)
+            if not rg_line.startswith("@RG") or "\tID:" not in rg_line:
+                print("[E::main_mem] malformed @RG line", file=sys.stderr)
+                return 1
+            rg_id = rg_line.split("\tID:")[1].split("\t")[0].split("\n")[0]
+        elif c == "H":
+            ln = _escape(a) if a.startswith("@") else open(a).read().rstrip("\n")
+            hdr_line = (hdr_line + "\n" + ln) if hdr_line else ln
+        elif c == "I":
+            from bwa_tpu.mem.pairing import PEStat
+            parts = a.replace(",", " ").split()
+            pes0 = [PEStat(failed=1) for _ in range(4)]
+            p = PEStat(failed=0)
+            p.avg = float(parts[0])
+            p.std = float(parts[1]) if len(parts) > 1 else p.avg * 0.1
+            p.high = int(parts[2]) if len(parts) > 2 else int(p.avg + 4.0 * p.std + 0.499)
+            p.low = int(parts[3]) if len(parts) > 3 else max(int(p.avg - 4.0 * p.std + 0.499), 1)
+            pes0[1] = p
+    if rg_line:
+        hdr_line = (hdr_line + "\n" + rg_line) if hdr_line else rg_line
+
+    if len(args) < 2 or len(args) > 3:
+        print("Usage: bwa-tpu mem [options] <idxbase> <in1.fq> [in2.fq]",
+              file=sys.stderr)
+        return 1
+    opt.apply_mode(mode)
+
+    fm = FMIndex.load(args[0])
+    if ignore_alt:
+        for c0 in fm.bnt.contigs:
+            c0.is_alt = False
+
+    from bwa_tpu.engine import make_engine
+    engine = make_engine(fm)
+
+    ks1 = SeqReader(args[1])
+    ks2 = None
+    if len(args) > 2:
+        if opt.flag & MEM_F_PE:
+            print("[W::main_mem] when '-p' is in use, the second query file "
+                  "is ignored.", file=sys.stderr)
+        else:
+            ks2 = SeqReader(args[2])
+            opt.flag |= MEM_F_PE
+
+    pg = ("@PG\tID:bwa\tPN:bwa-tpu\tVN:" + __version__ + "\tCL:bwa-tpu mem "
+          + " ".join(argv))
+    out_fp.write(_hdr_lines(fm.bnt, hdr_line, pg))
+    actual_chunk = fixed_chunk_size if fixed_chunk_size > 0 else opt.chunk_size * opt.n_threads
+    n_processed = 0
+    while True:
+        reads = read_batch(ks1, ks2, actual_chunk, copy_comment)
+        if not reads:
+            break
+        if opt.flag & MEM_F_SMARTPE:
+            print("[W::main_mem] smart pairing not yet implemented; treating "
+                  "as SE", file=sys.stderr)
+        process_seqs(opt, engine, fm, reads, n_processed, pes0, rg_id)
+        n_processed += len(reads)
+        for r in reads:
+            out_fp.write(r.sam)
+    if out_fp is not sys.stdout:
+        out_fp.close()
+    return 0
+
+
+def main_index(argv: list[str]) -> int:
+    import getopt as getopt_mod
+
+    from bwa_tpu.index.build import index_build
+
+    prefix = None
+    is_64 = False
+    opts, args = getopt_mod.getopt(argv, "6a:p:b:")
+    for c, a in opts:
+        if c == "-p":
+            prefix = a
+        elif c == "-6":
+            is_64 = True
+    if not args:
+        print("Usage: bwa-tpu index [-p prefix] <in.fasta>", file=sys.stderr)
+        return 1
+    if prefix is None:
+        prefix = args[0] + (".64" if is_64 else "")
+    index_build(args[0], prefix)
+    return 0
+
+
+def main_fastmap(argv: list[str]) -> int:
+    import getopt as getopt_mod
+
+    from bwa_tpu.engine import make_engine
+    from bwa_tpu.index.fmindex import FMIndex
+    from bwa_tpu.io.fastq import SeqReader
+    from bwa_tpu.mem.fastmap import fastmap_lines
+
+    min_iwidth, min_len, print_seq, min_intv, max_intv = 20, 17, False, 1, 0
+    opts, args = getopt_mod.getopt(argv, "w:l:pi:I:L:")
+    for c, a in opts:
+        if c == "-p": print_seq = True
+        elif c == "-w": min_iwidth = int(a)
+        elif c == "-l": min_len = int(a)
+        elif c == "-i": min_intv = int(a)
+        elif c == "-I": max_intv = int(a)
+    if len(args) < 2:
+        print("Usage: bwa-tpu fastmap [options] <idxbase> <in.fq>",
+              file=sys.stderr)
+        return 1
+    fm = FMIndex.load(args[0])
+    engine = make_engine(fm)
+    for read in SeqReader(args[1]):
+        for line in fastmap_lines(fm, engine, read.name, read.seq,
+                                  min_iwidth, min_len, print_seq,
+                                  min_intv, max_intv):
+            sys.stdout.write(line + "\n")
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(f"Program: bwa-tpu (TPU-native BWA-compatible read aligner)\n"
+              f"Version: {__version__}\n"
+              f"Usage:   bwa-tpu <command> [options]\n\n"
+              f"Command: index     index sequences in the FASTA format\n"
+              f"         mem       BWA-MEM algorithm\n"
+              f"         fastmap   identify super-maximal exact matches\n",
+              file=sys.stderr)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "mem":
+        return main_mem(rest)
+    if cmd == "index":
+        return main_index(rest)
+    if cmd == "fastmap":
+        return main_fastmap(rest)
+    print(f"[main] unrecognized command '{cmd}'", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

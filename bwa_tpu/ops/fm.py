@@ -1,0 +1,432 @@
+"""Batched FM-index device ops (JAX/XLA, TPU-first).
+
+The reference walks the FM-index one read and one base at a time
+(bwt.c:262-379).  Here the same state machines run lock-step over a batch of
+reads as fixed-shape masked programs:
+
+  * occ4: one gather of (checkpoint, 8-word block) + popcounts
+    (lax.population_count on the 0x55555555-spaced match masks) reproduces
+    bwt_occ4 (bwt.c:169-186) for a whole vector of positions at once.
+  * extend: two batched occ4 calls + prefix arithmetic = bwt_extend.
+  * sa: the <=31-step inverse-Psi walk (bwt.c:86-96) as a masked while_loop
+    over a flat vector of SA positions.
+  * smem1a / seed_strategy1: the forward/backward SMEM passes
+    (bwt.c:289-379) with per-lane cursors, capacity-bounded interval stacks
+    and scatter-style pushes.
+
+Coordinates are int32 when 2*l_pac+2 < 2^31 (E. coli, chr20) and int64
+otherwise (GRCh38); the popcount core is int32 regardless.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from bwa_tpu.index.fmindex import DeviceFMIndex, FMIndex
+
+_M55 = np.uint32(0x55555555)
+_MFF = np.uint32(0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# occ / extend primitives
+# ---------------------------------------------------------------------------
+
+def _occ4(idx, k):
+    """Counts of each base in B[0..k] inclusive; k: [N] coord ints.
+    Handles k == -1 (zeros) and k == seq_len (L2 diffs) like bwt_occ4/occ."""
+    cdt = idx["ckpt"].dtype
+    kk = k - (k >= idx["primary"]).astype(cdt)
+    kk_safe = jnp.clip(kk, 0, idx["seq_len"] - 1)
+    j = (kk_safe >> 7).astype(jnp.int32)
+    base = idx["ckpt"][j]                       # [N, 4]
+    blk = idx["words"][j]                       # [N, 8] uint32
+    kw = ((kk_safe >> 4) & 7).astype(jnp.int32)  # word containing kk
+    kb = (kk_safe & 15).astype(jnp.int32)
+    widx = jnp.arange(8, dtype=jnp.int32)
+    nkeep = jnp.clip((kw[:, None] - widx[None, :]) * 16 + kb[:, None] + 1, 0, 16)
+    shift = ((16 - nkeep) << 1).astype(jnp.uint32)
+    mask = jnp.where(nkeep > 0,
+                     _MFF << jnp.minimum(shift, np.uint32(31)),
+                     np.uint32(0)).astype(jnp.uint32)
+    w = blk & mask
+    vm = mask & _M55
+    hi = (w >> 1) & _M55
+    lo = w & _M55
+    pc = lax.population_count
+    c3 = pc(hi & lo).astype(jnp.int32)
+    nhi = pc(hi).astype(jnp.int32)
+    nlo = pc(lo).astype(jnp.int32)
+    nv = pc(vm).astype(jnp.int32)
+    cnt = jnp.stack([nv - nhi - nlo + c3, nlo - c3, nhi - c3, c3], axis=-1)
+    add = cnt.sum(axis=1).astype(cdt)           # [N, 4]
+    out = base + add
+    L2d = (idx["L2"][1:5] - idx["L2"][0:4]).astype(cdt)
+    out = jnp.where((k == idx["seq_len"])[:, None], L2d[None, :], out)
+    out = jnp.where((k == -1)[:, None], jnp.zeros_like(out), out)
+    return out
+
+
+def _extend(idx, x0, x1, x2, is_back: bool):
+    """bwt_extend (bwt.c:262-275) batched; returns (ok0, ok1, ok2) each
+    [N, 4] (indexed by extension base c)."""
+    cdt = x0.dtype
+    fwd = x0 if is_back else x1                 # x[!is_back]
+    tk = _occ4(idx, fwd - 1)
+    tl = _occ4(idx, fwd - 1 + x2)
+    ok_nb = idx["L2"][:4][None, :].astype(cdt) + 1 + tk
+    ok_sz = (tl - tk).astype(cdt)
+    bk = x1 if is_back else x0                  # x[is_back]
+    span = ((fwd <= idx["primary"]) & (fwd + x2 - 1 >= idx["primary"])).astype(cdt)
+    b3 = bk + span
+    b2 = b3 + ok_sz[:, 3]
+    b1 = b2 + ok_sz[:, 2]
+    b0 = b1 + ok_sz[:, 1]
+    bks = jnp.stack([b0, b1, b2, b3], axis=-1)
+    if is_back:
+        return ok_nb, bks, ok_sz
+    return bks, ok_nb, ok_sz
+
+
+def _B0(idx, x):
+    """BWT char at $-removed position x."""
+    word = idx["words"][(x >> 7).astype(jnp.int32),
+                        ((x >> 4) & 7).astype(jnp.int32)]
+    sh = (((15 - (x & 15)) << 1)).astype(jnp.uint32)
+    return ((word >> sh) & 3).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=())
+def sa_batch(idx, k):
+    """bwt_sa (bwt.c:86-96) over a vector of SA rows k; returns positions."""
+    cdt = idx["ckpt"].dtype
+    k = k.astype(cdt)
+    intv_mask = idx["sa_intv"] - 1
+
+    def cond(state):
+        k, steps = state
+        return jnp.any((k & intv_mask) != 0)
+
+    def body(state):
+        k, steps = state
+        live = (k & intv_mask) != 0
+        x = k - (k > idx["primary"]).astype(cdt)
+        c = _B0(idx, x)
+        occ = _occ4(idx, k)[jnp.arange(k.shape[0]), c]
+        nk = jnp.where(k == idx["primary"], jnp.zeros_like(k),
+                       idx["L2"][c].astype(cdt) + occ)
+        k = jnp.where(live, nk, k)
+        steps = steps + live.astype(cdt)
+        return k, steps
+
+    k, steps = lax.while_loop(cond, body, (k, jnp.zeros_like(k)))
+    # sa_intv is a power of two (32): k // 32
+    return steps + idx["ssa"][(k >> 5).astype(jnp.int32)]
+
+
+# ---------------------------------------------------------------------------
+# batched SMEM (bwt_smem1a) and 3rd-round seeding
+# ---------------------------------------------------------------------------
+
+def _set_intv(idx, c):
+    """bwt_set_intv for a vector of first bases c (clamped to [0,3])."""
+    cdt = idx["ckpt"].dtype
+    cc = jnp.clip(c, 0, 3)
+    L2 = idx["L2"].astype(cdt)
+    x0 = L2[cc] + 1
+    x1 = L2[3 - cc] + 1
+    x2 = L2[cc + 1] - L2[cc]
+    return x0, x1, x2
+
+
+def _push(buf_x0, buf_x1, buf_x2, buf_i0, buf_i1, n, mask, x0, x1, x2, i0, i1):
+    """Conditional append into per-lane stacks buf[B, C]."""
+    b = jnp.arange(n.shape[0])
+    slot = jnp.minimum(n, buf_x0.shape[1] - 1)
+    buf_x0 = buf_x0.at[b, slot].set(jnp.where(mask, x0, buf_x0[b, slot]))
+    buf_x1 = buf_x1.at[b, slot].set(jnp.where(mask, x1, buf_x1[b, slot]))
+    buf_x2 = buf_x2.at[b, slot].set(jnp.where(mask, x2, buf_x2[b, slot]))
+    buf_i0 = buf_i0.at[b, slot].set(jnp.where(mask, i0, buf_i0[b, slot]))
+    buf_i1 = buf_i1.at[b, slot].set(jnp.where(mask, i1, buf_i1[b, slot]))
+    n = n + mask.astype(n.dtype)
+    return buf_x0, buf_x1, buf_x2, buf_i0, buf_i1, n
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def smem1a_batch(idx, q, qlen, x, min_intv, max_intv, active, cap: int):
+    """bwt_smem1a (bwt.c:289-351) lock-step over B reads.
+
+    q: [B, L] uint8 (>=4 beyond qlen); x: [B] start positions;
+    min_intv: [B]; max_intv: scalar; active: [B] bool.
+    Returns (ret [B], mem_* [B, cap], mem_n [B]).  Output mems are in the
+    reference's pre-reversal order (host reverses: sorted by start).
+    """
+    cdt = idx["ckpt"].dtype
+    B, L = q.shape
+    bidx = jnp.arange(B)
+    i32 = jnp.int32
+
+    qx = q[bidx, jnp.clip(x, 0, L - 1)].astype(i32)
+    valid = active & (qx < 4) & (x < qlen)
+    min_intv = jnp.maximum(min_intv, 1).astype(cdt)
+
+    ik0, ik1, ik2 = _set_intv(idx, qx)
+    info_end = (x + 1).astype(i32)  # forward info = end position
+
+    zero_buf = jnp.zeros((B, cap), dtype=cdt)
+    zero_i = jnp.zeros((B, cap), dtype=i32)
+    curr = (zero_buf, zero_buf, zero_buf, zero_i, zero_i)  # x0 x1 x2 end start(unused fwd)
+    curr_n = jnp.zeros(B, dtype=i32)
+
+    # ---- forward pass ----
+    def fwd_cond(st):
+        (i, ik0, ik1, ik2, info_end, cbufs, cn, done) = st
+        return jnp.any(~done & (i < qlen))
+
+    def fwd_body(st):
+        (i, ik0, ik1, ik2, info_end, cbufs, cn, done) = st
+        cx0, cx1, cx2, cend, cstart = cbufs
+        act = ~done & (i < qlen)
+        qi = q[bidx, jnp.clip(i, 0, L - 1)].astype(i32)
+        small = act & (ik2 < max_intv)
+        amb = act & ~small & (qi >= 4)
+        ext = act & ~small & ~amb
+        ok0, ok1, ok2 = _extend(idx, ik0, ik1, ik2, False)
+        c = jnp.clip(3 - qi, 0, 3)
+        okc0 = ok0[bidx, c]
+        okc1 = ok1[bidx, c]
+        okc2 = ok2[bidx, c]
+        changed = ext & (okc2 != ik2)
+        push_m = small | amb | changed
+        cx0, cx1, cx2, cend, cstart = _push(
+            cx0, cx1, cx2, cend, cstart, cn, push_m,
+            ik0, ik1, ik2, info_end, jnp.zeros_like(info_end))[:5]
+        cn = cn + push_m.astype(i32)
+        too_small = changed & (okc2 < min_intv)
+        stop = small | amb | too_small
+        adv = ext & ~stop
+        ik0 = jnp.where(adv, okc0, ik0)
+        ik1 = jnp.where(adv, okc1, ik1)
+        ik2 = jnp.where(adv, okc2, ik2)
+        info_end = jnp.where(adv, (i + 1).astype(i32), info_end)
+        i = jnp.where(adv, i + 1, i)
+        done = done | stop
+        return (i, ik0, ik1, ik2, info_end,
+                (cx0, cx1, cx2, cend, cstart), cn, done)
+
+    i0 = x + 1
+    st = (i0, ik0, ik1, ik2, info_end, curr, curr_n, ~valid)
+    (i, ik0, ik1, ik2, info_end, cbufs, cn, done) = lax.while_loop(
+        fwd_cond, fwd_body, st)
+    # final push for lanes that ran off the end (i == qlen, not stopped)
+    tail = valid & ~done
+    cx0, cx1, cx2, cend, cstart = cbufs
+    cx0, cx1, cx2, cend, cstart = _push(
+        cx0, cx1, cx2, cend, cstart, cn, tail,
+        ik0, ik1, ik2, info_end, jnp.zeros_like(info_end))[:5]
+    cn = cn + tail.astype(i32)
+
+    # reverse curr so longer matches come first (bwt_reverse_intvs)
+    ridx = jnp.clip(cn[:, None] - 1 - jnp.arange(cap)[None, :], 0, cap - 1)
+    pv0 = jnp.take_along_axis(cx0, ridx, axis=1)
+    pv1 = jnp.take_along_axis(cx1, ridx, axis=1)
+    pv2 = jnp.take_along_axis(cx2, ridx, axis=1)
+    pve = jnp.take_along_axis(cend, ridx, axis=1)
+    ret = jnp.where(valid, pve[:, 0], x + 1).astype(i32)
+
+    # ---- backward pass ----
+    mem0 = jnp.zeros((B, cap), dtype=cdt)
+    mem1 = jnp.zeros((B, cap), dtype=cdt)
+    mem2 = jnp.zeros((B, cap), dtype=cdt)
+    mem_s = jnp.zeros((B, cap), dtype=i32)
+    mem_e = jnp.zeros((B, cap), dtype=i32)
+    mem_n = jnp.zeros(B, dtype=i32)
+    ik_x2 = ik2  # the leftover forward ik's size (reference reuses the var)
+
+    def bwd_cond(st):
+        i, prevs, pn, mems, mn, ik_x2, done = st
+        return jnp.any(~done & (i >= -1))
+
+    def bwd_body(st):
+        i, prevs, pn, mems, mn, ik_x2, done = st
+        p0, p1, p2, pe = prevs
+        m0, m1, m2, ms, me, = mems[:5]
+        mn_ = mn
+        qi = jnp.where(i >= 0, q[bidx, jnp.clip(i, 0, L - 1)].astype(i32), 4)
+        c = jnp.where((i >= 0) & (qi < 4), qi, -1)
+        act_l = ~done & (i >= -1)
+
+        n0 = jnp.zeros(B, dtype=i32)          # curr_n
+        z = jnp.zeros((B, cap), dtype=cdt)
+        zi = jnp.zeros((B, cap), dtype=i32)
+        last_x2 = jnp.zeros(B, dtype=cdt)
+
+        def j_body(j, jst):
+            (c0, c1, c2, ce, n0, last_x2, m0, m1, m2, ms, me, mn_, ik_x2) = jst
+            jact = act_l & (j < pn)
+            jj = jnp.minimum(j, cap - 1)
+            px0 = p0[:, jj]
+            px1 = p1[:, jj]
+            px2 = p2[:, jj]
+            pinfo = pe[:, jj]
+            ok0, ok1, ok2 = _extend(idx, px0, px1, px2, True)
+            cc = jnp.clip(c, 0, 3)
+            okc0 = ok0[bidx, cc]
+            okc1 = ok1[bidx, cc]
+            okc2 = ok2[bidx, cc]
+            keep = jact & ((c < 0) | (ik_x2 < max_intv) | (okc2 < min_intv))
+            # mem emission: only when curr empty and not contained
+            m_last_start = ms[bidx, jnp.maximum(mn_ - 1, 0)]
+            can_emit = keep & (n0 == 0) & ((mn_ == 0) | ((i + 1) < m_last_start))
+            m0, m1, m2, ms, me, mn_ = _push(
+                m0, m1, m2, ms, me, mn_, can_emit,
+                px0, px1, px2, (i + 1).astype(i32), pinfo)
+            ik_x2 = jnp.where(can_emit, px2, ik_x2)
+            # push extended interval to curr when distinct size
+            push_c = jact & ~keep & ((n0 == 0) | (okc2 != last_x2))
+            c0, c1, c2, ce, _, n0 = _push(
+                c0, c1, c2, ce, zi, n0, push_c,
+                okc0, okc1, okc2, pinfo, jnp.zeros_like(pinfo))
+            last_x2 = jnp.where(push_c, okc2, last_x2)
+            return (c0, c1, c2, ce, n0, last_x2,
+                    m0, m1, m2, ms, me, mn_, ik_x2)
+
+        max_pn = jnp.max(jnp.where(act_l, pn, 0))
+        jst = (z, z, z, zi, n0, last_x2, m0, m1, m2, ms, me, mn_, ik_x2)
+        jst = lax.fori_loop(0, max_pn, j_body, jst)
+        (c0, c1, c2, ce, n0, last_x2, m0, m1, m2, ms, me, mn_, ik_x2) = jst
+
+        done = done | (act_l & (n0 == 0))
+        new_prevs = (jnp.where(act_l[:, None], c0, p0),
+                     jnp.where(act_l[:, None], c1, p1),
+                     jnp.where(act_l[:, None], c2, p2),
+                     jnp.where(act_l[:, None], ce, pe))
+        new_pn = jnp.where(act_l, n0, pn)
+        i = jnp.where(act_l, i - 1, i)
+        return (i, new_prevs, new_pn, (m0, m1, m2, ms, me), mn_, ik_x2, done)
+
+    bst = (x - 1, (pv0, pv1, pv2, pve), cn,
+           (mem0, mem1, mem2, mem_s, mem_e), mem_n, ik_x2, ~valid)
+    (_, _, _, mems, mem_n, _, _) = lax.while_loop(bwd_cond, bwd_body, bst)
+    m0, m1, m2, ms, me = mems
+    return ret, m0, m1, m2, ms, me, mem_n
+
+
+@partial(jax.jit, static_argnames=())
+def seed_strategy1_batch(idx, q, qlen, x, min_len, max_intv, active):
+    """bwt_seed_strategy1 (bwt.c:358-379) lock-step over B reads.
+    Returns (ret [B], found [B] bool, x0, x1, x2 [B], start [B], end [B])."""
+    cdt = idx["ckpt"].dtype
+    B, L = q.shape
+    bidx = jnp.arange(B)
+    i32 = jnp.int32
+
+    qx = q[bidx, jnp.clip(x, 0, L - 1)].astype(i32)
+    valid = active & (qx < 4) & (x < qlen)
+    ik0, ik1, ik2 = _set_intv(idx, qx)
+
+    def cond(st):
+        i, ik0, ik1, ik2, found, r0, r1, r2, ret, done = st
+        return jnp.any(~done & (i < qlen))
+
+    def body(st):
+        i, ik0, ik1, ik2, found, r0, r1, r2, ret, done = st
+        act = ~done & (i < qlen)
+        qi = q[bidx, jnp.clip(i, 0, L - 1)].astype(i32)
+        amb = act & (qi >= 4)
+        ext = act & ~amb
+        ok0, ok1, ok2 = _extend(idx, ik0, ik1, ik2, False)
+        c = jnp.clip(3 - qi, 0, 3)
+        okc0 = ok0[bidx, c]
+        okc1 = ok1[bidx, c]
+        okc2 = ok2[bidx, c]
+        hit = ext & (okc2 < max_intv) & ((i - x) >= min_len)
+        found = found | hit
+        r0 = jnp.where(hit, okc0, r0)
+        r1 = jnp.where(hit, okc1, r1)
+        r2 = jnp.where(hit, okc2, r2)
+        ret = jnp.where(amb | hit, (i + 1).astype(i32), ret)
+        done = done | amb | hit
+        ik0 = jnp.where(ext & ~hit, okc0, ik0)
+        ik1 = jnp.where(ext & ~hit, okc1, ik1)
+        ik2 = jnp.where(ext & ~hit, okc2, ik2)
+        i = jnp.where(ext & ~hit, i + 1, i)
+        return (i, ik0, ik1, ik2, found, r0, r1, r2, ret, done)
+
+    zero = jnp.zeros(B, dtype=cdt)
+    ret0 = jnp.where(valid, qlen.astype(i32), (x + 1).astype(i32))
+    st = (x + 1, ik0, ik1, ik2, jnp.zeros(B, bool), zero, zero, zero,
+          ret0, ~valid)
+    (_, _, _, _, found, r0, r1, r2, ret, _) = lax.while_loop(cond, body, st)
+    return ret, found & valid, r0, r1, r2, x.astype(i32), ret
+
+
+# ---------------------------------------------------------------------------
+# Engine: batch precompute driven from the host pipeline
+# ---------------------------------------------------------------------------
+
+class BatchedFMEngine:
+    """Batched device engine with the same logical API as HostFM, plus
+    batch precompute used by the pipeline."""
+
+    def __init__(self, fm: FMIndex):
+        self.fm = fm
+        if fm.coord_dtype == np.int64:
+            jax.config.update("jax_enable_x64", True)
+        self.dev = DeviceFMIndex(fm)
+        self.idx = self.dev.tree()
+        self._host = None
+
+    @property
+    def host(self):
+        if self._host is None:
+            from bwa_tpu.ops.fm_host import HostFM
+
+            self._host = HostFM(self.fm)
+        return self._host
+
+    # scalar API fallbacks (used by fastmap iterator etc.)
+    def smem1a(self, q, x, min_intv, max_intv):
+        return self.host.smem1a(q, x, min_intv, max_intv)
+
+    def seed_strategy1(self, q, x, min_len, max_intv):
+        return self.host.seed_strategy1(q, x, min_len, max_intv)
+
+    def sa(self, k):
+        return self.host.sa(k)
+
+    def fetch_seq(self, beg, mid, end):
+        return self.fm.fetch_seq(beg, mid, end)
+
+    # ---- batched entry points ----
+
+    def sa_many(self, ks: np.ndarray) -> np.ndarray:
+        if len(ks) == 0:
+            return np.zeros(0, dtype=np.int64)
+        k = jnp.asarray(ks.astype(self.fm.coord_dtype))
+        return np.asarray(jax.device_get(sa_batch(self.idx, k)))
+
+    def smem_pass(self, q_pad: np.ndarray, qlen: np.ndarray, x: np.ndarray,
+                  min_intv: np.ndarray, max_intv: int, active: np.ndarray,
+                  cap: int):
+        cdt = self.fm.coord_dtype
+        out = smem1a_batch(
+            self.idx, jnp.asarray(q_pad), jnp.asarray(qlen.astype(np.int32)),
+            jnp.asarray(x.astype(np.int32)),
+            jnp.asarray(min_intv.astype(cdt)),
+            jnp.asarray(cdt(max_intv)), jnp.asarray(active), cap)
+        return [np.asarray(jax.device_get(o)) for o in out]
+
+    def seed3_pass(self, q_pad, qlen, x, min_len: int, max_intv: int, active):
+        out = seed_strategy1_batch(
+            self.idx, jnp.asarray(q_pad), jnp.asarray(qlen.astype(np.int32)),
+            jnp.asarray(x.astype(np.int32)), np.int32(min_len),
+            self.fm.coord_dtype(max_intv), jnp.asarray(active))
+        return [np.asarray(jax.device_get(o)) for o in out]
