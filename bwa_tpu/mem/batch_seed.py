@@ -1,0 +1,156 @@
+"""Batch seeding driver: mem_collect_intv (bwamem.c:140-188) over a whole
+read batch, with the SMEM/SA state machines on device.
+
+Host drives the pass structure (the lock-step while loops live inside the
+jitted kernels in ops/fm.py); numpy handles filtering/appending between
+device calls; occurrence SA lookups are batched flat across the batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bwa_tpu.mem.ksort import ks_introsort
+
+
+def _pad_reads(codes_list, L: int) -> tuple[np.ndarray, np.ndarray]:
+    B = len(codes_list)
+    q = np.full((B, L), 4, dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, c in enumerate(codes_list):
+        q[i, : len(c)] = c
+        lens[i] = len(c)
+    return q, lens
+
+
+def collect_intv_batch(opt, engine, codes_list) -> list[list[tuple]]:
+    """Batched equivalent of seeding.collect_intv for every read.
+    Returns per-read interval lists [(x0, x1, x2, info)], reference-sorted."""
+    B = len(codes_list)
+    if B == 0:
+        return []
+    L = max(len(c) for c in codes_list)
+    cap = L + 2
+    q, lens = _pad_reads(codes_list, L)
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    mems: list[list[tuple]] = [[] for _ in range(B)]
+
+    # ---- pass 1: all SMEMs, advancing x per read ----
+    x = np.zeros(B, dtype=np.int32)
+    ones = np.ones(B, dtype=np.int64)
+    while True:
+        # skip ambiguous bases on host (cheap; matches the x+=1 branch)
+        live = x < lens
+        while True:
+            amb = live & (q[np.arange(B), np.minimum(x, L - 1)] >= 4)
+            if not amb.any():
+                break
+            x[amb] += 1
+            live = x < lens
+        active = x < lens
+        if not active.any():
+            break
+        ret, m0, m1, m2, ms, me, mem_n = engine.smem_pass(
+            q, lens, x, ones, 0, active, cap)
+        for b in np.nonzero(active)[0]:
+            n = int(mem_n[b])
+            # reference reverses mems (sorted by start)
+            for j in range(n - 1, -1, -1):
+                slen = int(me[b, j]) - int(ms[b, j])
+                if slen >= opt.min_seed_len:
+                    info = (int(ms[b, j]) << 32) | int(me[b, j])
+                    mems[b].append((int(m0[b, j]), int(m1[b, j]),
+                                    int(m2[b, j]), info))
+        x = np.where(active, ret, x).astype(np.int32)
+
+    # ---- pass 2: re-seed long unique SMEMs from their midpoints ----
+    jobs = []  # (read, x, min_intv)
+    for b in range(B):
+        for iv in list(mems[b]):
+            start, end = iv[3] >> 32, iv[3] & 0xFFFFFFFF
+            if end - start < split_len or iv[2] > opt.split_width:
+                continue
+            jobs.append((b, (start + end) >> 1, iv[2] + 1))
+    if jobs:
+        jb = np.array([j[0] for j in jobs], dtype=np.int32)
+        jx = np.array([j[1] for j in jobs], dtype=np.int32)
+        jm = np.array([j[2] for j in jobs], dtype=np.int64)
+        qj = q[jb]
+        lj = lens[jb]
+        act = np.ones(len(jobs), dtype=bool)
+        ret, m0, m1, m2, ms, me, mem_n = engine.smem_pass(
+            qj, lj, jx, jm, 0, act, cap)
+        for t, b in enumerate(jb):
+            n = int(mem_n[t])
+            for j in range(n - 1, -1, -1):
+                if int(me[t, j]) - int(ms[t, j]) >= opt.min_seed_len:
+                    info = (int(ms[t, j]) << 32) | int(me[t, j])
+                    mems[b].append((int(m0[t, j]), int(m1[t, j]),
+                                    int(m2[t, j]), info))
+
+    # ---- pass 3: LAST-like seeding ----
+    if opt.max_mem_intv > 0:
+        x = np.zeros(B, dtype=np.int32)
+        while True:
+            live = x < lens
+            while True:
+                amb = live & (q[np.arange(B), np.minimum(x, L - 1)] >= 4)
+                if not amb.any():
+                    break
+                x[amb] += 1
+                live = x < lens
+            active = x < lens
+            if not active.any():
+                break
+            ret, found, r0, r1, r2, s0, s1 = engine.seed3_pass(
+                q, lens, x, opt.min_seed_len, opt.max_mem_intv, active)
+            for b in np.nonzero(active & found)[0]:
+                if int(r2[b]) > 0:
+                    info = (int(s0[b]) << 32) | int(s1[b])
+                    mems[b].append((int(r0[b]), int(r1[b]), int(r2[b]), info))
+            x = np.where(active, ret, x).astype(np.int32)
+
+    for b in range(B):
+        ks_introsort(mems[b], lambda a, c: a[3] < c[3])
+    return mems
+
+
+def occurrence_positions(opt, engine, mems_list):
+    """For every read's intervals, the sampled occurrence SA rows and their
+    reference positions (the bwt_sa calls of mem_chain, bwamem.c:304-309),
+    batched flat across the batch.  Returns per-read {k: rbeg} dicts."""
+    flat_ks = []
+    owners = []
+    for b, mems in enumerate(mems_list):
+        for iv in mems:
+            step = iv[2] // opt.max_occ if iv[2] > opt.max_occ else 1
+            k = 0
+            count = 0
+            while k < iv[2] and count < opt.max_occ:
+                flat_ks.append(iv[0] + k)
+                owners.append(b)
+                k += step
+                count += 1
+    if not flat_ks:
+        return [dict() for _ in mems_list]
+    ks = np.asarray(flat_ks, dtype=np.int64)
+    pos = engine.sa_many(ks)
+    caches = [dict() for _ in mems_list]
+    for b, k, p in zip(owners, flat_ks, pos):
+        caches[b][int(k)] = int(p)
+    return caches
+
+
+class CachedSeedEngine:
+    """Per-read view consumed by the (host) chain stage: precomputed
+    SA lookups + pass-through reference fetch."""
+
+    def __init__(self, fm, sa_cache: dict):
+        self.fm = fm
+        self._sa = sa_cache
+
+    def sa(self, k: int) -> int:
+        return self._sa[int(k)]
+
+    def fetch_seq(self, beg, mid, end):
+        return self.fm.fetch_seq(beg, mid, end)

@@ -23,10 +23,14 @@ from bwa_tpu.options import MEM_F_PE, MEM_F_PRIMARY5
 log = logging.getLogger(__name__)
 
 
-def align1_core(opt, engine, fm, seq_codes: np.ndarray) -> list[MemAlnReg]:
-    """mem_align1_core (bwamem.c:1081-1117): one read -> alignment regions."""
+def align1_core(opt, engine, fm, seq_codes: np.ndarray,
+                mems=None) -> list[MemAlnReg]:
+    """mem_align1_core (bwamem.c:1081-1117): one read -> alignment regions.
+    mems may be precomputed by the batch seeder; engine provides .sa and
+    .fetch_seq."""
     q = seq_codes
-    mems = collect_intv(opt, engine, q)
+    if mems is None:
+        mems = collect_intv(opt, engine, q)
     chains = chain_mod.chain(opt, engine, fm.bnt, q, mems)
     chains = chain_mod.chain_flt(opt, chains)
     chain_mod.flt_chained_seeds(opt, fm, q, chains)
@@ -44,14 +48,32 @@ def to_codes(seq: bytes) -> np.ndarray:
     return NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)]
 
 
+def _batch_align(opt, engine, fm, codes):
+    """worker1 over the batch: seeds (device, batched) then per-read
+    chaining/extension."""
+    if hasattr(engine, "smem_pass"):
+        from bwa_tpu.mem.batch_seed import (CachedSeedEngine,
+                                            collect_intv_batch,
+                                            occurrence_positions)
+
+        mems_list = collect_intv_batch(opt, engine, codes)
+        caches = occurrence_positions(opt, engine, mems_list)
+        return [
+            align1_core(opt, CachedSeedEngine(fm, caches[i]), fm, codes[i],
+                        mems=mems_list[i])
+            for i in range(len(codes))
+        ]
+    return [align1_core(opt, engine, fm, c) for c in codes]
+
+
 def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
                  pes0=None, rg_id: str | None = None) -> None:
     """mem_process_seqs (bwamem.c:1235-1264): fills read.sam."""
+    codes = [to_codes(r.seq) for r in reads]
+    regs = _batch_align(opt, engine, fm, codes)
     if opt.flag & MEM_F_PE:
         from bwa_tpu.mem.pairing import sam_pe, pestat
 
-        codes = [to_codes(r.seq) for r in reads]
-        regs = [align1_core(opt, engine, fm, c) for c in codes]
         pes = pes0 if pes0 is not None else pestat(opt, fm.l_pac, regs)
         for i in range(len(reads) >> 1):
             sam_pe(opt, fm, pes, (n_processed >> 1) + i,
@@ -59,9 +81,7 @@ def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
                    regs[i * 2:i * 2 + 2], rg_id)
     else:
         for i, r in enumerate(reads):
-            codes = to_codes(r.seq)
-            regs = align1_core(opt, engine, fm, codes)
-            mark_primary_se(opt, regs, n_processed + i)
+            mark_primary_se(opt, regs[i], n_processed + i)
             if opt.flag & MEM_F_PRIMARY5:
-                reorder_primary5(opt.T, regs)
-            r.sam = reg2sam(opt, fm, r, codes, regs, 0, None, rg_id)
+                reorder_primary5(opt.T, regs[i])
+            r.sam = reg2sam(opt, fm, r, codes[i], regs[i], 0, None, rg_id)
