@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: `mem` SE reads/s vs the locally compiled reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Config mirrors BASELINE.md row 1 (E. coli-scale SE 150bp); the genome and
+reads are synthesized deterministically and cached in /tmp/bwa_tpu_bench.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+BENCH_DIR = Path(os.environ.get("BWA_TPU_BENCH_DIR", "/tmp/bwa_tpu_bench"))
+ORACLE = Path("/tmp/bwa_oracle/src/bwa")
+GENOME_BP = int(os.environ.get("BWA_TPU_BENCH_GENOME", 2_000_000))
+N_READS = int(os.environ.get("BWA_TPU_BENCH_READS", 800))
+READ_LEN = 150
+
+
+def _ensure_oracle():
+    if ORACLE.exists():
+        return True
+    src = ORACLE.parent
+    ref = Path("/root/reference")
+    if not ref.exists():
+        return False
+    src.mkdir(parents=True, exist_ok=True)
+    for pat in ("*.c", "*.h", "Makefile"):
+        for f in ref.glob(pat):
+            (src / f.name).write_bytes(f.read_bytes())
+    subprocess.run(["make", "-j4"], cwd=src, check=True, capture_output=True)
+    return True
+
+
+def _ensure_data():
+    from datagen import random_genome, simulate_reads, write_fasta, write_fastq
+
+    BENCH_DIR.mkdir(parents=True, exist_ok=True)
+    fa = BENCH_DIR / "bench.fa"
+    fq = BENCH_DIR / "bench_se.fq"
+    if not fa.exists():
+        contigs = random_genome(GENOME_BP, seed=101, n_contigs=1, with_ns=False)
+        write_fasta(fa, contigs)
+        reads = simulate_reads(contigs, N_READS, read_len=READ_LEN, seed=103)
+        write_fastq(fq, reads)
+    if not (BENCH_DIR / "bench.fa.bwt").exists():
+        from bwa_tpu.index.build import index_build
+
+        index_build(fa)
+    return fa, fq
+
+
+def _time_oracle(fa, fq):
+    t0 = time.perf_counter()
+    subprocess.run([str(ORACLE), "mem", "-t1", str(fa), str(fq)],
+                   check=True, capture_output=True)
+    return time.perf_counter() - t0
+
+
+def _time_ours(fa, fq):
+    from bwa_tpu.engine import make_engine
+    from bwa_tpu.index.fmindex import FMIndex
+    from bwa_tpu.io.fastq import SeqReader, read_batch
+    from bwa_tpu.mem.pipeline import process_seqs
+    from bwa_tpu.options import MemOptions
+
+    engine_kind = os.environ.get("BWA_TPU_ENGINE", "tpu")
+    fm = FMIndex.load(fa)
+    try:
+        engine = make_engine(fm, engine_kind)
+    except Exception:
+        engine = make_engine(fm, "host")
+    opt = MemOptions()
+    reads = read_batch(SeqReader(fq), None, 1 << 62)
+    # warm up jit on a small slice so compile time isn't in the measurement
+    warm = [r for r in reads[:8]]
+    process_seqs(opt, engine, fm, warm)
+    t0 = time.perf_counter()
+    process_seqs(opt, engine, fm, reads)
+    dt = time.perf_counter() - t0
+    n_out = sum(1 for r in reads if r.sam)
+    assert n_out == len(reads)
+    return dt, len(reads)
+
+
+def main():
+    have_oracle = _ensure_oracle()
+    fa, fq = _ensure_data()
+    baseline = None
+    if have_oracle:
+        _time_oracle(fa, fq)  # warm page cache
+        baseline_dt = min(_time_oracle(fa, fq) for _ in range(2))
+        baseline = N_READS / baseline_dt
+    dt, n = _time_ours(fa, fq)
+    ours = n / dt
+    print(json.dumps({
+        "metric": "mem_se_reads_per_sec",
+        "value": round(ours, 3),
+        "unit": "reads/s",
+        "vs_baseline": round(ours / baseline, 5) if baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

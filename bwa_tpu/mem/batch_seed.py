@@ -23,9 +23,52 @@ def _pad_reads(codes_list, L: int) -> tuple[np.ndarray, np.ndarray]:
     return q, lens
 
 
-def collect_intv_batch(opt, engine, codes_list) -> list[list[tuple]]:
-    """Batched equivalent of seeding.collect_intv for every read.
-    Returns per-read interval lists [(x0, x1, x2, info)], reference-sorted."""
+# Device programs recompile per shape (and compiles are expensive on this
+# backend), so batches are chunked/padded to fixed buckets.
+BATCH_BUCKET = 512
+
+
+def _len_bucket(L: int) -> int:
+    return max(64, -(-L // 64) * 64)
+
+
+def collect_intv_batch(opt, engine, codes_list, cap_s: int = 96) -> list[list[tuple]]:
+    """Batched seeding via the fused on-device 3-pass program (one transfer).
+    Reads whose seed count overflows cap_s are redone with the scalar host
+    spec (exactness fallback).  Returns per-read [(x0, x1, x2, info)]."""
+    B = len(codes_list)
+    if B == 0:
+        return []
+    mems: list[list[tuple]] = []
+    for lo in range(0, B, BATCH_BUCKET):
+        chunk = codes_list[lo:lo + BATCH_BUCKET]
+        nb = len(chunk)
+        L = _len_bucket(max(len(c) for c in chunk))
+        q, lens = _pad_reads(chunk, L)
+        if nb < BATCH_BUCKET:  # pad the tail chunk to the bucket size
+            q = np.concatenate(
+                [q, np.full((BATCH_BUCKET - nb, L), 4, np.uint8)])
+            lens = np.concatenate(
+                [lens, np.zeros(BATCH_BUCKET - nb, np.int32)])
+        s0, s1, s2, ss, se, seed_n = engine.collect_seeds(q, lens, opt, cap_s)
+        for b in range(nb):
+            n = int(seed_n[b])
+            if n > cap_s:  # overflow: redo this read exactly on the host
+                from bwa_tpu.mem.seeding import collect_intv
+
+                mems.append(collect_intv(opt, engine.host, chunk[b]))
+                continue
+            mems.append([
+                (int(s0[b, j]), int(s1[b, j]), int(s2[b, j]),
+                 (int(ss[b, j]) << 32) | int(se[b, j]))
+                for j in range(n)
+            ])
+    return mems
+
+
+def collect_intv_batch_unfused(opt, engine, codes_list) -> list[list[tuple]]:
+    """Host-driven variant (one device call per pass step); kept as a
+    cross-check for the fused program."""
     B = len(codes_list)
     if B == 0:
         return []

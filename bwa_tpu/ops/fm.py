@@ -159,9 +159,8 @@ def _push(buf_x0, buf_x1, buf_x2, buf_i0, buf_i1, n, mask, x0, x1, x2, i0, i1):
     return buf_x0, buf_x1, buf_x2, buf_i0, buf_i1, n
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def smem1a_batch(idx, q, qlen, x, min_intv, max_intv, active, cap: int):
-    """bwt_smem1a (bwt.c:289-351) lock-step over B reads.
+def _smem1a_core(idx, q, qlen, x, min_intv, max_intv, active, cap: int):
+    """bwt_smem1a (bwt.c:289-351) lock-step over B reads (traceable core).
 
     q: [B, L] uint8 (>=4 beyond qlen); x: [B] start positions;
     min_intv: [B]; max_intv: scalar; active: [B] bool.
@@ -319,8 +318,10 @@ def smem1a_batch(idx, q, qlen, x, min_intv, max_intv, active, cap: int):
     return ret, m0, m1, m2, ms, me, mem_n
 
 
-@partial(jax.jit, static_argnames=())
-def seed_strategy1_batch(idx, q, qlen, x, min_len, max_intv, active):
+smem1a_batch = jax.jit(_smem1a_core, static_argnames=("cap",))
+
+
+def _seed_strategy1_core(idx, q, qlen, x, min_len, max_intv, active):
     """bwt_seed_strategy1 (bwt.c:358-379) lock-step over B reads.
     Returns (ret [B], found [B] bool, x0, x1, x2 [B], start [B], end [B])."""
     cdt = idx["ckpt"].dtype
@@ -368,6 +369,172 @@ def seed_strategy1_batch(idx, q, qlen, x, min_len, max_intv, active):
     return ret, found & valid, r0, r1, r2, x.astype(i32), ret
 
 
+seed_strategy1_batch = jax.jit(_seed_strategy1_core)
+
+
+# ---------------------------------------------------------------------------
+# Fused 3-pass seed collection: mem_collect_intv (bwamem.c:140-188) as ONE
+# device program.  The tunnel to the chip makes host<->device round trips
+# expensive (~9ms per MB D2H), so the pass-1 "advance x, rerun SMEM" loop,
+# the pass-2 re-seeding jobs and pass-3 LAST-like seeding all stay on
+# device; one transfer returns the final per-read seed arrays.
+# ---------------------------------------------------------------------------
+
+def _append_filtered(seeds, seed_n, m0, m1, m2, ms, me, mem_n,
+                     min_seed_len, lane_mask, cap_s: int):
+    """Append (reversed-order) qualifying mems into the per-lane seed store.
+    Mirrors the host loops in mem_collect_intv: mems come out of the
+    backward pass newest-first; the reference visits them oldest-first."""
+    s0, s1, s2, ss, se, = seeds
+    B, cap = m0.shape
+    i32 = jnp.int32
+    bidx = jnp.arange(B)
+
+    def body(j, st):
+        s0, s1, s2, ss, se, seed_n = st
+        # reversed index: element mem_n-1-j (oldest-first)
+        jj = jnp.clip(mem_n - 1 - j, 0, cap - 1)
+        ok = lane_mask & (j < mem_n)
+        slen = me[bidx, jj] - ms[bidx, jj]
+        ok = ok & (slen >= min_seed_len)
+        slot = jnp.minimum(seed_n, cap_s - 1)
+        s0 = s0.at[bidx, slot].set(jnp.where(ok, m0[bidx, jj], s0[bidx, slot]))
+        s1 = s1.at[bidx, slot].set(jnp.where(ok, m1[bidx, jj], s1[bidx, slot]))
+        s2 = s2.at[bidx, slot].set(jnp.where(ok, m2[bidx, jj], s2[bidx, slot]))
+        ss = ss.at[bidx, slot].set(jnp.where(ok, ms[bidx, jj], ss[bidx, slot]))
+        se = se.at[bidx, slot].set(jnp.where(ok, me[bidx, jj], se[bidx, slot]))
+        seed_n = seed_n + ok.astype(i32)
+        return (s0, s1, s2, ss, se, seed_n)
+
+    max_n = jnp.max(jnp.where(lane_mask, mem_n, 0))
+    st = (s0, s1, s2, ss, se, seed_n)
+    st = lax.fori_loop(0, max_n, body, st)
+    return st[:5], st[5]
+
+
+def _skip_amb(q, qlen, x):
+    """Advance x past ambiguous bases (the `else ++x` branch)."""
+    B, L = q.shape
+    bidx = jnp.arange(B)
+
+    def cond(x):
+        qx = q[bidx, jnp.clip(x, 0, L - 1)]
+        return jnp.any((x < qlen) & (qx >= 4))
+
+    def body(x):
+        qx = q[bidx, jnp.clip(x, 0, L - 1)]
+        return jnp.where((x < qlen) & (qx >= 4), x + 1, x)
+
+    return lax.while_loop(cond, body, x)
+
+
+@partial(jax.jit, static_argnames=("cap", "cap_s", "key64"))
+def collect_intv_device(idx, q, qlen, min_seed_len, split_len, split_width,
+                        max_mem_intv, cap: int, cap_s: int, key64: bool):
+    """All three seeding passes fused; returns per-read seed arrays sorted
+    by (start, end) == the reference's .info order.
+    Output: (s0, s1, s2 [B,cap_s] coord, ss, se [B,cap_s] i32, seed_n [B])."""
+    cdt = idx["ckpt"].dtype
+    B, L = q.shape
+    i32 = jnp.int32
+    seeds = tuple(jnp.zeros((B, cap_s), dt) for dt in (cdt, cdt, cdt, i32, i32))
+    seed_n = jnp.zeros(B, dtype=i32)
+    ones = jnp.ones(B, dtype=cdt)
+
+    # ---- pass 1 ----
+    def p1_cond(st):
+        x, seeds, seed_n = st
+        return jnp.any(x < qlen)
+
+    def p1_body(st):
+        x, seeds, seed_n = st
+        x = _skip_amb(q, qlen, x)
+        active = x < qlen
+        ret, m0, m1, m2, ms, me, mem_n = _smem1a_core(
+            idx, q, qlen, x, ones, cdt.type(0), active, cap)
+        seeds, seed_n = _append_filtered(
+            seeds, seed_n, m0, m1, m2, ms, me, mem_n,
+            min_seed_len, active, cap_s)
+        x = jnp.where(active, ret, x)
+        return x, seeds, seed_n
+
+    x0 = jnp.zeros(B, dtype=i32)
+    x0 = _skip_amb(q, qlen, x0)
+    _, seeds, seed_n = lax.while_loop(
+        p1_cond, p1_body, (x0, seeds, seed_n))
+
+    # ---- pass 2: re-seed long low-occ SMEMs from their midpoints ----
+    old_n = seed_n
+
+    def p2_body(k, st):
+        seeds, seed_n = st
+        s0, s1, s2, ss, se = seeds
+        kk = jnp.minimum(k, cap_s - 1)
+        bidx = jnp.arange(B)
+        have = k < old_n
+        start = ss[bidx, kk]
+        end = se[bidx, kk]
+        x2 = s2[bidx, kk]
+        need = have & ((end - start) >= split_len) & (x2 <= split_width)
+        mid = ((start + end) >> 1).astype(i32)
+        ret, m0, m1, m2, ms, me, mem_n = _smem1a_core(
+            idx, q, qlen, mid, x2 + 1, cdt.type(0), need, cap)
+        seeds, seed_n = _append_filtered(
+            seeds, seed_n, m0, m1, m2, ms, me, mem_n,
+            min_seed_len, need, cap_s)
+        return seeds, seed_n
+
+    max_old = jnp.max(old_n)
+    seeds, seed_n = lax.fori_loop(0, max_old, p2_body, (seeds, seed_n))
+
+    # ---- pass 3: LAST-like seeding ----
+    def p3_cond(st):
+        x, seeds, seed_n = st
+        return jnp.any(x < qlen)
+
+    def p3_body(st):
+        x, seeds, seed_n = st
+        x = _skip_amb(q, qlen, x)
+        active = x < qlen
+        ret, found, r0, r1, r2, rs, re_ = _seed_strategy1_core(
+            idx, q, qlen, x, min_seed_len, cdt.type(0) + max_mem_intv, active)
+        s0, s1, s2, ss, se = seeds
+        ok = active & found & (r2 > 0)
+        bidx = jnp.arange(B)
+        slot = jnp.minimum(seed_n, cap_s - 1)
+        s0 = s0.at[bidx, slot].set(jnp.where(ok, r0, s0[bidx, slot]))
+        s1 = s1.at[bidx, slot].set(jnp.where(ok, r1, s1[bidx, slot]))
+        s2 = s2.at[bidx, slot].set(jnp.where(ok, r2, s2[bidx, slot]))
+        ss = ss.at[bidx, slot].set(jnp.where(ok, rs, ss[bidx, slot]))
+        se = se.at[bidx, slot].set(jnp.where(ok, re_, se[bidx, slot]))
+        seed_n = seed_n + ok.astype(i32)
+        seeds = (s0, s1, s2, ss, se)
+        x = jnp.where(active, ret, x)
+        return x, seeds, seed_n
+
+    if True:  # max_mem_intv==0 disables pass 3 at trace time is not known;
+        # the reference guard is opt.max_mem_intv > 0 -- handled by caller
+        x0 = jnp.zeros(B, dtype=i32)
+        x0 = _skip_amb(q, qlen, x0)
+        _, seeds, seed_n = lax.while_loop(
+            p3_cond, p3_body, (x0, seeds, seed_n))
+
+    # ---- stable sort by info == (start, end) lexicographic ----
+    s0, s1, s2, ss, se = seeds
+    kdt = jnp.int64 if key64 else i32
+    shift = 32 if key64 else 16
+    key = (ss.astype(kdt) << shift) | se.astype(kdt)
+    pad = jnp.arange(cap_s)[None, :] >= seed_n[:, None]
+    key = jnp.where(pad, jnp.iinfo(kdt).max, key)
+    order = jnp.argsort(key, axis=1, stable=True)
+    s0 = jnp.take_along_axis(s0, order, axis=1)
+    s1 = jnp.take_along_axis(s1, order, axis=1)
+    s2 = jnp.take_along_axis(s2, order, axis=1)
+    ss = jnp.take_along_axis(ss, order, axis=1)
+    se = jnp.take_along_axis(se, order, axis=1)
+    return s0, s1, s2, ss, se, seed_n
+
+
 # ---------------------------------------------------------------------------
 # Engine: batch precompute driven from the host pipeline
 # ---------------------------------------------------------------------------
@@ -378,6 +545,14 @@ class BatchedFMEngine:
 
     def __init__(self, fm: FMIndex):
         self.fm = fm
+        # persistent compile cache: the SMEM/SA programs are stable across
+        # runs, so CLI startup pays tracing only once per machine
+        cache_dir = os.environ.get("BWA_TPU_JIT_CACHE", "/tmp/bwa_tpu_jit_cache")
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
         if fm.coord_dtype == np.int64:
             jax.config.update("jax_enable_x64", True)
         self.dev = DeviceFMIndex(fm)
@@ -410,8 +585,27 @@ class BatchedFMEngine:
     def sa_many(self, ks: np.ndarray) -> np.ndarray:
         if len(ks) == 0:
             return np.zeros(0, dtype=np.int64)
-        k = jnp.asarray(ks.astype(self.fm.coord_dtype))
-        return np.asarray(jax.device_get(sa_batch(self.idx, k)))
+        # pad to the next power of two: each distinct shape recompiles
+        n = len(ks)
+        cap = 1 << max(8, (n - 1).bit_length())
+        kp = np.ones(cap, dtype=self.fm.coord_dtype)
+        kp[:n] = ks
+        k = jnp.asarray(kp)
+        return np.asarray(jax.device_get(sa_batch(self.idx, k)))[:n]
+
+    def collect_seeds(self, q_pad: np.ndarray, qlen: np.ndarray, opt,
+                      cap_s: int):
+        """Fused 3-pass seed collection; one device program, one transfer.
+        Returns numpy (s0, s1, s2, ss, se, seed_n)."""
+        cdt = self.fm.coord_dtype
+        B, L = q_pad.shape
+        split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+        out = collect_intv_device(
+            self.idx, jnp.asarray(q_pad), jnp.asarray(qlen.astype(np.int32)),
+            np.int32(opt.min_seed_len), np.int32(split_len),
+            cdt(opt.split_width), cdt(opt.max_mem_intv),
+            cap=L + 2, cap_s=cap_s, key64=bool(L >= 32768))
+        return [np.asarray(jax.device_get(o)) for o in out]
 
     def smem_pass(self, q_pad: np.ndarray, qlen: np.ndarray, x: np.ndarray,
                   min_intv: np.ndarray, max_intv: int, active: np.ndarray,

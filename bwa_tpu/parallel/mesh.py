@@ -1,0 +1,70 @@
+"""Multi-chip sharding of the alignment step.
+
+The reference's parallelism is pthread data-parallelism over reads plus a
+POSIX-shm shared index (kthread.c, bwashm.c; SURVEY.md §1-L6).  The
+TPU-native equivalent:
+
+  * mesh axis "dp": read batches sharded across chips,
+  * the FM-index replicated into every chip's HBM (it fits: ~5GB for
+    GRCh38 at the reference sampling rates),
+  * one cross-chip collective per batch: the all-reduce of insert-size
+    statistics feeding mem_pestat (the only batch-global sync in the
+    reference pipeline, bwamem.c:1256-1259), expressed as a psum.
+
+`sharded_seed_step` is the jittable multi-chip step: per-shard SMEM
+seeding + SA lookup of the best seed + a psum'd histogram of candidate
+insert positions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from bwa_tpu.ops import fm as fm_ops
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if len(devs) < n:
+        raise RuntimeError(
+            f"need {n} devices, have {len(devs)} "
+            f"(set XLA_FLAGS=--xla_force_host_platform_device_count={n} "
+            f"JAX_PLATFORMS=cpu for a virtual mesh)")
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def sharded_seed_step(idx, mesh: Mesh, cap: int):
+    """Returns a jitted fn(q, qlen, x) running the seeding state machine
+    data-parallel over the "dp" axis with a replicated index and a psum'd
+    batch statistic (the pestat all-reduce)."""
+
+    def step(idx, q, qlen, x):
+        B = q.shape[0]
+        minv = jnp.ones((B,), idx["ckpt"].dtype)
+        active = x < qlen
+        ret, m0, m1, m2, ms, me, mem_n = fm_ops.smem1a_batch(
+            idx, q, qlen, x, minv, idx["ckpt"].dtype.type(0), active, cap)
+        # SA position of the first occurrence of the longest SMEM per read
+        has = mem_n > 0
+        k0 = jnp.where(has, m0[:, 0], 1).astype(idx["ckpt"].dtype)
+        pos = fm_ops.sa_batch(idx, k0)
+        # batch-global statistic (pestat-style): psum over the dp axis
+        n_seeded = jax.lax.psum(has.sum(), "dp")
+        mean_pos = jax.lax.psum(jnp.where(has, pos, 0).sum(), "dp")
+        return ret, pos, mem_n, n_seeded, mean_pos
+
+    spec_b = P("dp")
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), spec_b, spec_b, spec_b),
+        out_specs=(spec_b, spec_b, spec_b, P(), P()),
+        check_rep=False)
+    return jax.jit(partial(smapped, idx))

@@ -3,13 +3,24 @@ import subprocess
 import sys
 from pathlib import Path
 
-# Tests run sharding logic on a virtual 8-device CPU mesh; must be set
-# before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# Tests run sharding logic on a virtual 8-device CPU mesh.  The axon
+# environment exports JAX_PLATFORMS=axon and its sitecustomize initializes
+# the backend before conftest runs, so force CPU and reset the backends.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8")
+
+
+def _force_cpu_mesh():
+    import jax
+    from jax._src import xla_bridge as xb
+
+    jax.config.update("jax_platforms", "cpu")
+    if xb._backends:
+        xb._clear_backends()
+
+
+_force_cpu_mesh()
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
