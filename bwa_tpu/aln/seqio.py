@@ -1,0 +1,123 @@
+"""Backtrack read intake: bwa_read_seq semantics (bwaseqio.c:151-221):
+nt4 conversion, quality trimming, /1|/2 name trim, barcode clip, Casava
+filter, Illumina-1.3 quals; p.seq stored REVERSED, p.rseq reverse(-comp)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from bwa_tpu.aln.opts import (BWA_MODE_CFY, BWA_MODE_COMPREAD, BWA_MODE_IL13,
+                              BWA_MIN_RDLEN)
+from bwa_tpu.index.pack import NT4_TABLE
+from bwa_tpu.io.fastq import SeqReader
+
+BARCODE_LOW_QUAL = 13
+
+
+@dataclass
+class BtSeq:
+    name: str
+    seq: np.ndarray            # nt4 codes, REVERSED trimmed read (p->seq)
+    rseq: np.ndarray           # reverse(complement) per is_comp
+    full_codes: np.ndarray     # original orientation, FULL length (for SEQ
+                               # output: bwa_print_seq uses full_len bases)
+    qual: bytearray | None     # original orientation ASCII quals
+    len: int
+    full_len: int
+    clip_len: int
+    bc: str = ""
+    # alignment state (filled by samse/sampe)
+    strand: int = 0
+    type: int = 0              # BWA_TYPE_*
+    extra_flag: int = 0
+    n_mm: int = 0
+    n_gapo: int = 0
+    n_gape: int = 0
+    mapQ: int = 0
+    seQ: int = 0
+    score: int = 0
+    n_aln: int = 0
+    aln: list = field(default_factory=list)
+    n_multi: int = 0
+    multi: list = field(default_factory=list)
+    sa: int = 0
+    pos: int = -1
+    c1: int = 0
+    c2: int = 0
+    ref_shift: int = 0
+    cigar: list | None = None  # [(op, len)] op in MIDS=0..3
+    nm: int = 0
+    md: str | None = None
+
+
+def seq_reverse(arr: np.ndarray, is_comp: bool) -> np.ndarray:
+    if is_comp:
+        out = arr[::-1].copy()
+        mask = out < 4
+        out[mask] = 3 - out[mask]
+        return out
+    return arr[::-1].copy()
+
+
+def trim_read(trim_qual: int, qual: bytes, length: int) -> int:
+    """bwa_trim_read (bwaseqio.c:80-91): returns the trimmed length."""
+    if trim_qual < 1 or qual is None:
+        return length
+    s, mx, max_l = 0, 0, length
+    for l in range(length - 1, BWA_MIN_RDLEN - 1, -1):
+        s += trim_qual - (qual[l] - 33)
+        if s < 0:
+            break
+        if s > mx:
+            mx, max_l = s, l
+    return max_l
+
+
+def read_bt_seqs(reader: SeqReader, n_needed: int, mode: int,
+                 trim_qual: int) -> list[BtSeq]:
+    is_comp = bool(mode & BWA_MODE_COMPREAD)
+    is_64 = bool(mode & BWA_MODE_IL13)
+    l_bc = mode >> 24
+    out: list[BtSeq] = []
+    for read in reader:
+        if (mode & BWA_MODE_CFY) and read.comment:
+            i = read.comment.find(":")
+            if i >= 0 and i + 1 < len(read.comment) and read.comment[i + 1] == "Y":
+                continue
+        seq_bytes = read.seq
+        qual = bytearray(read.qual) if read.qual else None
+        if is_64 and qual:
+            qual = bytearray(q - 31 for q in qual)
+        if len(seq_bytes) <= l_bc:
+            continue
+        bc = ""
+        if l_bc:
+            bcs = []
+            for i in range(l_bc):
+                ch = chr(seq_bytes[i])
+                if qual and qual[i] - 33 < BARCODE_LOW_QUAL:
+                    bcs.append(ch.lower())
+                else:
+                    bcs.append(ch.upper())
+            bc = "".join(bcs)
+            seq_bytes = seq_bytes[l_bc:]
+            if qual:
+                qual = qual[l_bc:]
+        full_len = len(seq_bytes)
+        codes = NT4_TABLE[np.frombuffer(seq_bytes, dtype=np.uint8)].copy()
+        length = full_len
+        if qual and trim_qual >= 1:
+            length = trim_read(trim_qual, qual, length)
+        fwd = codes[:length]
+        p = BtSeq(name=read.name,
+                  seq=seq_reverse(fwd, False),
+                  rseq=seq_reverse(fwd, is_comp),
+                  full_codes=codes,
+                  qual=qual, len=length, full_len=full_len,
+                  clip_len=length, bc=bc)
+        out.append(p)
+        if len(out) == n_needed:
+            break
+    return out

@@ -248,6 +248,123 @@ def main_fastmap(argv: list[str]) -> int:
     return 0
 
 
+def main_aln(argv: list[str]) -> int:
+    import getopt as getopt_mod
+
+    from bwa_tpu.aln.opts import (BWA_MODE_BAM, BWA_MODE_BAM_READ1,
+                                  BWA_MODE_BAM_READ2, BWA_MODE_BAM_SE,
+                                  BWA_MODE_CFY, BWA_MODE_GAPE, BWA_MODE_IL13,
+                                  BWA_MODE_LOGGAP, BWA_MODE_NONSTOP, GapOpt)
+    from bwa_tpu.aln.driver import aln_core
+
+    opt = GapOpt()
+    opte = -1
+    out_fp = sys.stdout.buffer
+    opts, args = getopt_mod.getopt(argv, "n:o:e:i:d:l:k:LR:m:t:NM:O:E:q:f:b012IYB:")
+    for c, a in opts:
+        c = c[1:]
+        if c == "n":
+            if "." in a:
+                opt.fnr = float(a)
+                opt.max_diff = -1
+            else:
+                opt.max_diff = int(a)
+                opt.fnr = -1.0
+        elif c == "o": opt.max_gapo = int(a)
+        elif c == "e": opte = int(a)
+        elif c == "M": opt.s_mm = int(a)
+        elif c == "O": opt.s_gapo = int(a)
+        elif c == "E": opt.s_gape = int(a)
+        elif c == "d": opt.max_del_occ = int(a)
+        elif c == "i": opt.indel_end_skip = int(a)
+        elif c == "l": opt.seed_len = int(a)
+        elif c == "k": opt.max_seed_diff = int(a)
+        elif c == "m": opt.max_entries = int(a)
+        elif c == "t": opt.n_threads = int(a)
+        elif c == "L": opt.mode |= BWA_MODE_LOGGAP
+        elif c == "R": opt.max_top2 = int(a)
+        elif c == "q": opt.trim_qual = int(a)
+        elif c == "N":
+            opt.mode |= BWA_MODE_NONSTOP
+            opt.max_top2 = 0x7FFFFFFF
+        elif c == "f": out_fp = open(a, "wb")
+        elif c == "b": opt.mode |= BWA_MODE_BAM
+        elif c == "0": opt.mode |= BWA_MODE_BAM_SE
+        elif c == "1": opt.mode |= BWA_MODE_BAM_READ1
+        elif c == "2": opt.mode |= BWA_MODE_BAM_READ2
+        elif c == "I": opt.mode |= BWA_MODE_IL13
+        elif c == "Y": opt.mode |= BWA_MODE_CFY
+        elif c == "B": opt.mode |= int(a) << 24
+    if opte > 0:
+        opt.max_gape = opte
+        opt.mode &= ~BWA_MODE_GAPE
+    if len(args) < 2:
+        print("Usage: bwa-tpu aln [options] <prefix> <in.fq>", file=sys.stderr)
+        return 1
+    aln_core(args[0], args[1], opt, out_fp)
+    if out_fp is not sys.stdout.buffer:
+        out_fp.close()
+    return 0
+
+
+def main_samse(argv: list[str]) -> int:
+    import getopt as getopt_mod
+
+    from bwa_tpu.aln.driver import samse_core
+
+    n_occ = 3
+    rg_id = rg_line = None
+    out = sys.stdout
+    opts, args = getopt_mod.getopt(argv, "hn:f:r:")
+    for c, a in opts:
+        if c == "-n": n_occ = int(a)
+        elif c == "-f": out = open(a, "w")
+        elif c == "-r":
+            rg_line = _escape(a)
+            rg_id = rg_line.split("\tID:")[1].split("\t")[0].split("\n")[0]
+    if len(args) < 3:
+        print("Usage: bwa-tpu samse [-n max_occ] <prefix> <in.sai> <in.fq>",
+              file=sys.stderr)
+        return 1
+    samse_core(args[0], args[1], args[2], n_occ, rg_id, rg_line, out)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def main_sampe(argv: list[str]) -> int:
+    import getopt as getopt_mod
+
+    from bwa_tpu.aln.opts import PEOpt
+    from bwa_tpu.aln.sampe import sampe_core
+
+    popt = PEOpt()
+    rg_id = rg_line = None
+    out = sys.stdout
+    opts, args = getopt_mod.getopt(argv, "a:o:sPn:N:c:f:Ar:")
+    for c, a in opts:
+        if c == "-a": popt.max_isize = int(a)
+        elif c == "-o": popt.max_occ = int(a)
+        elif c == "-s": popt.is_sw = 0
+        elif c == "-P": popt.is_preload = 1
+        elif c == "-n": popt.n_multi = int(a)
+        elif c == "-N": popt.N_multi = int(a)
+        elif c == "-c": popt.ap_prior = float(a)
+        elif c == "-f": out = open(a, "w")
+        elif c == "-A": popt.force_isize = 1
+        elif c == "-r":
+            rg_line = _escape(a)
+            rg_id = rg_line.split("\tID:")[1].split("\t")[0].split("\n")[0]
+    if len(args) < 5:
+        print("Usage: bwa-tpu sampe [options] <prefix> <in1.sai> <in2.sai> "
+              "<in1.fq> <in2.fq>", file=sys.stderr)
+        return 1
+    sampe_core(args[0], args[1:3], args[3:5], popt, rg_id, rg_line, out)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
@@ -266,6 +383,12 @@ def main(argv=None) -> int:
         return main_index(rest)
     if cmd == "fastmap":
         return main_fastmap(rest)
+    if cmd == "aln":
+        return main_aln(rest)
+    if cmd == "samse":
+        return main_samse(rest)
+    if cmd == "sampe":
+        return main_sampe(rest)
     print(f"[main] unrecognized command '{cmd}'", file=sys.stderr)
     return 1
 

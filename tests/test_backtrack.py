@@ -1,0 +1,83 @@
+"""Backtrack (aln/samse/sampe): .sai and SAM byte-equality vs oracle."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+DATA = Path("/tmp/bwa_tpu_testdata")
+
+
+@pytest.fixture(scope="module")
+def bt_reads(small_genome):
+    from datagen import random_genome, simulate_reads, write_fastq
+
+    se = DATA / "bt_se.fq"
+    r1 = DATA / "bt_pe_1.fq"
+    r2 = DATA / "bt_pe_2.fq"
+    if not se.exists():
+        contigs = random_genome(200_000, seed=7, n_contigs=2)
+        reads = simulate_reads(contigs, 150, read_len=50, seed=31,
+                               err_rate=0.01, indel_rate=0.002)
+        write_fastq(se, reads)
+    if not r1.exists():
+        contigs = random_genome(200_000, seed=7, n_contigs=2)
+        a, b = simulate_reads(contigs, 200, read_len=50, seed=37,
+                              err_rate=0.01, indel_rate=0.002, paired=True,
+                              insert_mean=250, insert_std=30)
+        write_fastq(r1, a)
+        write_fastq(r2, b)
+    return se, r1, r2
+
+
+def _mine(args):
+    return subprocess.run([sys.executable, "-m", "bwa_tpu.cli", *args],
+                          check=True, capture_output=True, cwd=REPO).stdout
+
+
+def _oracle(oracle_bwa, args):
+    return subprocess.run([str(oracle_bwa), *args], check=True,
+                          capture_output=True).stdout
+
+
+def _nopg(b):
+    return [l for l in b.decode().splitlines() if not l.startswith("@PG")]
+
+
+def test_aln_sai_bytes(oracle_bwa, small_genome, bt_reads, tmp_path):
+    se, _, _ = bt_reads
+    theirs = _oracle(oracle_bwa, ["aln", str(small_genome), str(se)])
+    mine = _mine(["aln", str(small_genome), str(se)])
+    assert mine == theirs
+
+
+def test_aln_options_sai_bytes(oracle_bwa, small_genome, bt_reads):
+    se, _, _ = bt_reads
+    for extra in (["-n", "6"], ["-o", "2"], ["-N"], ["-l", "20"]):
+        theirs = _oracle(oracle_bwa, ["aln", *extra, str(small_genome), str(se)])
+        mine = _mine(["aln", *extra, str(small_genome), str(se)])
+        assert mine == theirs, extra
+
+
+def test_samse_sam(oracle_bwa, small_genome, bt_reads, tmp_path):
+    se, _, _ = bt_reads
+    sai = tmp_path / "se.sai"
+    sai.write_bytes(_oracle(oracle_bwa, ["aln", str(small_genome), str(se)]))
+    theirs = _nopg(_oracle(oracle_bwa, ["samse", str(small_genome), str(sai), str(se)]))
+    mine = _nopg(_mine(["samse", str(small_genome), str(sai), str(se)]))
+    assert mine == theirs
+
+
+def test_sampe_sam(oracle_bwa, small_genome, bt_reads, tmp_path):
+    _, r1, r2 = bt_reads
+    s1 = tmp_path / "1.sai"
+    s2 = tmp_path / "2.sai"
+    s1.write_bytes(_oracle(oracle_bwa, ["aln", str(small_genome), str(r1)]))
+    s2.write_bytes(_oracle(oracle_bwa, ["aln", str(small_genome), str(r2)]))
+    theirs = _nopg(_oracle(oracle_bwa, ["sampe", str(small_genome),
+                                        str(s1), str(s2), str(r1), str(r2)]))
+    mine = _nopg(_mine(["sampe", str(small_genome), str(s1), str(s2),
+                        str(r1), str(r2)]))
+    assert mine == theirs
