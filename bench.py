@@ -20,7 +20,7 @@ sys.path.insert(0, str(REPO / "tests"))
 BENCH_DIR = Path(os.environ.get("BWA_TPU_BENCH_DIR", "/tmp/bwa_tpu_bench"))
 ORACLE = Path("/tmp/bwa_oracle/src/bwa")
 GENOME_BP = int(os.environ.get("BWA_TPU_BENCH_GENOME", 2_000_000))
-N_READS = int(os.environ.get("BWA_TPU_BENCH_READS", 800))
+N_READS = int(os.environ.get("BWA_TPU_BENCH_READS", 8192))
 READ_LEN = 150
 
 

@@ -389,6 +389,23 @@ def main(argv=None) -> int:
         return main_samse(rest)
     if cmd == "sampe":
         return main_sampe(rest)
+    if cmd in ("fa2pac", "pac2bwt", "pac2bwtgen", "bwtupdate", "bwt2sa",
+               "maxk", "pemerge", "xa2multi", "qualfa2fq"):
+        from bwa_tpu import tools
+        fn = {"fa2pac": tools.main_fa2pac,
+              "pac2bwt": tools.main_pac2bwt,
+              "pac2bwtgen": tools.main_pac2bwt,  # one builder serves both
+              "bwtupdate": tools.main_bwtupdate,
+              "bwt2sa": tools.main_bwt2sa,
+              "maxk": tools.main_maxk,
+              "pemerge": tools.main_pemerge,
+              "xa2multi": tools.main_xa2multi,
+              "qualfa2fq": tools.main_qualfa2fq}[cmd]
+        return fn(rest)
+    if cmd == "bwasw":
+        print("[main] bwasw is not implemented yet in bwa-tpu (deprecated "
+              "upstream; use mem for long reads)", file=sys.stderr)
+        return 1
     print(f"[main] unrecognized command '{cmd}'", file=sys.stderr)
     return 1
 

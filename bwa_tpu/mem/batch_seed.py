@@ -25,7 +25,7 @@ def _pad_reads(codes_list, L: int) -> tuple[np.ndarray, np.ndarray]:
 
 # Device programs recompile per shape (and compiles are expensive on this
 # backend), so batches are chunked/padded to fixed buckets.
-BATCH_BUCKET = 512
+BATCH_BUCKET = 8192
 
 
 def _len_bucket(L: int) -> int:

@@ -103,6 +103,37 @@ def _B0(idx, x):
     return ((word >> sh) & 3).astype(jnp.int32)
 
 
+def _occ1(idx, k, c):
+    """Single-base occ: count of base c in B[0..k] (bwt_occ semantics for
+    k in [0, seq_len)); one popcount instead of four."""
+    cdt = idx["ckpt"].dtype
+    kk = k - (k >= idx["primary"]).astype(cdt)
+    kk_safe = jnp.clip(kk, 0, idx["seq_len"] - 1)
+    j = (kk_safe >> 7).astype(jnp.int32)
+    base = idx["ckpt"][j, c]
+    blk = idx["words"][j]
+    kw = ((kk_safe >> 4) & 7).astype(jnp.int32)
+    kb = (kk_safe & 15).astype(jnp.int32)
+    widx = jnp.arange(8, dtype=jnp.int32)
+    nkeep = jnp.clip((kw[:, None] - widx[None, :]) * 16 + kb[:, None] + 1, 0, 16)
+    shift = ((16 - nkeep) << 1).astype(jnp.uint32)
+    mask = jnp.where(nkeep > 0,
+                     _MFF << jnp.minimum(shift, np.uint32(31)),
+                     np.uint32(0)).astype(jnp.uint32)
+    w = blk & mask
+    hi = (w >> 1) & _M55
+    lo = w & _M55
+    c_arr = c[:, None]
+    sel_hi = jnp.where((c_arr & 2) != 0, hi, ~hi & (mask & _M55))
+    sel_lo = jnp.where((c_arr & 1) != 0, lo, ~lo & (mask & _M55))
+    cnt = lax.population_count(sel_hi & sel_lo).astype(jnp.int32).sum(axis=1)
+    out = base + cnt.astype(cdt)
+    L2d = (idx["L2"][c + 1] - idx["L2"][c]).astype(cdt)
+    out = jnp.where(k == idx["seq_len"], L2d, out)
+    out = jnp.where(k == -1, jnp.zeros_like(out), out)
+    return out
+
+
 @partial(jax.jit, static_argnames=())
 def sa_batch(idx, k):
     """bwt_sa (bwt.c:86-96) over a vector of SA rows k; returns positions."""
@@ -119,7 +150,7 @@ def sa_batch(idx, k):
         live = (k & intv_mask) != 0
         x = k - (k > idx["primary"]).astype(cdt)
         c = _B0(idx, x)
-        occ = _occ4(idx, k)[jnp.arange(k.shape[0]), c]
+        occ = _occ1(idx, k, c)
         nk = jnp.where(k == idx["primary"], jnp.zeros_like(k),
                        idx["L2"][c].astype(cdt) + occ)
         k = jnp.where(live, nk, k)
@@ -594,18 +625,61 @@ class BatchedFMEngine:
         return np.asarray(jax.device_get(sa_batch(self.idx, k)))[:n]
 
     def collect_seeds(self, q_pad: np.ndarray, qlen: np.ndarray, opt,
-                      cap_s: int):
-        """Fused 3-pass seed collection; one device program, one transfer.
+                      cap_s: int, fused: bool = False):
+        """3-pass seed collection on device; one transfer at the end.
+
+        Default path: the unified per-lane state machine (ops/fm_machine.py,
+        no lock-step restarts).  fused=True selects the older lock-step
+        program (kept as a cross-check).
         Returns numpy (s0, s1, s2, ss, se, seed_n)."""
         cdt = self.fm.coord_dtype
         B, L = q_pad.shape
         split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-        out = collect_intv_device(
-            self.idx, jnp.asarray(q_pad), jnp.asarray(qlen.astype(np.int32)),
-            np.int32(opt.min_seed_len), np.int32(split_len),
-            cdt(opt.split_width), cdt(opt.max_mem_intv),
-            cap=L + 2, cap_s=cap_s, key64=bool(L >= 32768))
-        return [np.asarray(jax.device_get(o)) for o in out]
+        if fused:
+            out = collect_intv_device(
+                self.idx, jnp.asarray(q_pad),
+                jnp.asarray(qlen.astype(np.int32)),
+                np.int32(opt.min_seed_len), np.int32(split_len),
+                cdt(opt.split_width), cdt(opt.max_mem_intv),
+                cap=L + 2, cap_s=cap_s, key64=bool(L >= 32768))
+            return [np.asarray(jax.device_get(o)) for o in out]
+
+        from bwa_tpu.ops import fm_machine
+
+        # next non-ambiguous position table (host, vectorized)
+        nv = np.full((B, L + 1), 0, dtype=np.int32)
+        isamb = q_pad >= 4
+        nxt = np.full(B, L, dtype=np.int32)
+        nv[:, L] = np.minimum(L, qlen)
+        for p in range(L - 1, -1, -1):
+            nxt = np.where(~isamb[:, p], p, nxt)
+            nv[:, p] = nxt
+        nv = np.minimum(nv, qlen[:, None]).astype(np.int32)
+
+        qd = jnp.asarray(q_pad)
+        qld = jnp.asarray(qlen.astype(np.int32))
+        nvd = jnp.asarray(nv)
+        i32 = jnp.int32
+        seeds = jnp.zeros((B, cap_s, 5), cdt)
+        seed_n = jnp.zeros(B, i32)
+        seeds, seed_n = fm_machine.smem_machine(
+            self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
+            np.int32(split_len), cdt(opt.split_width), seeds, seed_n,
+            jnp.zeros(B, i32), cap=L + 2, cap_s=cap_s, pass2=False)
+        old_n = seed_n
+        seeds, seed_n = fm_machine.smem_machine(
+            self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
+            np.int32(split_len), cdt(opt.split_width), seeds, seed_n,
+            old_n, cap=L + 2, cap_s=cap_s, pass2=True)
+        if opt.max_mem_intv > 0:
+            seeds, seed_n = fm_machine.seed3_machine(
+                self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
+                cdt(opt.max_mem_intv), seeds, seed_n, cap_s=cap_s)
+        seeds = fm_machine.sort_seeds(seeds, seed_n, key64=bool(L >= 32768))
+        sd = np.asarray(jax.device_get(seeds))
+        sn = np.asarray(jax.device_get(seed_n))
+        return (sd[:, :, 0], sd[:, :, 1], sd[:, :, 2],
+                sd[:, :, 3].astype(np.int32), sd[:, :, 4].astype(np.int32), sn)
 
     def smem_pass(self, q_pad: np.ndarray, qlen: np.ndarray, x: np.ndarray,
                   min_intv: np.ndarray, max_intv: int, active: np.ndarray,

@@ -1,0 +1,314 @@
+"""Unified per-lane SMEM state machine (the fast path of seed collection).
+
+Each lane runs its OWN state machine — acquire next start, forward pass,
+backward pass, chain to the next start — inside a single device while_loop;
+one batched occ4 pair per global step serves whatever micro-op each lane is
+on.  No lock-step restarts: a lane never waits for the slowest lane's call.
+
+Buffers are packed ([B, cap, 4] interval stacks, [B, cap_s, 5] seed store)
+to keep the per-step op count low; per-step cost on the tunnel-attached
+chip is dominated by op dispatch, not data volume.
+
+Emission order within a lane differs from the reference's collection order,
+but the final stable sort by (start, end) makes the result identical: tied
+keys always carry identical payloads (an interval is determined by its
+substring).  Semantics per bwt.c:289-379 and bwamem.c:140-188.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from bwa_tpu.ops.fm import _extend, _occ4, _set_intv
+
+P_NEXT = 0
+P_FWD = 1
+P_BWD = 2
+P_DONE = 3
+
+
+def _push_row(buf, n, mask, row, cap):
+    """buf: [B, cap, W]; row: [B, W]; conditional append per lane."""
+    b = jnp.arange(n.shape[0])
+    slot = jnp.minimum(n, cap - 1)
+    cur = buf[b, slot]
+    buf = buf.at[b, slot].set(jnp.where(mask[:, None], row.astype(buf.dtype),
+                                        cur))
+    return buf, n + mask.astype(n.dtype)
+
+
+@partial(jax.jit, static_argnames=("cap", "cap_s", "pass2"))
+def smem_machine(idx, q, qlen, next_valid, min_seed_len, split_len,
+                 split_width, seeds_in, seed_n_in, old_n,
+                 cap: int, cap_s: int, pass2: bool):
+    """Run pass 1 (pass2=False) or pass 2 (pass2=True) to completion.
+
+    seeds_in: [B, cap_s, 5] coord dtype — fields (x0, x1, x2, start, end).
+    Pass 2 reads its jobs from seeds_in[0..old_n) and appends in place.
+    Returns (seeds, seed_n).
+    """
+    cdt = idx["ckpt"].dtype
+    B, L = q.shape
+    i32 = jnp.int32
+    bidx = jnp.arange(B)
+
+    st = dict(
+        phase=jnp.full(B, P_NEXT, i32),
+        job=jnp.zeros(B, i32),
+        x=jnp.zeros(B, i32),
+        minv=jnp.ones(B, cdt),
+        ik=jnp.zeros((B, 3), cdt),
+        info_end=jnp.zeros(B, i32),
+        i=jnp.zeros(B, i32),
+        j=jnp.zeros(B, i32),
+        stkA=jnp.zeros((B, cap, 4), cdt), an=jnp.zeros(B, i32),
+        stkB=jnp.zeros((B, cap, 4), cdt), bn=jnp.zeros(B, i32),
+        cur_is_a=jnp.ones(B, bool),
+        rev_read=jnp.ones(B, bool),
+        last_x2=jnp.zeros(B, cdt),
+        call_last_start=jnp.zeros(B, i32),
+        call_mem_n=jnp.zeros(B, i32),
+        ret=jnp.zeros(B, i32),
+        seeds=seeds_in, seed_n=seed_n_in,
+    )
+    keys = list(st.keys())
+
+    def cond(t):
+        return jnp.any(t[0] != P_DONE)
+
+    def body(t):
+        d = dict(zip(keys, t))
+        phase = d["phase"]
+
+        # ---------- P_NEXT: acquire the next job ----------
+        nx = phase == P_NEXT
+        if not pass2:
+            x_new = next_valid[bidx, jnp.clip(d["job"], 0, L)]
+            have = nx & (x_new < qlen)
+        else:
+            def scan_cond(js):
+                jj, found = js
+                k = jnp.minimum(jj, cap_s - 1)
+                row = d["seeds"][bidx, k]
+                qual = (nx & (jj < old_n)
+                        & ((row[:, 4] - row[:, 3]) >= split_len)
+                        & (row[:, 2] <= split_width))
+                return jnp.any(nx & (jj < old_n) & ~found & ~qual)
+
+            def scan_body(js):
+                jj, found = js
+                k = jnp.minimum(jj, cap_s - 1)
+                row = d["seeds"][bidx, k]
+                qual = (nx & (jj < old_n)
+                        & ((row[:, 4] - row[:, 3]) >= split_len)
+                        & (row[:, 2] <= split_width))
+                adv = nx & (jj < old_n) & ~found & ~qual
+                return jnp.where(adv, jj + 1, jj), found | qual
+
+            jj, found = lax.while_loop(scan_cond, scan_body,
+                                       (d["job"], jnp.zeros(B, bool)))
+            k = jnp.minimum(jj, cap_s - 1)
+            row = d["seeds"][bidx, k]
+            have = nx & found & (jj < old_n)
+            x_new = ((row[:, 3] + row[:, 4]) >> 1).astype(i32)
+            d["minv"] = jnp.where(have, row[:, 2] + 1, d["minv"])
+            d["job"] = jnp.where(nx, jj + have.astype(i32), d["job"])
+
+        d["x"] = jnp.where(have, x_new, d["x"])
+        if not pass2:
+            d["minv"] = jnp.where(nx, jnp.ones_like(d["minv"]), d["minv"])
+        qx = q[bidx, jnp.clip(d["x"], 0, L - 1)].astype(i32)
+        startable = have & (qx < 4)
+        k0, k1, k2 = _set_intv(idx, qx)
+        ik_new = jnp.stack([k0, k1, k2], axis=-1)
+        d["ik"] = jnp.where(startable[:, None], ik_new, d["ik"])
+        d["info_end"] = jnp.where(startable, d["x"] + 1, d["info_end"])
+        d["i"] = jnp.where(startable, d["x"] + 1, d["i"])
+        d["an"] = jnp.where(startable, 0, d["an"])
+        d["minv"] = jnp.maximum(d["minv"], 1)
+        d["phase"] = jnp.where(startable, P_FWD,
+                               jnp.where(nx & ~have, P_DONE, phase))
+
+        # ---------- shared batched occ work ----------
+        in_fwd = d["phase"] == P_FWD
+        in_bwd = d["phase"] == P_BWD
+        pn = jnp.where(d["cur_is_a"], d["an"], d["bn"])
+        jj2 = jnp.where(d["rev_read"], pn - 1 - d["j"], d["j"])
+        jj2 = jnp.clip(jj2, 0, cap - 1)
+        pA = d["stkA"][bidx, jj2]
+        pB = d["stkB"][bidx, jj2]
+        p = jnp.where(d["cur_is_a"][:, None], pA, pB)      # [B, 4]
+        ex = jnp.where(in_bwd[:, None], p[:, :3], d["ik"])  # x0 x1 x2
+        fwd_side = jnp.where(in_bwd, ex[:, 0], ex[:, 1])
+        tk = _occ4(idx, fwd_side - 1)
+        tl = _occ4(idx, fwd_side - 1 + ex[:, 2])
+        L2r = idx["L2"][:4][None, :].astype(cdt)
+        ok_nb = L2r + 1 + tk
+        ok_sz = (tl - tk).astype(cdt)
+        bk = jnp.where(in_bwd, ex[:, 1], ex[:, 0])
+        span = ((fwd_side <= idx["primary"])
+                & (fwd_side + ex[:, 2] - 1 >= idx["primary"])).astype(cdt)
+        acc3 = bk + span
+        acc2 = acc3 + ok_sz[:, 3]
+        acc1 = acc2 + ok_sz[:, 2]
+        acc0 = acc1 + ok_sz[:, 1]
+        accs = jnp.stack([acc0, acc1, acc2, acc3], axis=-1)
+
+        # ---------- P_FWD micro-op ----------
+        qi = q[bidx, jnp.clip(d["i"], 0, L - 1)].astype(i32)
+        run_f = in_fwd & (d["i"] < qlen)
+        off_end = in_fwd & ~run_f
+        amb = run_f & (qi >= 4)
+        ext_m = run_f & ~amb
+        cf = jnp.clip(3 - qi, 0, 3)
+        of = jnp.stack([accs[bidx, cf], ok_nb[bidx, cf], ok_sz[bidx, cf]],
+                       axis=-1)
+        changed = ext_m & (of[:, 2] != d["ik"][:, 2])
+        push_f = amb | changed | off_end
+        rowf = jnp.concatenate(
+            [d["ik"], d["info_end"][:, None].astype(cdt)], axis=1)
+        d["stkA"], d["an"] = _push_row(d["stkA"], d["an"], push_f, rowf, cap)
+        too_small = changed & (of[:, 2] < d["minv"])
+        stop_f = amb | too_small | off_end
+        adv = ext_m & ~stop_f
+        d["ik"] = jnp.where(adv[:, None], of, d["ik"])
+        d["info_end"] = jnp.where(adv, d["i"] + 1, d["info_end"])
+        d["i"] = jnp.where(adv, d["i"] + 1, d["i"])
+        to_bwd = stop_f
+        d["ret"] = jnp.where(
+            to_bwd,
+            d["stkA"][bidx, jnp.clip(d["an"] - 1, 0, cap - 1), 3].astype(i32),
+            d["ret"])
+        d["cur_is_a"] = jnp.where(to_bwd, True, d["cur_is_a"])
+        d["rev_read"] = jnp.where(to_bwd, True, d["rev_read"])
+        d["bn"] = jnp.where(to_bwd, 0, d["bn"])
+        d["j"] = jnp.where(to_bwd, 0, d["j"])
+        d["i"] = jnp.where(to_bwd, d["x"] - 1, d["i"])
+        d["call_mem_n"] = jnp.where(to_bwd, 0, d["call_mem_n"])
+        d["last_x2"] = jnp.where(to_bwd, jnp.zeros_like(d["last_x2"]),
+                                 d["last_x2"])
+        d["phase"] = jnp.where(to_bwd, P_BWD, d["phase"])
+
+        # ---------- P_BWD micro-op (one j of row i) ----------
+        qb_i = jnp.where(d["i"] >= 0,
+                         q[bidx, jnp.clip(d["i"], 0, L - 1)].astype(i32), 4)
+        c = jnp.where((d["i"] >= 0) & (qb_i < 4), qb_i, -1)
+        jact = in_bwd & (d["j"] < pn)
+        cb = jnp.clip(c, 0, 3)
+        ob = jnp.stack([ok_nb[bidx, cb], accs[bidx, cb], ok_sz[bidx, cb]],
+                       axis=-1)
+        keep = jact & ((c < 0) | (ob[:, 2] < d["minv"]))
+        curr_n_now = jnp.where(d["cur_is_a"], d["bn"], d["an"])
+        can_emit = keep & (curr_n_now == 0) & (
+            (d["call_mem_n"] == 0) | ((d["i"] + 1) < d["call_last_start"]))
+        slen = p[:, 3].astype(i32) - (d["i"] + 1)
+        write = can_emit & (slen >= min_seed_len)
+        seed_row = jnp.concatenate(
+            [p[:, :3], (d["i"] + 1)[:, None].astype(cdt), p[:, 3:4]], axis=1)
+        d["seeds"], d["seed_n"] = _push_row(d["seeds"], d["seed_n"], write,
+                                            seed_row, cap_s)
+        d["call_last_start"] = jnp.where(can_emit, d["i"] + 1,
+                                         d["call_last_start"])
+        d["call_mem_n"] = d["call_mem_n"] + can_emit.astype(i32)
+        push_b = jact & ~keep & ((curr_n_now == 0) | (ob[:, 2] != d["last_x2"]))
+        rowb = jnp.concatenate([ob, p[:, 3:4]], axis=1)
+        d["stkA"], d["an"] = _push_row(d["stkA"], d["an"],
+                                       push_b & ~d["cur_is_a"], rowb, cap)
+        d["stkB"], d["bn"] = _push_row(d["stkB"], d["bn"],
+                                       push_b & d["cur_is_a"], rowb, cap)
+        d["last_x2"] = jnp.where(push_b, ob[:, 2], d["last_x2"])
+        d["j"] = jnp.where(jact, d["j"] + 1, d["j"])
+        row_done = in_bwd & (d["j"] >= pn)
+        new_n = jnp.where(d["cur_is_a"], d["bn"], d["an"])
+        call_over = row_done & ((new_n == 0) | (d["i"] < 0))
+        keep_going = row_done & ~call_over
+        d["cur_is_a"] = jnp.where(keep_going, ~d["cur_is_a"], d["cur_is_a"])
+        d["rev_read"] = jnp.where(keep_going, False, d["rev_read"])
+        # clear the NEW curr stack (the one that is not prev after the flip)
+        d["bn"] = jnp.where(keep_going & d["cur_is_a"], 0, d["bn"])
+        d["an"] = jnp.where(keep_going & ~d["cur_is_a"], 0, d["an"])
+        d["i"] = jnp.where(keep_going, d["i"] - 1, d["i"])
+        d["j"] = jnp.where(keep_going, 0, d["j"])
+        d["last_x2"] = jnp.where(keep_going, jnp.zeros_like(d["last_x2"]),
+                                 d["last_x2"])
+        if not pass2:
+            d["job"] = jnp.where(call_over, d["ret"], d["job"])
+        d["phase"] = jnp.where(call_over, P_NEXT, d["phase"])
+
+        return tuple(d[k] for k in keys)
+
+    t = tuple(st[k] for k in keys)
+    t = lax.while_loop(cond, body, t)
+    d = dict(zip(keys, t))
+    return d["seeds"], d["seed_n"]
+
+
+@partial(jax.jit, static_argnames=("cap_s",))
+def seed3_machine(idx, q, qlen, next_valid, min_len, max_intv,
+                  seeds_in, seed_n_in, cap_s: int):
+    """Pass 3 (bwt_seed_strategy1 over all starts) as a unified loop."""
+    cdt = idx["ckpt"].dtype
+    B, L = q.shape
+    i32 = jnp.int32
+    bidx = jnp.arange(B)
+
+    def cond(t):
+        return jnp.any(t[0] != P_DONE)
+
+    def body(t):
+        (phase, job, x, i, ik, seeds, seed_n) = t
+        nx = phase == P_NEXT
+        xj = next_valid[bidx, jnp.clip(job, 0, L)]
+        have = nx & (xj < qlen)
+        qx = q[bidx, jnp.clip(xj, 0, L - 1)].astype(i32)
+        k0, k1, k2 = _set_intv(idx, qx)
+        x = jnp.where(have, xj, x)
+        ik = jnp.where(have[:, None], jnp.stack([k0, k1, k2], axis=-1), ik)
+        i = jnp.where(have, xj + 1, i)
+        phase = jnp.where(have, P_FWD, jnp.where(nx, P_DONE, phase))
+
+        run_any = phase == P_FWD
+        act = run_any & (i < qlen)
+        hit_end = run_any & ~act
+        qi = q[bidx, jnp.clip(i, 0, L - 1)].astype(i32)
+        amb = act & (qi >= 4)
+        ext = act & ~amb
+        ok0, ok1, ok2 = _extend(idx, ik[:, 0], ik[:, 1], ik[:, 2], False)
+        cc = jnp.clip(3 - qi, 0, 3)
+        o = jnp.stack([ok0[bidx, cc], ok1[bidx, cc], ok2[bidx, cc]], axis=-1)
+        hit = ext & (o[:, 2] < max_intv) & ((i - x) >= min_len)
+        write = hit & (o[:, 2] > 0)
+        row = jnp.concatenate(
+            [o, x[:, None].astype(cdt), (i + 1)[:, None].astype(cdt)], axis=1)
+        seeds, seed_n = _push_row(seeds, seed_n, write, row, cap_s)
+        adv = ext & ~hit
+        ik = jnp.where(adv[:, None], o, ik)
+        i = jnp.where(adv, i + 1, i)
+        over = amb | hit | hit_end
+        job = jnp.where(amb | hit, i + 1, jnp.where(hit_end, qlen, job))
+        phase = jnp.where(over, P_NEXT, phase)
+        return (phase, job, x, i, ik, seeds, seed_n)
+
+    t = (jnp.full(B, P_NEXT, i32), jnp.zeros(B, i32), jnp.zeros(B, i32),
+         jnp.zeros(B, i32), jnp.zeros((B, 3), cdt), seeds_in, seed_n_in)
+    t = lax.while_loop(cond, body, t)
+    return t[5], t[6]
+
+
+@partial(jax.jit, static_argnames=("key64",))
+def sort_seeds(seeds, seed_n, key64: bool):
+    """Stable sort by (start, end) == the reference's .info order."""
+    kdt = jnp.int64 if key64 else jnp.int32
+    shift = 32 if key64 else 16
+    cap_s = seeds.shape[1]
+    key = (seeds[:, :, 3].astype(kdt) << shift) | seeds[:, :, 4].astype(kdt)
+    pad = jnp.arange(cap_s)[None, :] >= seed_n[:, None]
+    key = jnp.where(pad, jnp.iinfo(kdt).max, key)
+    order = jnp.argsort(key, axis=1, stable=True)
+    return jnp.take_along_axis(seeds, order[:, :, None], axis=1)
