@@ -185,9 +185,12 @@ def main_mem(argv: list[str]) -> int:
         if not reads:
             break
         if opt.flag & MEM_F_SMARTPE:
-            print("[W::main_mem] smart pairing not yet implemented; treating "
-                  "as SE", file=sys.stderr)
-        process_seqs(opt, engine, fm, reads, n_processed, pes0, rg_id)
+            from bwa_tpu.mem.pipeline import process_seqs_smart
+
+            process_seqs_smart(opt, engine, fm, reads, n_processed, pes0,
+                               rg_id)
+        else:
+            process_seqs(opt, engine, fm, reads, n_processed, pes0, rg_id)
         n_processed += len(reads)
         for r in reads:
             out_fp.write(r.sam)

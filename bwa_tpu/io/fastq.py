@@ -8,10 +8,30 @@ from bwa_tpu.mem.types import Read
 
 
 def _open(path):
-    f = open(path, "rb")
+    """Magic open (kopen.c): plain files, '-' for stdin, and http://
+    or ftp:// URLs, transparently gunzipped."""
+    import io
+    import sys
+
+    p = str(path)
+    if p == "-":
+        raw = sys.stdin.buffer
+        head = raw.peek(2)[:2] if hasattr(raw, "peek") else b""
+        if head == b"\x1f\x8b":
+            return gzip.open(raw, "rb")
+        return raw
+    if p.startswith(("http://", "ftp://", "https://")):
+        from urllib.request import urlopen
+
+        resp = urlopen(p)
+        buf = io.BufferedReader(resp)
+        if buf.peek(2)[:2] == b"\x1f\x8b":
+            return gzip.open(buf, "rb")
+        return buf
+    f = open(p, "rb")
     if f.read(2) == b"\x1f\x8b":
         f.close()
-        return gzip.open(path, "rb")
+        return gzip.open(p, "rb")
     f.seek(0)
     return f
 

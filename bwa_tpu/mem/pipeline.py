@@ -66,6 +66,45 @@ def _batch_align(opt, engine, fm, codes):
     return [align1_core(opt, engine, fm, c) for c in codes]
 
 
+def bseq_classify(reads: list[Read]):
+    """bseq_classify (bwa.c:114-130): split a name-interleaved stream into
+    unpaired reads and adjacent same-name pairs."""
+    sep = [[], []]
+    has_last = True
+    i = 1
+    n = len(reads)
+    while i < n:
+        if has_last:
+            if reads[i].name == reads[i - 1].name:
+                sep[1].append(reads[i - 1])
+                sep[1].append(reads[i])
+                has_last = False
+            else:
+                sep[0].append(reads[i - 1])
+        else:
+            has_last = True
+        i += 1
+    if has_last and n:
+        sep[0].append(reads[n - 1])
+    return sep
+
+
+def process_seqs_smart(opt, engine, fm, reads, n_processed, pes0, rg_id):
+    """The -p smart-pairing path (fastmap.c:90-109)."""
+    import copy
+
+    sep = bseq_classify(reads)
+    if sep[0]:
+        o = copy.copy(opt)
+        o.flag = opt.flag & ~MEM_F_PE
+        process_seqs(o, engine, fm, sep[0], n_processed, None, rg_id)
+    if sep[1]:
+        o = copy.copy(opt)
+        o.flag = opt.flag | MEM_F_PE
+        process_seqs(o, engine, fm, sep[1], n_processed + len(sep[0]),
+                     pes0, rg_id)
+
+
 def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
                  pes0=None, rg_id: str | None = None) -> None:
     """mem_process_seqs (bwamem.c:1235-1264): fills read.sam."""
