@@ -105,10 +105,38 @@ def process_seqs_smart(opt, engine, fm, reads, n_processed, pes0, rg_id):
                      pes0, rg_id)
 
 
+def _collect_batch(opt, engine, fm, codes):
+    """Batch seeding + occurrence positions (device when available)."""
+    from bwa_tpu.mem.batch_seed import collect_intv_batch, occurrence_positions
+
+    if hasattr(engine, "smem_pass"):
+        mems_list = collect_intv_batch(opt, engine, codes)
+    else:
+        mems_list = [collect_intv(opt, engine, c) for c in codes]
+    caches = occurrence_positions(opt, engine, mems_list)
+    return mems_list, caches
+
+
 def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
                  pes0=None, rg_id: str | None = None) -> None:
     """mem_process_seqs (bwamem.c:1235-1264): fills read.sam."""
+    import os
+
     codes = [to_codes(r.seq) for r in reads]
+    use_native = os.environ.get("BWA_TPU_FINALIZE", "native") == "native"
+    if not (opt.flag & MEM_F_PE) and not (opt.flag & MEM_F_PRIMARY5) \
+            and use_native:
+        # SE fast path: whole post-seeding pipeline in the C++ extension
+        from bwa_tpu.mem.native_fin import RefBlob, finalize_se_batch
+
+        mems_list, caches = _collect_batch(opt, engine, fm, codes)
+        if not hasattr(fm, "_ref_blob"):
+            fm._ref_blob = RefBlob(fm)
+        sams = finalize_se_batch(opt, fm, fm._ref_blob, reads, codes,
+                                 mems_list, caches, n_processed, rg_id)
+        for r, s in zip(reads, sams):
+            r.sam = s
+        return
     regs = _batch_align(opt, engine, fm, codes)
     if opt.flag & MEM_F_PE:
         from bwa_tpu.mem.pairing import sam_pe, pestat

@@ -1,0 +1,1358 @@
+// BWA-MEM host finalization in C++: everything after device seeding for
+// the single-end path — chaining, chain filtering, seed extension,
+// dedup/patch, primary marking, mapQ, CIGAR/MD/NM and SAM text — for a
+// whole read batch in one call.
+//
+// This is a native port of the (oracle-byte-exact) Python modules
+// bwa_tpu/mem/{chain,extend,primary,cigar,sam}.py; its output is asserted
+// byte-identical against both the Python path and the reference bwa in
+// tests.  The Python implementations remain the readable spec; this file
+// exists because per-read bookkeeping in Python costs ~0.5 ms/read while
+// the same work here costs ~10 us.
+
+#include <cassert>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// options / reference view
+// ---------------------------------------------------------------------------
+
+struct MemOpt {  // subset of mem_opt_t used by the finalize stages
+  int a, b, o_del, e_del, o_ins, e_ins;
+  int pen_clip5, pen_clip3, w, zdrop;
+  int T, flag, min_seed_len, min_chain_weight, max_chain_extend;
+  int max_occ, max_chain_gap;
+  double mask_level, drop_ratio, XA_drop_ratio, mask_level_redun;
+  double mapQ_coef_len, mapQ_coef_fac;
+  int max_XA_hits, max_XA_hits_alt;
+  int8_t mat[25];
+};
+
+// flag bits (bwamem.h)
+enum {
+  MEM_F_ALL = 0x8,
+  MEM_F_NO_MULTI = 0x10,
+  MEM_F_SOFTCLIP = 0x200,
+  MEM_F_PRIMARY5 = 0x800,
+  MEM_F_KEEP_SUPP_MAPQ = 0x1000,
+  MEM_F_XB = 0x2000,
+};
+
+struct ContigView {
+  const int64_t *offset;   // [n]
+  const int32_t *len;      // [n]
+  const uint8_t *is_alt;   // [n]
+  const char *names;       // concatenated, NUL-separated
+  const int32_t *name_off; // [n]
+  int32_t n;
+};
+
+struct RefView {
+  const uint8_t *pac;  // packed forward 2-bit
+  int64_t l_pac;
+  ContigView bns;
+};
+
+inline int pac_at(const RefView &r, int64_t k) {
+  return r.pac[k >> 2] >> ((~k & 3) << 1) & 3;
+}
+
+// bns_get_seq (bntseq.c:403-424) into out; returns length or -1
+inline int64_t get_seq(const RefView &r, int64_t beg, int64_t end,
+                       std::vector<uint8_t> &out) {
+  if (end < beg) std::swap(beg, end);
+  if (end > r.l_pac << 1) end = r.l_pac << 1;
+  if (beg < 0) beg = 0;
+  if (beg >= r.l_pac || end <= r.l_pac) {
+    out.resize(end - beg);
+    if (beg >= r.l_pac) {
+      int64_t beg_f = (r.l_pac << 1) - 1 - end;
+      int64_t end_f = (r.l_pac << 1) - 1 - beg;
+      int64_t l = 0;
+      for (int64_t k = end_f; k > beg_f; --k) out[l++] = 3 - pac_at(r, k);
+    } else {
+      int64_t l = 0;
+      for (int64_t k = beg; k < end; ++k) out[l++] = pac_at(r, k);
+    }
+    return (int64_t)out.size();
+  }
+  out.clear();
+  return 0;
+}
+
+inline int pos2rid(const RefView &r, int64_t pos_f) {
+  if (pos_f >= r.l_pac) return -1;
+  int left = 0, mid = 0, right = r.bns.n;
+  while (left < right) {
+    mid = (left + right) >> 1;
+    if (pos_f >= r.bns.offset[mid]) {
+      if (mid == r.bns.n - 1) break;
+      if (pos_f < r.bns.offset[mid + 1]) break;
+      left = mid + 1;
+    } else right = mid;
+  }
+  return mid;
+}
+
+inline int64_t depos(const RefView &r, int64_t pos, int *is_rev) {
+  *is_rev = pos >= r.l_pac;
+  return *is_rev ? (r.l_pac << 1) - 1 - pos : pos;
+}
+
+inline int intv2rid(const RefView &r, int64_t rb, int64_t re) {
+  if (rb < r.l_pac && re > r.l_pac) return -2;
+  int is_rev;
+  int rid_b = pos2rid(r, depos(r, rb, &is_rev));
+  int rid_e = rb < re ? pos2rid(r, depos(r, re - 1, &is_rev)) : rid_b;
+  return rid_b == rid_e ? rid_b : -1;
+}
+
+// bns_fetch_seq (bntseq.c:426-451)
+inline void fetch_seq(const RefView &r, int64_t &beg, int64_t mid,
+                      int64_t &end, int *rid, std::vector<uint8_t> &out) {
+  if (end < beg) std::swap(beg, end);
+  int is_rev;
+  int64_t pos_f = depos(r, mid, &is_rev);
+  *rid = pos2rid(r, pos_f);
+  int64_t far_beg = r.bns.offset[*rid];
+  int64_t far_end = far_beg + r.bns.len[*rid];
+  if (is_rev) {
+    int64_t tmp = far_beg;
+    far_beg = (r.l_pac << 1) - far_end;
+    far_end = (r.l_pac << 1) - tmp;
+  }
+  beg = beg > far_beg ? beg : far_beg;
+  end = end < far_end ? end : far_end;
+  get_seq(r, beg, end, out);
+}
+
+// ---------------------------------------------------------------------------
+// ksort.h-identical introsort (tie permutation is observable)
+// ---------------------------------------------------------------------------
+
+template <typename T, typename LT>
+void insertsort_(T *s, T *t, LT lt) {
+  for (T *i = s + 1; i < t; ++i)
+    for (T *j = i; j > s && lt(*j, *(j - 1)); --j) std::swap(*j, *(j - 1));
+}
+
+template <typename T, typename LT>
+void combsort_(size_t n, T *a, LT lt) {
+  const double shrink = 1.2473309501039786540366528676643;
+  size_t gap = n;
+  bool do_swap;
+  do {
+    if (gap > 2) {
+      gap = (size_t)(gap / shrink);
+      if (gap == 9 || gap == 10) gap = 11;
+    }
+    do_swap = false;
+    for (T *i = a; i < a + n - gap; ++i) {
+      T *j = i + gap;
+      if (lt(*j, *i)) { std::swap(*i, *j); do_swap = true; }
+    }
+  } while (do_swap || gap > 2);
+  if (gap != 1) insertsort_(a, a + n, lt);
+}
+
+template <typename T, typename LT>
+void ks_introsort(size_t n, T *a, LT lt) {
+  if (n < 1) return;
+  if (n == 2) {
+    if (lt(a[1], a[0])) std::swap(a[0], a[1]);
+    return;
+  }
+  int d = 2;
+  while ((1ul << d) < n) ++d;
+  struct Frame { T *left, *right; int depth; };
+  std::vector<Frame> stack;
+  T *s = a, *t = a + n - 1;
+  d <<= 1;
+  for (;;) {
+    if (s < t) {
+      if (--d == 0) {
+        combsort_(t - s + 1, s, lt);
+        t = s;
+        continue;
+      }
+      T *i = s, *j = t, *k = i + ((j - i) >> 1) + 1;
+      if (lt(*k, *i)) {
+        if (lt(*k, *j)) k = j;
+      } else k = lt(*j, *i) ? i : j;
+      T rp = *k;
+      if (k != t) std::swap(*k, *t);
+      for (;;) {
+        do ++i; while (lt(*i, rp));
+        do --j; while (i <= j && lt(rp, *j));
+        if (j <= i) break;
+        std::swap(*i, *j);
+      }
+      std::swap(*i, *t);
+      if (i - s > t - i) {
+        if (i - s > 16) stack.push_back({s, i - 1, d});
+        s = t - i > 16 ? i + 1 : t;
+      } else {
+        if (t - i > 16) stack.push_back({i + 1, t, d});
+        t = i - s > 16 ? i - 1 : s;
+      }
+    } else {
+      if (stack.empty()) {
+        insertsort_(a, a + n, lt);
+        return;
+      }
+      s = stack.back().left; t = stack.back().right; d = stack.back().depth;
+      stack.pop_back();
+    }
+  }
+}
+
+inline uint64_t hash_64(uint64_t key) {
+  key += ~(key << 32);
+  key ^= key >> 22;
+  key += ~(key << 13);
+  key ^= key >> 8;
+  key += key << 3;
+  key ^= key >> 15;
+  key += ~(key << 27);
+  key ^= key >> 31;
+  return key;
+}
+
+// ---------------------------------------------------------------------------
+// DP kernels (from ksw.cpp, same TU-external C symbols)
+// ---------------------------------------------------------------------------
+
+extern "C" int bt_ksw_extend2(int, const uint8_t *, int, const uint8_t *,
+                              int, const int8_t *, int, int, int, int, int,
+                              int, int, int, int *, int *, int *, int *,
+                              int *);
+extern "C" int bt_ksw_global2(int, const uint8_t *, int, const uint8_t *,
+                              int, const int8_t *, int, int, int, int, int,
+                              int *, uint32_t *, int);
+extern "C" void bt_ksw_align2(int, uint8_t *, int, uint8_t *, int,
+                              const int8_t *, int, int, int, int, int, int,
+                              int, int, int, int *);
+
+// ---------------------------------------------------------------------------
+// pipeline data
+// ---------------------------------------------------------------------------
+
+struct Seed { int64_t rbeg; int32_t qbeg, len, score; };
+
+struct Chain {
+  int rid;
+  int64_t pos;
+  std::vector<Seed> seeds;
+  int is_alt = 0;
+  uint32_t w = 0;
+  int kept = 0, first = -1;
+  double frac_rep = 0.0;
+};
+
+struct Reg {
+  int64_t rb = 0, re = 0;
+  int qb = 0, qe = 0, rid = -1;
+  int score = 0, truesc = 0, sub = 0, alt_sc = 0, csub = 0, sub_n = 0;
+  int w = 0, seedcov = 0, secondary = -1, secondary_all = -1;
+  int seedlen0 = 0, n_comp = 1, is_alt = 0;
+  double frac_rep = 0.0;
+  uint64_t hash = 0;
+};
+
+const int INT_MAX_ = 0x7fffffff;
+
+// ---------------------------------------------------------------------------
+// chaining (bwamem.c:216-341)
+// ---------------------------------------------------------------------------
+
+int chain_weight(const Chain &c) {
+  int64_t end;
+  int w = 0, tmp;
+  for (int which = 0; which < 2; ++which) {
+    int tot = 0;
+    end = 0;
+    for (const Seed &s : c.seeds) {
+      int64_t beg = which == 0 ? s.qbeg : s.rbeg;
+      if (beg >= end) tot += s.len;
+      else if (beg + s.len > end) tot += beg + s.len - end;
+      end = end > beg + s.len ? end : beg + s.len;
+    }
+    if (which == 0) tmp = tot, w = 0;
+    else w = tot < tmp ? tot : tmp;
+  }
+  return w < (1 << 30) ? w : (1 << 30) - 1;
+}
+
+bool test_and_merge(const MemOpt &o, int64_t l_pac, Chain &c, const Seed &p,
+                    int seed_rid) {
+  const Seed &last = c.seeds.back();
+  int64_t qend = last.qbeg + last.len, rend = last.rbeg + last.len;
+  if (seed_rid != c.rid) return false;
+  if (p.qbeg >= c.seeds[0].qbeg && p.qbeg + p.len <= qend &&
+      p.rbeg >= c.seeds[0].rbeg && p.rbeg + p.len <= rend)
+    return true;
+  if ((last.rbeg < l_pac || c.seeds[0].rbeg < l_pac) && p.rbeg >= l_pac)
+    return false;
+  int64_t x = p.qbeg - last.qbeg, y = p.rbeg - last.rbeg;
+  if (y >= 0 && x - y <= o.w && y - x <= o.w &&
+      x - last.len < o.max_chain_gap && y - last.len < o.max_chain_gap) {
+    c.seeds.push_back(p);
+    return true;
+  }
+  return false;
+}
+
+// per-read chaining; ivs arrays describe the read's intervals; rbegs is the
+// flattened occurrence positions with per-interval extents
+void chain_read(const MemOpt &o, const RefView &r, int l_query, int n_iv,
+                const int64_t *iv_x2, const int32_t *iv_start,
+                const int32_t *iv_end, const int64_t *rbegs,
+                const int32_t *rbeg_off, std::vector<Chain> &chains) {
+  int64_t l_pac = r.l_pac;
+  if (l_query < o.min_seed_len) return;
+  // frac_rep
+  int64_t b = 0, e = 0, l_rep = 0;
+  for (int i = 0; i < n_iv; ++i) {
+    if (iv_x2[i] <= o.max_occ) continue;
+    int sb = iv_start[i], se = iv_end[i];
+    if (sb > e) l_rep += e - b, b = sb, e = se;
+    else e = e > se ? e : se;
+  }
+  l_rep += e - b;
+  // sorted-by-pos chain list emulating the kbtree
+  std::vector<int64_t> keys;
+  for (int i = 0; i < n_iv; ++i) {
+    int slen = iv_end[i] - iv_start[i];
+    for (int32_t t = rbeg_off[i]; t < rbeg_off[i + 1]; ++t) {
+      Seed s{rbegs[t], iv_start[i], slen, slen};
+      int rid = intv2rid(r, s.rbeg, s.rbeg + s.len);
+      if (rid < 0) continue;
+      bool to_add = false;
+      if (!chains.empty()) {
+        // lower = rightmost chain with pos <= rbeg
+        int lo = 0, hi = (int)keys.size();
+        while (lo < hi) {
+          int mid = (lo + hi) >> 1;
+          if (keys[mid] <= s.rbeg) lo = mid + 1;
+          else hi = mid;
+        }
+        int idx = lo - 1;
+        if (idx < 0 || !test_and_merge(o, l_pac, chains[idx], s, rid))
+          to_add = true;
+      } else to_add = true;
+      if (to_add) {
+        int lo = 0, hi = (int)keys.size();
+        while (lo < hi) {
+          int mid = (lo + hi) >> 1;
+          if (keys[mid] <= s.rbeg) lo = mid + 1;
+          else hi = mid;
+        }
+        Chain c;
+        c.rid = rid;
+        c.pos = s.rbeg;
+        c.seeds.push_back(s);
+        c.is_alt = r.bns.is_alt[rid] ? 1 : 0;
+        keys.insert(keys.begin() + lo, s.rbeg);
+        chains.insert(chains.begin() + lo, std::move(c));
+      }
+    }
+  }
+  for (Chain &c : chains) c.frac_rep = (double)l_rep / l_query;
+}
+
+void chain_flt(const MemOpt &o, std::vector<Chain> &chains) {
+  if (chains.empty()) return;
+  std::vector<Chain> a;
+  for (Chain &c : chains) {
+    c.first = -1;
+    c.kept = 0;
+    c.w = chain_weight(c);
+    if ((int)c.w >= o.min_chain_weight) a.push_back(std::move(c));
+  }
+  chains.clear();
+  if (a.empty()) return;
+  ks_introsort(a.size(), a.data(),
+               [](const Chain &x, const Chain &y) { return x.w > y.w; });
+  a[0].kept = 3;
+  std::vector<int> kept_idx{0};
+  auto chn_beg = [](const Chain &c) { return c.seeds[0].qbeg; };
+  auto chn_end = [](const Chain &c) {
+    return c.seeds.back().qbeg + c.seeds.back().len;
+  };
+  for (size_t i = 1; i < a.size(); ++i) {
+    bool large_ovlp = false, drop = false;
+    for (int j : kept_idx) {
+      int b_max = std::max(chn_beg(a[j]), chn_beg(a[i]));
+      int e_min = std::min(chn_end(a[j]), chn_end(a[i]));
+      if (e_min > b_max && (!a[j].is_alt || a[i].is_alt)) {
+        int li = chn_end(a[i]) - chn_beg(a[i]);
+        int lj = chn_end(a[j]) - chn_beg(a[j]);
+        int min_l = std::min(li, lj);
+        if (e_min - b_max >= min_l * o.mask_level &&
+            min_l < o.max_chain_gap) {
+          large_ovlp = true;
+          if (a[j].first < 0) a[j].first = (int)i;
+          if (a[i].w < a[j].w * o.drop_ratio &&
+              (int)(a[j].w - a[i].w) >= o.min_seed_len * 2) {
+            drop = true;
+            break;
+          }
+        }
+      }
+    }
+    if (!drop) {
+      kept_idx.push_back((int)i);
+      a[i].kept = large_ovlp ? 2 : 3;
+    }
+  }
+  for (int j : kept_idx)
+    if (a[j].first >= 0) a[a[j].first].kept = 1;
+  size_t i = 0;
+  int k = 0;
+  for (; i < a.size(); ++i) {
+    if (a[i].kept == 0 || a[i].kept == 3) continue;
+    if (++k >= o.max_chain_extend) break;
+  }
+  for (; i < a.size(); ++i)
+    if (a[i].kept < 3) a[i].kept = 0;
+  for (Chain &c : a)
+    if (c.kept != 0) chains.push_back(std::move(c));
+}
+
+// mem_flt_chained_seeds (bwamem.c:597-641); long reads only
+void flt_chained_seeds(const MemOpt &o, const RefView &r, int l_query,
+                       const uint8_t *q, std::vector<Chain> &chains) {
+  const int MEM_SHORT_EXT = 50, MEM_SHORT_LEN = 200;
+  double min_l = o.min_chain_weight
+                     ? 1.1 * o.min_chain_weight
+                     : 5.5 * log((double)l_query);
+  if (min_l > 0.05 * l_query) return;
+  int min_hsp = (int)(o.a * min_l + 0.499);
+  for (Chain &c : chains) {
+    std::vector<Seed> kept;
+    for (Seed &s : c.seeds) {
+      int score = -1;
+      if (s.len < MEM_SHORT_LEN) {
+        int qb = std::max(s.qbeg - MEM_SHORT_EXT, 0);
+        int qe = std::min(s.qbeg + s.len + MEM_SHORT_EXT, l_query);
+        int64_t rb = std::max(s.rbeg - MEM_SHORT_EXT, (int64_t)0);
+        int64_t re = std::min(s.rbeg + s.len + MEM_SHORT_EXT, r.l_pac << 1);
+        int64_t mid = (s.rbeg + s.rbeg + s.len) >> 1;
+        if (rb < r.l_pac && r.l_pac < re) {
+          if (mid < r.l_pac) re = r.l_pac;
+          else rb = r.l_pac;
+        }
+        if (!(qe - qb >= MEM_SHORT_LEN || re - rb >= MEM_SHORT_LEN)) {
+          int rid;
+          std::vector<uint8_t> rseq;
+          fetch_seq(r, rb, mid, re, &rid, rseq);
+          std::vector<uint8_t> qv(q + qb, q + qe);
+          int out[7];
+          bt_ksw_align2(qe - qb, qv.data(), (int)rseq.size(), rseq.data(), 5,
+                        o.mat, o.o_del, o.e_del, o.o_ins, o.e_ins,
+                        /*byte*/ 0, /*start*/ 1, /*subo*/ 0, /*stop*/ 0, 0,
+                        out);
+          score = out[0];
+        }
+      }
+      s.score = score;
+      if (s.score < 0 || s.score >= min_hsp) {
+        s.score = s.score < 0 ? s.len * o.a : s.score;
+        kept.push_back(s);
+      }
+    }
+    c.seeds = kept;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// extension (bwamem.c:647-812)
+// ---------------------------------------------------------------------------
+
+int cal_max_gap(const MemOpt &o, int qlen) {
+  int l_del = (int)((double)(qlen * o.a - o.o_del) / o.e_del + 1.);
+  int l_ins = (int)((double)(qlen * o.a - o.o_ins) / o.e_ins + 1.);
+  int l = l_del > l_ins ? l_del : l_ins;
+  l = l > 1 ? l : 1;
+  return l < o.w << 1 ? l : o.w << 1;
+}
+
+void chain2aln(const MemOpt &o, const RefView &r, int l_query,
+               const uint8_t *query, const Chain &c, std::vector<Reg> &regs) {
+  const int MAX_BAND_TRY = 2;
+  if (c.seeds.empty()) return;
+  int64_t l_pac = r.l_pac, rmax0 = l_pac << 1, rmax1 = 0;
+  for (const Seed &t : c.seeds) {
+    int64_t b = t.rbeg - (t.qbeg + cal_max_gap(o, t.qbeg));
+    int64_t e = t.rbeg + t.len + (l_query - t.qbeg - t.len) +
+                cal_max_gap(o, l_query - t.qbeg - t.len);
+    rmax0 = rmax0 < b ? rmax0 : b;
+    rmax1 = rmax1 > e ? rmax1 : e;
+  }
+  rmax0 = rmax0 > 0 ? rmax0 : 0;
+  rmax1 = rmax1 < l_pac << 1 ? rmax1 : l_pac << 1;
+  if (rmax0 < l_pac && l_pac < rmax1) {
+    if (c.seeds[0].rbeg < l_pac) rmax1 = l_pac;
+    else rmax0 = l_pac;
+  }
+  int rid;
+  std::vector<uint8_t> rseq;
+  fetch_seq(r, rmax0, c.seeds[0].rbeg, rmax1, &rid, rseq);
+
+  size_t n = c.seeds.size();
+  std::vector<uint64_t> srt(n);
+  for (size_t i = 0; i < n; ++i)
+    srt[i] = (uint64_t)c.seeds[i].score << 32 | i;
+  ks_introsort(n, srt.data(),
+               [](uint64_t x, uint64_t y) { return x < y; });
+
+  for (int k = (int)n - 1; k >= 0; --k) {
+    const Seed *s = &c.seeds[(uint32_t)srt[k]];
+    size_t i;
+    for (i = 0; i < regs.size(); ++i) {
+      const Reg &p = regs[i];
+      if (s->rbeg < p.rb || s->rbeg + s->len > p.re || s->qbeg < p.qb ||
+          s->qbeg + s->len > p.qe)
+        continue;
+      if (s->len - p.seedlen0 > 0.1 * l_query) continue;
+      int qd = s->qbeg - p.qb;
+      int64_t rd = s->rbeg - p.rb;
+      int max_gap = cal_max_gap(o, qd < rd ? qd : (int)rd);
+      int w = max_gap < p.w ? max_gap : p.w;
+      if (qd - rd < w && rd - qd < w) break;
+      qd = p.qe - (s->qbeg + s->len);
+      rd = p.re - (s->rbeg + s->len);
+      max_gap = cal_max_gap(o, qd < rd ? qd : (int)rd);
+      w = max_gap < p.w ? max_gap : p.w;
+      if (qd - rd < w && rd - qd < w) break;
+    }
+    if (i < regs.size()) {
+      size_t t;
+      for (t = k + 1; t < n; ++t) {
+        if (srt[t] == 0) continue;
+        const Seed *u = &c.seeds[(uint32_t)srt[t]];
+        if (u->len < s->len * 0.95) continue;
+        if (s->qbeg <= u->qbeg && s->qbeg + s->len - u->qbeg >= s->len >> 2 &&
+            u->qbeg - s->qbeg != u->rbeg - s->rbeg)
+          break;
+        if (u->qbeg <= s->qbeg && u->qbeg + u->len - s->qbeg >= s->len >> 2 &&
+            s->qbeg - u->qbeg != s->rbeg - u->rbeg)
+          break;
+      }
+      if (t == n) {
+        srt[k] = 0;
+        continue;
+      }
+    }
+
+    Reg a;
+    int aw0, aw1;
+    a.w = aw0 = aw1 = o.w;
+    a.score = a.truesc = -1;
+    a.rid = c.rid;
+
+    if (s->qbeg) {
+      std::vector<uint8_t> qs(s->qbeg), rs;
+      for (int t = 0; t < s->qbeg; ++t) qs[t] = query[s->qbeg - 1 - t];
+      int64_t tmp = s->rbeg - rmax0;
+      rs.resize(tmp);
+      for (int64_t t = 0; t < tmp; ++t) rs[t] = rseq[tmp - 1 - t];
+      int qle = 0, tle = 0, gtle = 0, gscore = 0, max_off = 0;
+      for (int t = 0; t < MAX_BAND_TRY; ++t) {
+        int prev = a.score;
+        aw0 = o.w << t;
+        a.score = bt_ksw_extend2(s->qbeg, qs.data(), (int)tmp, rs.data(), 5,
+                                 o.mat, o.o_del, o.e_del, o.o_ins, o.e_ins,
+                                 aw0, o.pen_clip5, o.zdrop, s->len * o.a,
+                                 &qle, &tle, &gtle, &gscore, &max_off);
+        if (a.score == prev || max_off < (aw0 >> 1) + (aw0 >> 2)) break;
+      }
+      if (gscore <= 0 || gscore <= a.score - o.pen_clip5) {
+        a.qb = s->qbeg - qle;
+        a.rb = s->rbeg - tle;
+        a.truesc = a.score;
+      } else {
+        a.qb = 0;
+        a.rb = s->rbeg - gtle;
+        a.truesc = gscore;
+      }
+    } else {
+      a.score = a.truesc = s->len * o.a;
+      a.qb = 0;
+      a.rb = s->rbeg;
+    }
+
+    if (s->qbeg + s->len != l_query) {
+      int sc0 = a.score;
+      int qe = s->qbeg + s->len;
+      int64_t re = s->rbeg + s->len - rmax0;
+      int qle = 0, tle = 0, gtle = 0, gscore = 0, max_off = 0;
+      for (int t = 0; t < MAX_BAND_TRY; ++t) {
+        int prev = a.score;
+        aw1 = o.w << t;
+        a.score = bt_ksw_extend2(l_query - qe, query + qe,
+                                 (int)(rmax1 - rmax0 - re), rseq.data() + re,
+                                 5, o.mat, o.o_del, o.e_del, o.o_ins,
+                                 o.e_ins, aw1, o.pen_clip3, o.zdrop, sc0,
+                                 &qle, &tle, &gtle, &gscore, &max_off);
+        if (a.score == prev || max_off < (aw1 >> 1) + (aw1 >> 2)) break;
+      }
+      if (gscore <= 0 || gscore <= a.score - o.pen_clip3) {
+        a.qe = qe + qle;
+        a.re = rmax0 + re + tle;
+        a.truesc += a.score - sc0;
+      } else {
+        a.qe = l_query;
+        a.re = rmax0 + re + gtle;
+        a.truesc += gscore - sc0;
+      }
+    } else {
+      a.qe = l_query;
+      a.re = s->rbeg + s->len;
+    }
+
+    a.seedcov = 0;
+    for (const Seed &t : c.seeds)
+      if (t.qbeg >= a.qb && t.qbeg + t.len <= a.qe && t.rbeg >= a.rb &&
+          t.rbeg + t.len <= a.re)
+        a.seedcov += t.len;
+    a.w = aw0 > aw1 ? aw0 : aw1;
+    a.seedlen0 = s->len;
+    a.frac_rep = c.frac_rep;
+    regs.push_back(a);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// CIGAR generation (bwa.c:148-234) + reg2aln (bwamem.c:1119-1189)
+// ---------------------------------------------------------------------------
+
+struct Aln {
+  int64_t pos = -1;
+  int rid = -1, flag = 0, is_rev = 0, is_alt = 0, mapq = 0, NM = -1;
+  std::vector<uint32_t> cigar;  // len<<4|op
+  std::string md;
+  std::string XA;
+  int score = 0, sub = 0, alt_sc = 0;
+};
+
+// returns score; fills cigar/md/nm when want_cigar
+int gen_cigar2(const MemOpt &o, const RefView &r, int w_, int l_query,
+               const uint8_t *query_in, int64_t rb, int64_t re,
+               bool want_cigar, std::vector<uint32_t> *cigar, int *NM,
+               std::string *md, bool *ok) {
+  *ok = false;
+  if (l_query <= 0 || rb >= re || (rb < r.l_pac && re > r.l_pac)) return 0;
+  std::vector<uint8_t> rseq;
+  get_seq(r, rb, re, rseq);
+  int64_t rlen = rseq.size();
+  if (re - rb != rlen) return 0;
+  std::vector<uint8_t> query(query_in, query_in + l_query);
+  if (rb >= r.l_pac) {
+    for (int i = 0; i < l_query >> 1; ++i)
+      std::swap(query[i], query[l_query - 1 - i]);
+    for (int64_t i = 0; i < rlen >> 1; ++i)
+      std::swap(rseq[i], rseq[rlen - 1 - i]);
+  }
+  int score;
+  if (l_query == re - rb && w_ == 0) {
+    if (want_cigar) {
+      cigar->clear();
+      cigar->push_back((uint32_t)l_query << 4 | 0);
+    }
+    score = 0;
+    for (int i = 0; i < l_query; ++i) score += o.mat[rseq[i] * 5 + query[i]];
+  } else {
+    int max_ins =
+        (int)((double)(((l_query + 1) >> 1) * o.mat[0] - o.o_ins) / o.e_ins + 1.);
+    int max_del =
+        (int)((double)(((l_query + 1) >> 1) * o.mat[0] - o.o_del) / o.e_del + 1.);
+    int max_gap = max_ins > max_del ? max_ins : max_del;
+    max_gap = max_gap > 1 ? max_gap : 1;
+    int w = (max_gap + (int)std::abs((long)(rlen - l_query)) + 1) >> 1;
+    w = w < w_ ? w : w_;
+    int min_w = (int)std::abs((long)(rlen - l_query)) + 3;
+    w = w > min_w ? w : min_w;
+    if (want_cigar) {
+      int cap = l_query + (int)rlen + 4;
+      cigar->resize(cap);
+      int nc = 0;
+      score = bt_ksw_global2(l_query, query.data(), (int)rlen, rseq.data(),
+                             5, o.mat, o.o_del, o.e_del, o.o_ins, o.e_ins, w,
+                             &nc, cigar->data(), cap);
+      cigar->resize(nc);
+    } else {
+      score = bt_ksw_global2(l_query, query.data(), (int)rlen, rseq.data(),
+                             5, o.mat, o.o_del, o.e_del, o.o_ins, o.e_ins, w,
+                             nullptr, nullptr, 0);
+    }
+  }
+  if (want_cigar && NM && md) {
+    const char *int2base = rb < r.l_pac ? "ACGTN" : "TGCAN";
+    md->clear();
+    int x = 0, y = 0, u = 0, n_mm = 0, n_gap = 0;
+    char buf[16];
+    int n_cigar = (int)cigar->size();
+    for (int k = 0; k < n_cigar; ++k) {
+      int op = (*cigar)[k] & 0xf, len = (*cigar)[k] >> 4;
+      if (op == 0) {
+        for (int i = 0; i < len; ++i) {
+          if (query[x + i] != rseq[y + i]) {
+            snprintf(buf, sizeof buf, "%d", u);
+            *md += buf;
+            *md += int2base[rseq[y + i]];
+            ++n_mm;
+            u = 0;
+          } else ++u;
+        }
+        x += len;
+        y += len;
+      } else if (op == 2) {
+        if (k > 0 && k < n_cigar - 1) {
+          snprintf(buf, sizeof buf, "%d", u);
+          *md += buf;
+          *md += '^';
+          for (int i = 0; i < len; ++i) *md += int2base[rseq[y + i]];
+          u = 0;
+          n_gap += len;
+        }
+        y += len;
+      } else if (op == 1) {
+        x += len;
+        n_gap += len;
+      }
+    }
+    snprintf(buf, sizeof buf, "%d", u);
+    *md += buf;
+    *NM = n_mm + n_gap;
+  }
+  *ok = true;
+  return score;
+}
+
+int infer_bw(int l1, int l2, int score, int a, int q, int r_) {
+  if (l1 == l2 && l1 * a - score < (q + r_ - a) << 1) return 0;
+  int w = (int)((double)((l1 < l2 ? l1 : l2) * a - score - q) / r_ + 2.);
+  if (w < std::abs(l1 - l2)) w = std::abs(l1 - l2);
+  return w;
+}
+
+int approx_mapq_se(const MemOpt &o, const Reg &a) {
+  int sub = a.sub ? a.sub : o.min_seed_len * o.a;
+  sub = a.csub > sub ? a.csub : sub;
+  if (sub >= a.score) return 0;
+  int l = (int)(a.qe - a.qb > a.re - a.rb ? a.qe - a.qb : a.re - a.rb);
+  double identity = 1. - (double)(l * o.a - a.score) / (o.a + o.b) / l;
+  int mapq;
+  if (a.score == 0) mapq = 0;
+  else if (o.mapQ_coef_len > 0) {
+    double tmp = l < o.mapQ_coef_len ? 1. : o.mapQ_coef_fac / log((double)l);
+    tmp *= identity * identity;
+    mapq = (int)(6.02 * (a.score - sub) / o.a * tmp * tmp + .499);
+  } else {
+    mapq = (int)(30.0 * (1. - (double)sub / a.score) * log((double)a.seedcov) + .499);
+    if (identity < 0.95) mapq = (int)(mapq * identity * identity + .499);
+  }
+  if (a.sub_n > 0) mapq -= (int)(4.343 * log(a.sub_n + 1.) + .499);
+  if (mapq > 60) mapq = 60;
+  if (mapq < 0) mapq = 0;
+  mapq = (int)(mapq * (1. - a.frac_rep) + .499);
+  return mapq;
+}
+
+Aln reg2aln(const MemOpt &o, const RefView &r, int l_query,
+            const uint8_t *query, const Reg *ar) {
+  Aln a;
+  a.score = a.sub = 0;
+  if (!ar || ar->rb < 0 || ar->re < 0) {
+    a.rid = -1;
+    a.pos = -1;
+    a.flag |= 0x4;
+    return a;
+  }
+  int qb = ar->qb, qe = ar->qe;
+  int64_t rb = ar->rb, re = ar->re;
+  a.mapq = ar->secondary < 0 ? approx_mapq_se(o, *ar) : 0;
+  if (ar->secondary >= 0) a.flag |= 0x100;
+  int tmp = infer_bw(qe - qb, (int)(re - rb), ar->truesc, o.a, o.o_del, o.e_del);
+  int w2 = infer_bw(qe - qb, (int)(re - rb), ar->truesc, o.a, o.o_ins, o.e_ins);
+  w2 = w2 > tmp ? w2 : tmp;
+  if (w2 > o.w) w2 = w2 < ar->w ? w2 : ar->w;
+  int last_sc = -(1 << 30), i = 0, score = 0, NM = -1;
+  std::vector<uint32_t> cigar;
+  std::string md;
+  bool ok;
+  for (;;) {
+    w2 = w2 < o.w << 2 ? w2 : o.w << 2;
+    score = gen_cigar2(o, r, w2, qe - qb, query + qb, rb, re, true, &cigar,
+                       &NM, &md, &ok);
+    assert(ok);
+    if (score == last_sc || w2 == o.w << 2) break;
+    last_sc = score;
+    w2 <<= 1;
+    if (!(++i < 3 && score < ar->truesc - o.a)) break;
+  }
+  a.NM = NM;
+  a.md = md;
+  int is_rev;
+  int64_t pos = depos(r, rb < r.l_pac ? rb : re - 1, &is_rev);
+  a.is_rev = is_rev;
+  if (!cigar.empty()) {
+    if ((cigar[0] & 0xf) == 2) {
+      pos += cigar[0] >> 4;
+      cigar.erase(cigar.begin());
+    } else if ((cigar.back() & 0xf) == 2) {
+      cigar.pop_back();
+    }
+  }
+  if (qb != 0 || qe != l_query) {
+    int clip5 = is_rev ? l_query - qe : qb;
+    int clip3 = is_rev ? qb : l_query - qe;
+    if (clip5) cigar.insert(cigar.begin(), (uint32_t)clip5 << 4 | 3);
+    if (clip3) cigar.push_back((uint32_t)clip3 << 4 | 3);
+  }
+  a.cigar = cigar;
+  a.rid = pos2rid(r, pos);
+  assert(a.rid == ar->rid);
+  a.pos = pos - r.bns.offset[a.rid];
+  a.score = ar->score;
+  a.sub = ar->sub > ar->csub ? ar->sub : ar->csub;
+  a.is_alt = ar->is_alt;
+  a.alt_sc = ar->alt_sc;
+  return a;
+}
+
+// ---------------------------------------------------------------------------
+// dedup/patch + primary marking (bwamem.c:417-584)
+// ---------------------------------------------------------------------------
+
+int patch_reg(const MemOpt &o, const RefView &r, const uint8_t *query,
+              const Reg &a, const Reg &b, int *_w) {
+  const double PATCH_MAX_R_BW = 0.05, PATCH_MIN_SC_RATIO = 0.90;
+  if (!query) return 0;
+  assert(a.rid == b.rid && a.rb <= b.rb);
+  if (a.rb < r.l_pac && b.rb >= r.l_pac) return 0;
+  if (a.qb >= b.qb || a.qe >= b.qe || a.re >= b.re) return 0;
+  int w = (int)((a.re - b.rb) - (a.qe - b.qb));
+  w = w > 0 ? w : -w;
+  double rr = (double)(a.re - b.rb) / (b.re - a.rb) -
+              (double)(a.qe - b.qb) / (b.qe - a.qb);
+  rr = rr > 0. ? rr : -rr;
+  if (a.re < b.rb || a.qe < b.qb) {
+    if (w > o.w << 1 || rr >= PATCH_MAX_R_BW) return 0;
+  } else if (w > o.w << 2 || rr >= PATCH_MAX_R_BW * 2) return 0;
+  w += a.w + b.w;
+  w = w < o.w << 2 ? w : o.w << 2;
+  bool ok;
+  int score = gen_cigar2(o, r, w, b.qe - a.qb, query + a.qb, a.rb, b.re,
+                         false, nullptr, nullptr, nullptr, &ok);
+  if (!ok) return 0;
+  int q_s = (int)((double)(b.qe - a.qb) / ((b.qe - b.qb) + (a.qe - a.qb)) *
+                      (b.score + a.score) + .499);
+  int r_s = (int)((double)(b.re - a.rb) / ((b.re - b.rb) + (a.re - a.rb)) *
+                      (b.score + a.score) + .499);
+  if ((double)score / (q_s > r_s ? q_s : r_s) < PATCH_MIN_SC_RATIO) return 0;
+  *_w = w;
+  return score;
+}
+
+int sort_dedup_patch(const MemOpt &o, const RefView &r, const uint8_t *query,
+                     std::vector<Reg> &a) {
+  int n = (int)a.size();
+  if (n <= 1) return n;
+  ks_introsort(a.size(), a.data(),
+               [](const Reg &x, const Reg &y) { return x.re < y.re; });
+  for (Reg &p : a) p.n_comp = 1;
+  for (int i = 1; i < n; ++i) {
+    Reg *p = &a[i];
+    if (p->rid != a[i - 1].rid || p->rb >= a[i - 1].re + o.max_chain_gap)
+      continue;
+    for (int j = i - 1;
+         j >= 0 && p->rid == a[j].rid && p->rb < a[j].re + o.max_chain_gap;
+         --j) {
+      Reg *q = &a[j];
+      if (q->qe == q->qb) continue;
+      int64_t orr = q->re - p->rb;
+      int64_t oq = q->qb < p->qb ? q->qe - p->qb : p->qe - q->qb;
+      int64_t mr = std::min(q->re - q->rb, p->re - p->rb);
+      int64_t mq = std::min(q->qe - q->qb, p->qe - p->qb);
+      if (orr > o.mask_level_redun * mr && oq > o.mask_level_redun * mq) {
+        if (p->score < q->score) {
+          p->qe = p->qb;
+          break;
+        } else q->qe = q->qb;
+      } else if (q->rb < p->rb) {
+        int w, score = patch_reg(o, r, query, *q, *p, &w);
+        if (score > 0) {
+          p->n_comp += q->n_comp + 1;
+          p->seedcov = std::max(p->seedcov, q->seedcov);
+          p->sub = std::max(p->sub, q->sub);
+          p->csub = std::max(p->csub, q->csub);
+          p->qb = q->qb;
+          p->rb = q->rb;
+          p->truesc = p->score = score;
+          p->w = w;
+          q->qb = q->qe;
+        }
+      }
+    }
+  }
+  {
+    int m = 0;
+    for (int i = 0; i < n; ++i)
+      if (a[i].qe > a[i].qb) a[m++] = a[i];
+    a.resize(m);
+    n = m;
+  }
+  ks_introsort(a.size(), a.data(), [](const Reg &x, const Reg &y) {
+    return x.score > y.score ||
+           (x.score == y.score &&
+            (x.rb < y.rb || (x.rb == y.rb && x.qb < y.qb)));
+  });
+  for (int i = 1; i < n; ++i)
+    if (a[i].score == a[i - 1].score && a[i].rb == a[i - 1].rb &&
+        a[i].qb == a[i - 1].qb)
+      a[i].qe = a[i].qb;
+  if (n > 1) {
+    std::vector<Reg> out;
+    out.push_back(a[0]);
+    for (int i = 1; i < n; ++i)
+      if (a[i].qe > a[i].qb) out.push_back(a[i]);
+    a = out;
+  }
+  return (int)a.size();
+}
+
+void mark_primary_core(const MemOpt &o, std::vector<Reg> &a, int n) {
+  int tmp = std::max(o.a + o.b, std::max(o.o_del + o.e_del, o.o_ins + o.e_ins));
+  std::vector<int> z{0};
+  for (int i = 1; i < n; ++i) {
+    int found = -1;
+    for (int k : z) {
+      int b_max = std::max(a[k].qb, a[i].qb);
+      int e_min = std::min(a[k].qe, a[i].qe);
+      if (e_min > b_max) {
+        int min_l = std::min(a[i].qe - a[i].qb, a[k].qe - a[k].qb);
+        if (e_min - b_max >= min_l * o.mask_level) {
+          if (a[k].sub == 0) a[k].sub = a[i].score;
+          if (a[k].score - a[i].score <= tmp &&
+              (a[k].is_alt || !a[i].is_alt))
+            ++a[k].sub_n;
+          found = k;
+          break;
+        }
+      }
+    }
+    if (found < 0) z.push_back(i);
+    else a[i].secondary = found;
+  }
+}
+
+int mark_primary_se(const MemOpt &o, std::vector<Reg> &a, int64_t id) {
+  int n = (int)a.size();
+  if (n == 0) return 0;
+  int n_pri = 0;
+  for (int i = 0; i < n; ++i) {
+    a[i].sub = a[i].alt_sc = 0;
+    a[i].secondary = a[i].secondary_all = -1;
+    a[i].hash = hash_64((uint64_t)(id + i));
+    if (!a[i].is_alt) ++n_pri;
+  }
+  ks_introsort(a.size(), a.data(), [](const Reg &x, const Reg &y) {
+    return x.score > y.score ||
+           (x.score == y.score &&
+            (x.is_alt < y.is_alt ||
+             (x.is_alt == y.is_alt && x.hash < y.hash)));
+  });
+  mark_primary_core(o, a, n);
+  for (int i = 0; i < n; ++i) {
+    a[i].secondary_all = i;
+    if (!a[i].is_alt && a[i].secondary >= 0 && a[a[i].secondary].is_alt)
+      a[i].alt_sc = a[a[i].secondary].score;
+  }
+  if (n_pri >= 0 && n_pri < n) {
+    std::vector<int> z(n);
+    if (n_pri > 0)
+      ks_introsort(a.size(), a.data(), [](const Reg &x, const Reg &y) {
+        return x.is_alt < y.is_alt ||
+               (x.is_alt == y.is_alt &&
+                (x.score > y.score ||
+                 (x.score == y.score && x.hash < y.hash)));
+      });
+    for (int i = 0; i < n; ++i) z[a[i].secondary_all] = i;
+    for (int i = 0; i < n; ++i) {
+      if (a[i].secondary >= 0) {
+        a[i].secondary_all = z[a[i].secondary];
+        if (a[i].is_alt) a[i].secondary = INT_MAX_;
+      } else a[i].secondary_all = -1;
+    }
+    if (n_pri > 0) {
+      for (int i = 0; i < n_pri; ++i) {
+        a[i].sub = 0;
+        a[i].secondary = -1;
+      }
+      mark_primary_core(o, a, n_pri);
+    }
+  } else {
+    for (int i = 0; i < n; ++i) a[i].secondary_all = a[i].secondary;
+  }
+  return n_pri;
+}
+
+void reorder_primary5(int T, std::vector<Reg> &a) {
+  int n_pri = 0, left_st = INT_MAX_, left_k = -1;
+  for (auto &p : a)
+    if (p.secondary < 0 && !p.is_alt && p.score >= T) ++n_pri;
+  if (n_pri <= 1) return;
+  for (int k = 0; k < (int)a.size(); ++k) {
+    Reg &p = a[k];
+    if (p.secondary >= 0 || p.is_alt || p.score < T) continue;
+    if (p.qb < left_st) left_st = p.qb, left_k = k;
+  }
+  if (left_k == 0) return;
+  std::swap(a[0], a[left_k]);
+  for (int k = 1; k < (int)a.size(); ++k) {
+    Reg &p = a[k];
+    if (p.secondary == 0) p.secondary = left_k;
+    else if (p.secondary == left_k) p.secondary = 0;
+    if (p.secondary_all == 0) p.secondary_all = left_k;
+    else if (p.secondary_all == left_k) p.secondary_all = 0;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// SAM emission (bwamem.c:838-976) + XA (bwamem_extra.c:116-172)
+// ---------------------------------------------------------------------------
+
+const char *CIG = "MIDSH";
+const char *CIGN = "MIDSHN";
+const char *FWD = "ACGTN";
+const char *REV = "TGCAN";
+
+void cigar_text(const MemOpt &o, const Aln &p, int which, std::string &out) {
+  if (p.cigar.empty()) {
+    out += '*';
+    return;
+  }
+  char buf[16];
+  for (uint32_t cw : p.cigar) {
+    int c = cw & 0xf;
+    if (!(o.flag & MEM_F_SOFTCLIP) && !p.is_alt && (c == 3 || c == 4))
+      c = which ? 4 : 3;
+    snprintf(buf, sizeof buf, "%u", cw >> 4);
+    out += buf;
+    out += CIG[c];
+  }
+}
+
+int rlen_of(const std::vector<uint32_t> &cig) {
+  int l = 0;
+  for (uint32_t c : cig)
+    if ((c & 0xf) == 0 || (c & 0xf) == 2) l += c >> 4;
+  return l;
+}
+
+void aln2sam(const MemOpt &o, const RefView &r, const char *name,
+             const uint8_t *seq_codes, int l_seq, const char *qual,
+             const char *comment, int n, const std::vector<Aln> &list,
+             int which, const Aln *m_, const char *rg_id, std::string &str) {
+  Aln p = list[which];
+  char buf[32];
+  p.flag |= m_ ? 0x1 : 0;
+  p.flag |= p.rid < 0 ? 0x4 : 0;
+  // SE path: no mate handling beyond flags (m_ == nullptr here)
+  p.flag |= p.is_rev ? 0x10 : 0;
+
+  str += name;
+  str += '\t';
+  snprintf(buf, sizeof buf, "%d", (p.flag & 0xffff) | (p.flag & 0x10000 ? 0x100 : 0));
+  str += buf;
+  str += '\t';
+  if (p.rid >= 0) {
+    str += r.bns.names + r.bns.name_off[p.rid];
+    str += '\t';
+    snprintf(buf, sizeof buf, "%lld", (long long)(p.pos + 1));
+    str += buf;
+    str += '\t';
+    snprintf(buf, sizeof buf, "%d", p.mapq);
+    str += buf;
+    str += '\t';
+    cigar_text(o, p, which, str);
+  } else str += "*\t0\t0\t*";
+  str += '\t';
+  str += "*\t0\t0";
+  str += '\t';
+
+  if (p.flag & 0x100) {
+    str += "*\t*";
+  } else {
+    int qb = 0, qe = l_seq;
+    if (!p.cigar.empty() && which && !(o.flag & MEM_F_SOFTCLIP) && !p.is_alt) {
+      if (!p.is_rev) {
+        if ((p.cigar[0] & 0xf) == 4 || (p.cigar[0] & 0xf) == 3)
+          qb += p.cigar[0] >> 4;
+        if ((p.cigar.back() & 0xf) == 4 || (p.cigar.back() & 0xf) == 3)
+          qe -= p.cigar.back() >> 4;
+      } else {
+        if ((p.cigar[0] & 0xf) == 4 || (p.cigar[0] & 0xf) == 3)
+          qe -= p.cigar[0] >> 4;
+        if ((p.cigar.back() & 0xf) == 4 || (p.cigar.back() & 0xf) == 3)
+          qb += p.cigar.back() >> 4;
+      }
+    }
+    if (!p.is_rev) {
+      for (int i = qb; i < qe; ++i) str += FWD[seq_codes[i]];
+      str += '\t';
+      if (qual) {
+        for (int i = qb; i < qe; ++i) str += qual[i];
+      } else str += '*';
+    } else {
+      for (int i = qe - 1; i >= qb; --i) str += REV[seq_codes[i]];
+      str += '\t';
+      if (qual) {
+        for (int i = qe - 1; i >= qb; --i) str += qual[i];
+      } else str += '*';
+    }
+  }
+
+  if (!p.cigar.empty()) {
+    str += "\tNM:i:";
+    snprintf(buf, sizeof buf, "%d", p.NM);
+    str += buf;
+    str += "\tMD:Z:";
+    str += p.md;
+  }
+  if (p.score >= 0) {
+    str += "\tAS:i:";
+    snprintf(buf, sizeof buf, "%d", p.score);
+    str += buf;
+  }
+  if (p.sub >= 0) {
+    str += "\tXS:i:";
+    snprintf(buf, sizeof buf, "%d", p.sub);
+    str += buf;
+  }
+  if (rg_id && rg_id[0]) {
+    str += "\tRG:Z:";
+    str += rg_id;
+  }
+  if (!(p.flag & 0x100)) {
+    bool others = false;
+    for (int i = 0; i < n; ++i)
+      if (i != which && !(list[i].flag & 0x100)) { others = true; break; }
+    if (others) {
+      str += "\tSA:Z:";
+      for (int i = 0; i < n; ++i) {
+        const Aln &q = list[i];
+        if (i == which || (q.flag & 0x100)) continue;
+        str += r.bns.names + r.bns.name_off[q.rid];
+        str += ',';
+        snprintf(buf, sizeof buf, "%lld", (long long)(q.pos + 1));
+        str += buf;
+        str += ',';
+        str += q.is_rev ? '-' : '+';
+        str += ',';
+        for (uint32_t cw : q.cigar) {
+          snprintf(buf, sizeof buf, "%u", cw >> 4);
+          str += buf;
+          str += CIG[cw & 0xf];
+        }
+        str += ',';
+        snprintf(buf, sizeof buf, "%d", q.mapq);
+        str += buf;
+        str += ',';
+        snprintf(buf, sizeof buf, "%d", q.NM);
+        str += buf;
+        str += ';';
+      }
+    }
+    if (p.alt_sc > 0) {
+      snprintf(buf, sizeof buf, "\tpa:f:%.3f", (double)p.score / p.alt_sc);
+      str += buf;
+    }
+  }
+  if (!p.XA.empty()) {
+    str += (o.flag & MEM_F_XB) ? "\tXB:Z:" : "\tXA:Z:";
+    str += p.XA;
+  }
+  if (comment && comment[0]) {
+    str += '\t';
+    str += comment;
+  }
+  str += '\n';
+}
+
+int get_pri_idx(double ratio, const std::vector<Reg> &a, int i) {
+  int k = a[i].secondary_all;
+  if (k >= 0 && a[i].score >= a[k].score * ratio) return k;
+  return -1;
+}
+
+void gen_alt(const MemOpt &o, const RefView &r, const std::vector<Reg> &regs,
+             int l_query, const uint8_t *query, std::vector<std::string> &XA) {
+  int n = (int)regs.size();
+  XA.assign(n, "");
+  std::vector<int> cnt(n, 0);
+  std::vector<char> has_alt(n, 0);
+  int tot = 0;
+  for (int i = 0; i < n; ++i) {
+    int k = get_pri_idx(o.XA_drop_ratio, regs, i);
+    if (k >= 0) {
+      ++cnt[k];
+      ++tot;
+      if (regs[i].is_alt) has_alt[k] = 1;
+    }
+  }
+  if (tot == 0) return;
+  char buf[32];
+  for (int i = 0; i < n; ++i) {
+    int k = get_pri_idx(o.XA_drop_ratio, regs, i);
+    if (k < 0) continue;
+    if (cnt[k] > o.max_XA_hits_alt || (!has_alt[k] && cnt[k] > o.max_XA_hits))
+      continue;
+    Aln t = reg2aln(o, r, l_query, query, &regs[i]);
+    std::string s;
+    s += r.bns.names + r.bns.name_off[t.rid];
+    s += ',';
+    s += t.is_rev ? '-' : '+';
+    snprintf(buf, sizeof buf, "%lld", (long long)(t.pos + 1));
+    s += buf;
+    s += ',';
+    for (uint32_t cw : t.cigar) {
+      snprintf(buf, sizeof buf, "%u", cw >> 4);
+      s += buf;
+      s += CIGN[cw & 0xf];
+    }
+    s += ',';
+    snprintf(buf, sizeof buf, "%d", t.NM);
+    s += buf;
+    if (o.flag & MEM_F_XB) {
+      snprintf(buf, sizeof buf, ",%d,%d", t.score, t.mapq);
+      s += buf;
+    }
+    s += ';';
+    XA[k] += s;
+  }
+}
+
+void reg2sam_se(const MemOpt &o, const RefView &r, const char *name,
+                const uint8_t *codes, int l_seq, const char *qual,
+                const char *comment, std::vector<Reg> &regs, int extra_flag,
+                const char *rg_id, std::string &out) {
+  std::vector<std::string> XA;
+  bool have_xa = false;
+  if (!(o.flag & MEM_F_ALL)) {
+    gen_alt(o, r, regs, l_seq, codes, XA);
+    have_xa = true;
+  }
+  std::vector<Aln> aa;
+  int l = 0;
+  for (int k = 0; k < (int)regs.size(); ++k) {
+    Reg *p = &regs[k];
+    if (p->score < o.T) continue;
+    if (p->secondary >= 0 && (p->is_alt || !(o.flag & MEM_F_ALL))) continue;
+    if (p->secondary >= 0 && p->secondary < INT_MAX_ &&
+        p->score < regs[p->secondary].score * o.drop_ratio)
+      continue;
+    Aln q = reg2aln(o, r, l_seq, codes, p);
+    assert(q.rid >= 0);
+    if (have_xa) q.XA = XA[k];
+    q.flag |= extra_flag;
+    if (p->secondary >= 0) q.sub = -1;
+    if (l && p->secondary < 0)
+      q.flag |= (o.flag & MEM_F_NO_MULTI) ? 0x10000 : 0x800;
+    if (!(o.flag & MEM_F_KEEP_SUPP_MAPQ) && l && !p->is_alt &&
+        q.mapq > aa[0].mapq)
+      q.mapq = aa[0].mapq;
+    aa.push_back(std::move(q));
+    ++l;
+  }
+  if (aa.empty()) {
+    Aln t = reg2aln(o, r, l_seq, codes, nullptr);
+    t.flag |= extra_flag;
+    std::vector<Aln> one{t};
+    aln2sam(o, r, name, codes, l_seq, qual, comment, 1, one, 0, nullptr,
+            rg_id, out);
+  } else {
+    for (int k = 0; k < (int)aa.size(); ++k)
+      aln2sam(o, r, name, codes, l_seq, qual, comment, (int)aa.size(), aa, k,
+              nullptr, rg_id, out);
+  }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int memfin_opt_size() { return (int)sizeof(MemOpt); }
+
+// Finalize a batch of SE reads.  Layout:
+//  reads: codes_flat[sum l], l_off[n+1]; names/quals/comments as NUL-
+//  concatenated blobs with offsets (qual_off[i]<0 -> no qual).
+//  seeds: per read iv ranges [iv_off[i], iv_off[i+1]) over iv_x2/iv_start/
+//  iv_end; occurrence positions rbegs with per-interval [rb_off] extents.
+//  Output: SAM text appended per read into one buffer; out_off[n+1] filled.
+//  Returns total SAM length, or -needed if out_cap is too small.
+int64_t mem_finalize_se_batch(
+    const void *opt_blob,
+    // reference
+    const uint8_t *pac, int64_t l_pac, const int64_t *ctg_offset,
+    const int32_t *ctg_len, const uint8_t *ctg_is_alt, const char *ctg_names,
+    const int32_t *ctg_name_off, int32_t n_ctg,
+    // reads
+    int32_t n_reads, const uint8_t *codes_flat, const int64_t *l_off,
+    const char *names, const int64_t *name_off, const char *quals,
+    const int64_t *qual_off, const char *comments, const int64_t *comment_off,
+    int64_t id0, const char *rg_id,
+    // seeds
+    const int32_t *iv_off, const int64_t *iv_x2, const int32_t *iv_start,
+    const int32_t *iv_end, const int64_t *rbegs, const int32_t *rb_off,
+    // out
+    char *out, int64_t out_cap, int64_t *out_off) {
+  const MemOpt &o = *(const MemOpt *)opt_blob;
+  RefView r{pac, l_pac,
+            {ctg_offset, ctg_len, ctg_is_alt, ctg_names, ctg_name_off, n_ctg}};
+  std::string all;
+  out_off[0] = 0;
+  for (int32_t i = 0; i < n_reads; ++i) {
+    const uint8_t *codes = codes_flat + l_off[i];
+    int l_query = (int)(l_off[i + 1] - l_off[i]);
+    std::vector<Chain> chains;
+    int iv0 = iv_off[i], iv1 = iv_off[i + 1];
+    chain_read(o, r, l_query, iv1 - iv0, iv_x2 + iv0, iv_start + iv0,
+               iv_end + iv0, rbegs, rb_off + iv0, chains);
+    chain_flt(o, chains);
+    flt_chained_seeds(o, r, l_query, codes, chains);
+    std::vector<Reg> regs;
+    for (const Chain &c : chains) chain2aln(o, r, l_query, codes, c, regs);
+    sort_dedup_patch(o, r, codes, regs);
+    for (Reg &p : regs)
+      if (p.rid >= 0 && r.bns.is_alt[p.rid]) p.is_alt = 1;
+    mark_primary_se(o, regs, id0 + i);
+    if (o.flag & MEM_F_PRIMARY5) reorder_primary5(o.T, regs);
+    std::string sam;
+    const char *qual = qual_off[i] >= 0 ? quals + qual_off[i] : nullptr;
+    const char *comment =
+        comment_off[i] >= 0 ? comments + comment_off[i] : nullptr;
+    reg2sam_se(o, r, names + name_off[i], codes, l_query, qual, comment,
+               regs, 0, rg_id, sam);
+    all += sam;
+    out_off[i + 1] = (int64_t)all.size();
+  }
+  if ((int64_t)all.size() > out_cap) return -(int64_t)all.size();
+  memcpy(out, all.data(), all.size());
+  return (int64_t)all.size();
+}
+
+}  // extern "C"

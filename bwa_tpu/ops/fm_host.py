@@ -86,6 +86,9 @@ class HostFM:
             k = self.inv_psi(k)
         return s + int(self.fm.ssa[k // self.fm.sa_intv])
 
+    def sa_many(self, ks) -> "np.ndarray":
+        return np.array([self.sa(int(k)) for k in ks], dtype=np.int64)
+
     # ---- bidirectional extension ----
 
     def set_intv(self, c: int):
