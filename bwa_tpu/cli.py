@@ -368,6 +368,92 @@ def main_sampe(argv: list[str]) -> int:
     return 0
 
 
+def main_bwasw(argv: list[str]) -> int:
+    """bwa bwasw (bwa_bwtsw2, bwtsw2_main.c:11-89)."""
+    import getopt as getopt_mod
+
+    import numpy as np
+
+    from bwa_tpu.index.fmindex import FMIndex
+    from bwa_tpu.sw2.aln import bsw2_aln
+    from bwa_tpu.sw2.types import Bsw2Opt
+    from bwa_tpu.utils.rand48 import Rand48
+
+    opt = Bsw2Opt()
+    rng = Rand48()
+    rng.srand48(11)
+    out = sys.stdout
+    try:
+        opts, args = getopt_mod.getopt(argv, "q:r:a:b:t:T:w:d:z:m:s:c:N:Hf:MI:SG:C")
+    except getopt_mod.GetoptError as e:
+        print(f"[main_bwasw] {e}", file=sys.stderr)
+        return 1
+    for c, v in opts:
+        c = c[1:]
+        if c == "q": opt.q = int(v)
+        elif c == "r": opt.r = int(v)
+        elif c == "a": opt.a = int(v)
+        elif c == "b": opt.b = int(v)
+        elif c == "w": opt.bw = int(v)
+        elif c == "T": opt.t = int(v)
+        elif c == "t": opt.n_threads = int(v)
+        elif c == "z": opt.z = int(v)
+        elif c == "s": opt.is_ = int(v)
+        elif c == "m": opt.mask_level = float(np.float32(v))
+        elif c == "c": opt.coef = float(np.float32(v))
+        elif c == "N": opt.t_seeds = int(v)
+        elif c == "M": opt.multi_2nd = 1
+        elif c == "H": opt.hard_clip = 1
+        elif c == "f": out = open(v, "w")
+        elif c == "I": opt.max_ins = int(v)
+        elif c == "S": opt.skip_sw = 1
+        elif c == "C": opt.cpy_cmt = 1
+        elif c == "G": opt.max_chain_gap = int(v)
+        else:  # -d is accepted by the option string but unhandled
+            return 1
+    opt.qr = opt.q + opt.r
+    if len(args) < 2:
+        print(f"""
+Usage:   bwa-tpu bwasw [options] <target.prefix> <query.fa> [query2.fa]
+
+Options: -a INT   score for a match [{opt.a}]
+         -b INT   mismatch penalty [{opt.b}]
+         -q INT   gap open penalty [{opt.q}]
+         -r INT   gap extension penalty [{opt.r}]
+         -w INT   band width [{opt.bw}]
+         -m FLOAT mask level [{opt.mask_level:.2f}]
+
+         -t INT   number of threads [{opt.n_threads}]
+         -f FILE  file to output results to instead of stdout
+         -H       in SAM output, use hard clipping instead of soft clipping
+         -C       copy FASTA/Q comment to SAM output
+         -M       mark multi-part alignments as secondary
+         -S       skip Smith-Waterman read pairing
+         -I INT   ignore pairs with insert >=INT for inferring the size distr [{opt.max_ins}]
+
+         -T INT   score threshold divided by a [{opt.t}]
+         -c FLOAT coefficient of length-threshold adjustment [{opt.coef:.1f}]
+         -z INT   Z-best [{opt.z}]
+         -s INT   maximum seeding interval size [{opt.is_}]
+         -N INT   # seeds to trigger rev aln; 2*INT is also the chaining threshold [{opt.t_seeds}]
+         -G INT   maximum gap size during chaining [{opt.max_chain_gap}]
+
+Note: For long Illumina, 454 and Sanger reads, assembly contigs, fosmids and
+      BACs, the default setting usually works well. For the current PacBio
+      reads (end of 2010), '-b5 -q2 -r1 -z10' is recommended. One may also
+      increase '-z' for better sensitivity.
+""", file=sys.stderr)
+        return 1
+    # adjust for the match score (bwtsw2_main.c:80-81)
+    opt.t *= opt.a
+    opt.coef = float(np.float32(np.float32(opt.coef) * opt.a))
+    fm = FMIndex.load(args[0])
+    bsw2_aln(opt, fm, args[1], args[2] if len(args) > 2 else None, out, rng)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
@@ -406,9 +492,7 @@ def main(argv=None) -> int:
               "qualfa2fq": tools.main_qualfa2fq}[cmd]
         return fn(rest)
     if cmd == "bwasw":
-        print("[main] bwasw is not implemented yet in bwa-tpu (deprecated "
-              "upstream; use mem for long reads)", file=sys.stderr)
-        return 1
+        return main_bwasw(rest)
     print(f"[main] unrecognized command '{cmd}'", file=sys.stderr)
     return 1
 

@@ -1,0 +1,628 @@
+// BWA-SW native core: the read-BWT x genome-BWT DAG/trie dynamic program.
+//
+// From-scratch C++ implementation of the observable behaviour of the
+// reference's bsw2_core (bwtsw2_core.c:449-619) together with the
+// per-read "lite" FM-index it traverses (bwt_lite.c) and a batched
+// genome bwt_sa walker (bwt.c:86-96).  Traversal order, Z-best pruning,
+// duplicate removal and the two-best-per-position hit table are all
+// visible in the emitted SAM, so every tie rule is replicated exactly;
+// the *data layout* is ours: the genome FM-index is consumed directly in
+// the framework's split ckpt/words arrays (see index/fmindex.py) instead
+// of the reference's interleaved stream.
+//
+// Everything here is host-side orchestration-scale work (one read at a
+// time, irregular pointer-chasing) - the wrong shape for the TPU; the
+// batched device kernels live in bwa_tpu/ops.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <unordered_map>
+#include <vector>
+
+extern "C" int sais_u8_i32(const uint8_t *text, int32_t n, int32_t *sa_out);
+
+namespace {
+
+constexpr int32_t kMinusInf = -0x3fffffff;
+
+// ---------------------------------------------------------------------
+// Genome FM-index rank/occ over the split (ckpt, words) layout.
+// Semantics identical to bwt_occ4 (bwt.c:169-186) / ops/fm_host.py.
+// ---------------------------------------------------------------------
+
+struct GenomeFM {
+  const int64_t *ckpt;    // [n_blocks][4]
+  const uint32_t *words;  // [n_blocks][8], 16 bases per word, base i at
+                          // bit (15-(i&15))*2
+  int64_t seq_len;
+  int64_t primary;
+  const int64_t *L2;      // [5]
+};
+
+static void g_occ4(const GenomeFM &g, int64_t k, int64_t cnt[4]) {
+  if (k == -1) {
+    cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0;
+    return;
+  }
+  if (k == g.seq_len) {
+    for (int c = 0; c < 4; ++c) cnt[c] = g.L2[c + 1] - g.L2[c];
+    return;
+  }
+  if (k >= g.primary) --k;
+  int64_t blk = k >> 7;
+  int kw = (int)((k >> 4) & 7), kb = (int)(k & 15);
+  const uint32_t *w = g.words + blk * 8;
+  int64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+  for (int i = 0; i <= kw; ++i) {
+    int nkeep = (i < kw) ? 16 : kb + 1;
+    uint32_t mask2 = ~((nkeep == 16) ? 0u : ((1u << ((16 - nkeep) << 1)) - 1u));
+    if (nkeep == 16) mask2 = 0xffffffffu;
+    uint32_t word = w[i] & mask2;
+    uint32_t vm = mask2 & 0x55555555u;
+    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
+    a3 += __builtin_popcount(hi & lo);
+    a2 += __builtin_popcount(hi & ~lo);
+    a1 += __builtin_popcount(lo & ~hi);
+    a0 += __builtin_popcount(vm & ~hi & ~lo);
+  }
+  const int64_t *cp = g.ckpt + blk * 4;
+  cnt[0] = cp[0] + a0;
+  cnt[1] = cp[1] + a1;
+  cnt[2] = cp[2] + a2;
+  cnt[3] = cp[3] + a3;
+}
+
+// BWT character at $-removed position x (bwt_B0, bwt.h:71).
+static inline int g_B0(const GenomeFM &g, int64_t x) {
+  uint32_t word = g.words[(x >> 7) * 8 + ((x >> 4) & 7)];
+  return (word >> ((15 - (x & 15)) << 1)) & 3;
+}
+
+// One inverse-Psi step (bwt_invPsi, bwt.c:53-59).
+static inline int64_t g_inv_psi(const GenomeFM &g, int64_t k) {
+  int64_t x = k - (k > g.primary);
+  int c = g_B0(g, x);
+  int64_t occ_kc;
+  if (k == g.seq_len) {
+    occ_kc = g.L2[c + 1] - g.L2[c];
+  } else if (k == -1) {
+    occ_kc = 0;
+  } else {
+    int64_t cnt[4];
+    g_occ4(g, k, cnt);
+    occ_kc = cnt[c];
+  }
+  int64_t r = g.L2[c] + occ_kc;
+  return k == g.primary ? 0 : r;
+}
+
+// ---------------------------------------------------------------------
+// Per-read lite FM-index (bwt_lite.c): plain occ table every 16 bases.
+// ---------------------------------------------------------------------
+
+struct ReadBwt {
+  uint32_t seq_len = 0, primary = 0;
+  uint32_t L2[5] = {0, 0, 0, 0, 0};
+  std::vector<uint32_t> bwt;  // packed 2-bit, 16 bases/word
+  std::vector<uint32_t> occ;  // [ (len+15)/16 ][4] counts at block starts
+  std::vector<uint32_t> sa;   // len+1 entries; sa[0] = len
+};
+
+static int build_read_bwt(const uint8_t *seq, int len, ReadBwt *b) {
+  b->seq_len = (uint32_t)len;
+  b->sa.assign((size_t)len + 1, 0);
+  b->sa[0] = (uint32_t)len;
+  if (len > 0) {
+    std::vector<int32_t> sa32(len);
+    if (sais_u8_i32(seq, len, sa32.data()) != 0) return -1;
+    for (int i = 0; i < len; ++i) b->sa[i + 1] = (uint32_t)sa32[i];
+  }
+  // BWT string with the sentinel row removed (bwt_lite.c:20-34)
+  std::vector<uint8_t> s((size_t)len + 1, 0);
+  for (int i = 0; i <= len; ++i) {
+    if (b->sa[i] == 0)
+      b->primary = (uint32_t)i;
+    else
+      s[i] = seq[b->sa[i] - 1];
+  }
+  for (int i = (int)b->primary; i < len; ++i) s[i] = s[i + 1];
+  b->bwt.assign(((size_t)len + 15) / 16, 0u);
+  for (int i = 0; i < len; ++i)
+    b->bwt[i >> 4] |= (uint32_t)s[i] << ((15 - (i & 15)) << 1);
+  // occ checkpoints every 16 bases + cumulative L2 (bwt_lite.c:36-48)
+  b->occ.assign(((size_t)len + 15) / 16 * 4, 0u);
+  uint32_t c[4] = {0, 0, 0, 0};
+  for (int i = 0; i < len; ++i) {
+    if (i % 16 == 0) std::memcpy(&b->occ[(size_t)(i / 16) * 4], c, 16);
+    ++c[(b->bwt[i >> 4] >> ((~i & 15) << 1)) & 3];
+  }
+  b->L2[0] = 0;
+  for (int i = 0; i < 4; ++i) b->L2[i + 1] = b->L2[i] + c[i];
+  return 0;
+}
+
+// bwtl_occ4 (bwt_lite.c:72-86); k is uint32 with (uint32_t)-1 meaning "-1".
+static void r_occ4(const ReadBwt &b, uint32_t k, uint32_t cnt[4]) {
+  if (k == (uint32_t)-1) {
+    cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0;
+    return;
+  }
+  if (k >= b.primary) --k;  // $ is not stored in the BWT
+  std::memcpy(cnt, &b.occ[(size_t)(k >> 4) * 4], 16);
+  uint32_t mask2 = ~((1u << ((~k & 15) << 1)) - 1u);
+  uint32_t word = b.bwt[k >> 4] & mask2;
+  uint32_t vm = mask2 & 0x55555555u;
+  uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
+  cnt[3] += (uint32_t)__builtin_popcount(hi & lo);
+  cnt[2] += (uint32_t)__builtin_popcount(hi & ~lo);
+  cnt[1] += (uint32_t)__builtin_popcount(lo & ~hi);
+  cnt[0] += (uint32_t)__builtin_popcount(vm & ~hi & ~lo);
+}
+
+// ---------------------------------------------------------------------
+// DAG traversal state (bwtsw2_core.c:15-68)
+// ---------------------------------------------------------------------
+
+struct Cell {
+  int64_t qk, ql;          // genome-BWT interval
+  int32_t I, D, G;
+  int32_t pj;              // incoming read-trie branch label
+  int32_t qlen, tlen;
+  int32_t ppos, upos;
+  int32_t cpos[4];
+};
+
+static const Cell kDefaultCell = {0,  0,  kMinusInf, kMinusInf, kMinusInf,
+                                  0,  0,  0,         -1,        -1,
+                                  {-1, -1, -1, -1}};
+
+struct Entry {
+  uint32_t tk = 0, tl = 0;  // read-BWT interval
+  std::vector<Cell> cells;
+};
+
+struct Hit {  // mirrors bsw2hit_t output fields (bwtsw2.h:22-27)
+  int64_t k, l;
+  int64_t flag, n_seeds, len, G, G2, beg, end, is_rev;
+};
+
+struct Opt {
+  int32_t a, b, q, r, qr, t, z, is, bw;
+};
+
+// exact ks_heapadjust over ints, lt = "<" (ksort.h:121-131); max-heap root
+static void heap_adjust(int i, int n, int32_t *l) {
+  int k = i;
+  int32_t tmp = l[i];
+  while ((k = (k << 1) + 1) < n) {
+    if (k != n - 1 && l[k] < l[k + 1]) ++k;
+    if (l[k] < tmp) break;
+    l[i] = l[k];
+    i = k;
+  }
+  l[i] = tmp;
+}
+
+struct Pool {
+  std::vector<Entry *> free_list;
+  std::vector<Entry *> all;
+  Entry *alloc() {
+    if (free_list.empty()) {
+      Entry *e = new Entry();
+      all.push_back(e);
+      return e;
+    }
+    Entry *e = free_list.back();
+    free_list.pop_back();
+    e->cells.clear();
+    return e;
+  }
+  void release(Entry *e) { free_list.push_back(e); }
+  ~Pool() {
+    for (Entry *e : all) delete e;
+  }
+};
+
+// Count the in-degree of every node of the read suffix DAG
+// (bsw2_connectivity, bwtsw2_core.c:99-132).
+static void connectivity(const ReadBwt &b,
+                         std::unordered_map<uint64_t, uint64_t> *h) {
+  std::vector<uint64_t> stack;
+  h->reserve((size_t)b.seq_len * 4);
+  stack.push_back((uint64_t)b.seq_len);  // root: k=0, l=seq_len
+  while (!stack.empty()) {
+    uint64_t x = stack.back();
+    stack.pop_back();
+    uint32_t k = (uint32_t)(x >> 32), l = (uint32_t)x;
+    uint32_t cntk[4], cntl[4];
+    r_occ4(b, k - 1, cntk);
+    r_occ4(b, l, cntl);
+    for (int j = 0; j < 4; ++j) {
+      uint32_t ck = b.L2[j] + cntk[j] + 1;
+      uint32_t cl = b.L2[j] + cntl[j];
+      if (ck > cl) continue;
+      uint64_t key = (uint64_t)ck << 32 | cl;
+      auto it = h->find(key);
+      if (it == h->end()) {
+        (*h)[key] = 1;
+        stack.push_back(key);
+      } else {
+        ++it->second;
+      }
+    }
+  }
+}
+
+// Keep the top-T scored cells of an entry (cut_tail, bwtsw2_core.c:134-157).
+static void cut_tail(Entry *u, int T, std::vector<int32_t> *scratch) {
+  int n_cells = (int)u->cells.size();
+  if (n_cells <= T) return;
+  scratch->clear();
+  for (int i = 0; i < n_cells; ++i)
+    if (u->cells[i].ql && u->cells[i].G > 0) scratch->push_back(-u->cells[i].G);
+  if ((int)scratch->size() <= T) return;
+  // the reference takes ks_ksmall(.., T): the T-th order statistic
+  std::nth_element(scratch->begin(), scratch->begin() + T, scratch->end());
+  int32_t x = -(*scratch)[T];
+  int n = 0;
+  for (int i = 0; i < n_cells; ++i) {
+    Cell *p = &u->cells[i];
+    if (p->G == x) ++n;
+    if (p->G < x || (p->G == x && n >= T)) {
+      p->qk = p->ql = 0;
+      p->G = 0;
+      if (p->ppos >= 0) u->cells[p->ppos].cpos[p->pj] = -1;
+    }
+  }
+}
+
+struct PairHash {
+  size_t operator()(const std::pair<int64_t, int64_t> &p) const {
+    // same mixing idea as the reference's qintv_hash (k>>7 ^ l<<17)
+    return (size_t)((uint64_t)p.first >> 7 ^ (uint64_t)p.second << 17);
+  }
+};
+
+// Drop cells with a duplicated genome interval, keeping the higher score
+// (remove_duplicate, bwtsw2_core.c:159-184).
+static void remove_duplicate(
+    Entry *u,
+    std::unordered_map<std::pair<int64_t, int64_t>, std::pair<int32_t, int32_t>,
+                       PairHash> *h) {
+  h->clear();
+  int n_cells = (int)u->cells.size();
+  for (int i = 0; i < n_cells; ++i) {
+    Cell *p = &u->cells[i];
+    if (p->ql == 0) continue;
+    auto key = std::make_pair(p->qk, p->ql);
+    auto it = h->find(key);
+    int j = -1;
+    if (it != h->end()) {
+      if (it->second.second >= p->G) {
+        j = i;
+      } else {
+        j = it->second.first;
+        it->second = {i, p->G};
+      }
+    } else {
+      (*h)[key] = {i, p->G};
+    }
+    if (j >= 0) {
+      Cell *d = &u->cells[j];
+      d->qk = d->ql = 0;
+      d->G = 0;
+      if (d->ppos >= 0) u->cells[d->ppos].cpos[d->pj] = -3;
+    }
+  }
+}
+
+// Append v's cells to u, fixing intra-entry links (merge_entry,
+// bwtsw2_core.c:186-203).
+static void merge_entry(Entry *u, Entry *v) {
+  int off = (int)u->cells.size();
+  for (Cell &c : v->cells) {
+    if (c.ppos >= 0) c.ppos += off;
+    for (int j = 0; j < 4; ++j)
+      if (c.cpos[j] >= 0) c.cpos[j] += off;
+  }
+  u->cells.insert(u->cells.end(), v->cells.begin(), v->cells.end());
+}
+
+// Record the two best hits per read position (save_hits,
+// bwtsw2_core.c:223-245).  hits has 2*seq_len preallocated slots.
+static void save_hits(const ReadBwt &b, int thres, Hit *hits, const Entry *u) {
+  for (const Cell &p : u->cells) {
+    if (p.G < thres) continue;
+    for (uint32_t k = u->tk; k <= u->tl; ++k) {
+      int64_t beg = b.sa[k], end = beg + p.tlen;
+      Hit *q = nullptr;
+      if (p.G > hits[beg * 2].G) {
+        hits[beg * 2 + 1] = hits[beg * 2];
+        q = &hits[beg * 2];
+      } else if (p.G > hits[beg * 2 + 1].G) {
+        q = &hits[beg * 2 + 1];
+      }
+      if (q) {
+        q->k = p.qk;
+        q->l = p.ql;
+        q->len = p.qlen;
+        q->G = p.G;
+        q->beg = beg;
+        q->end = end;
+        q->G2 = (q->k == q->l) ? 0 : q->G;
+        q->flag = q->n_seeds = 0;
+        q->is_rev = 0;
+      }
+    }
+  }
+}
+
+// Extract high-scoring cells with a narrow genome interval and delete them
+// from the entry (save_narrow_hits, bwtsw2_core.c:248-270).
+static void save_narrow_hits(const ReadBwt &b, Entry *u, std::vector<Hit> *b1,
+                             int t, int IS) {
+  int n_cells = (int)u->cells.size();
+  for (int i = 0; i < n_cells; ++i) {
+    Cell *p = &u->cells[i];
+    if (p->G >= t && p->ql - p->qk + 1 <= IS) {
+      Hit q;
+      q.k = p->qk;
+      q.l = p->ql;
+      q.len = p->qlen;
+      q.G = p->G;
+      q.G2 = 0;
+      q.beg = b.sa[u->tk];
+      q.end = q.beg + p->tlen;
+      q.flag = q.n_seeds = q.is_rev = 0;
+      b1->push_back(q);
+      p->qk = p->ql = 0;
+      p->G = 0;
+      if (p->ppos >= 0) u->cells[p->ppos].cpos[p->pj] = -3;
+    }
+  }
+}
+
+// Affine-gap cell update (fill_cell, bwtsw2_core.c:421-433).
+static inline int fill_cell(const Opt &o, int match_score, Cell *x,
+                            const Cell *cI, const Cell *cD, const Cell *cG) {
+  int G = cG ? cG->G + match_score : kMinusInf;
+  if (cI) {
+    x->I = cI->I > cI->G - o.q ? cI->I - o.r : cI->G - o.qr;
+    if (x->I > G) G = x->I;
+  } else {
+    x->I = kMinusInf;
+  }
+  if (cD) {
+    x->D = cD->D > cD->G - o.q ? cD->D - o.r : cD->G - o.qr;
+    if (x->D > G) G = x->D;
+  } else {
+    x->D = kMinusInf;
+  }
+  return x->G = G;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Runs the full DAG traversal for one read.  out_b must hold 2*read_len
+// Hit records (10 int64 each), zero-initialised by the caller; out_b1
+// receives the narrow hits (capacity b1_cap records).  Returns the number
+// of narrow hits, -1 on b1 overflow (caller re-runs with a larger buffer),
+// -2 on internal error.
+int64_t bsw2_core_run(const int64_t *g_ckpt, const uint32_t *g_words,
+                      int64_t g_seq_len, int64_t g_primary,
+                      const int64_t *g_L2, const uint8_t *read, int32_t l,
+                      int32_t a, int32_t b_pen, int32_t q_pen, int32_t r_pen,
+                      int32_t t_thres, int32_t z_best, int32_t is_intv,
+                      int32_t bw, int64_t *out_b, int64_t *out_b1,
+                      int64_t b1_cap) {
+  GenomeFM g{g_ckpt, g_words, g_seq_len, g_primary, g_L2};
+  Opt opt{a, b_pen, q_pen, r_pen, q_pen + r_pen, t_thres, z_best, is_intv, bw};
+  ReadBwt target;
+  if (build_read_bwt(read, l, &target) != 0) return -2;
+
+  std::unordered_map<uint64_t, uint64_t> chash;
+  connectivity(target, &chash);
+
+  int score_mat[16];
+  for (int i = 0; i < 4; ++i)
+    for (int j = 0; j < 4; ++j) score_mat[i << 2 | j] = (i == j) ? opt.a : -opt.b;
+
+  std::unordered_map<std::pair<int64_t, int64_t>, std::pair<int32_t, int32_t>,
+                     PairHash>
+      rhash;
+  Pool pool;
+  std::vector<Entry *> stack0;
+  std::vector<Entry *> pending;
+  int n_pending = 0;
+  std::vector<int32_t> heap((size_t)opt.z, 0);
+  std::vector<int32_t> scratch;
+
+  Hit *hits = reinterpret_cast<Hit *>(out_b);     // 2*l records
+  std::vector<Hit> b1;
+
+  {  // init_bwtsw2 (bwtsw2_core.c:435-447)
+    Entry *u = pool.alloc();
+    u->tk = 0;
+    u->tl = target.seq_len;
+    Cell x = kDefaultCell;
+    x.G = 0;
+    x.qk = 0;
+    x.ql = g.seq_len;
+    u->cells.push_back(x);
+    stack0.push_back(u);
+  }
+
+  while (!(stack0.empty() && n_pending == 0)) {
+    if (stack0.empty()) return -2;  // reference asserts here too
+    Entry *v = stack0.back();
+    stack0.pop_back();
+    int old_n = (int)v->cells.size();
+
+    // band-width / depth test (bwtsw2_core.c:488-495)
+    for (int i = 0; i < old_n; ++i) {
+      Cell *p = &v->cells[i];
+      if (p->ql == 0) continue;
+      if (p->tlen - p->qlen > opt.bw || p->qlen - p->tlen > opt.bw) {
+        p->qk = p->ql = 0;
+        if (p->ppos >= 0) v->cells[p->ppos].cpos[p->pj] = -5;
+      }
+    }
+
+    uint32_t tcntk[4], tcntl[4];
+    r_occ4(target, v->tk - 1, tcntk);
+    r_occ4(target, v->tl, tcntl);
+    for (int tj = 0; tj < 4; ++tj) {  // descend in the read suffix DAG
+      uint32_t tk = target.L2[tj] + tcntk[tj] + 1;
+      uint32_t tl = target.L2[tj] + tcntl[tj];
+      if (tk > tl) continue;
+      uint64_t key = (uint64_t)tk << 32 | tl;
+      auto iter = chash.find(key);
+      if (iter == chash.end()) return -2;
+      --iter->second;
+      Entry *u = pool.alloc();
+      u->tk = tk;
+      u->tl = tl;
+      std::fill(heap.begin(), heap.end(), 0);
+      const int *curr_score_mat = score_mat + tj * 4;
+
+      for (int i = 0; i < (int)v->cells.size(); ++i) {  // v grows in-loop
+        if (v->cells[i].ql == 0) continue;
+        const Cell pc = v->cells[i];  // snapshot of DP fields
+        Cell x = kDefaultCell;
+        x.G = kMinusInf;
+        x.upos = -1;
+        v->cells[i].upos = -1;
+        int is_added = 0;
+        if (pc.ppos >= 0) {  // parent visited: full affine update
+          int par_upos = v->cells[pc.ppos].upos;
+          const Cell *cI = par_upos >= 0 ? &u->cells[par_upos] : nullptr;
+          if (fill_cell(opt, curr_score_mat[pc.pj], &x, cI, &v->cells[i],
+                        &v->cells[pc.ppos]) > 0) {
+            x.ppos = par_upos;
+            int my_upos = (int)u->cells.size();
+            v->cells[i].upos = my_upos;
+            if (x.ppos >= 0) u->cells[x.ppos].cpos[pc.pj] = my_upos;
+            is_added = 1;
+          }
+        } else {  // only the deletion path is open
+          x.D = pc.D > pc.G - opt.q ? pc.D - opt.r : pc.G - opt.qr;
+          if (x.D > 0) {
+            x.G = x.D;
+            x.I = kMinusInf;
+            x.ppos = -1;
+            v->cells[i].upos = (int)u->cells.size();
+            is_added = 1;
+          }
+        }
+        if (is_added) {
+          x.cpos[0] = x.cpos[1] = x.cpos[2] = x.cpos[3] = -1;
+          x.pj = pc.pj;
+          x.qk = pc.qk;
+          x.ql = pc.ql;
+          x.qlen = pc.qlen;
+          x.tlen = pc.tlen + 1;
+          u->cells.push_back(x);
+          if (x.G > -heap[0]) {  // Z-best heap (bwtsw2_core.c:544-547)
+            heap[0] = -x.G;
+            heap_adjust(0, opt.z, heap.data());
+          }
+        }
+        // good node in u, or an original node of v: expand the query trie
+        if ((x.G > opt.qr && x.G >= -heap[0]) || i < old_n) {
+          if (v->cells[i].cpos[0] == -1 || v->cells[i].cpos[1] == -1 ||
+              v->cells[i].cpos[2] == -1 || v->cells[i].cpos[3] == -1) {
+            int64_t qcntk[4], qcntl[4];
+            g_occ4(g, pc.qk - 1, qcntk);
+            g_occ4(g, pc.ql, qcntl);
+            for (int qj = 0; qj < 4; ++qj) {
+              if (v->cells[i].cpos[qj] != -1) continue;
+              int64_t nk = g.L2[qj] + qcntk[qj] + 1;
+              int64_t nl = g.L2[qj] + qcntl[qj];
+              if (nk > nl) {
+                v->cells[i].cpos[qj] = -2;
+                continue;
+              }
+              Cell nc = kDefaultCell;
+              nc.G = nc.I = nc.D = kMinusInf;
+              nc.qk = nk;
+              nc.ql = nl;
+              nc.pj = qj;
+              nc.qlen = pc.qlen + 1;
+              nc.ppos = i;
+              nc.tlen = pc.tlen;
+              nc.cpos[0] = nc.cpos[1] = nc.cpos[2] = nc.cpos[3] = -1;
+              v->cells[i].cpos[qj] = (int)v->cells.size();
+              v->cells.push_back(nc);
+            }
+          }
+        }
+      }  // ~for(i)
+
+      if (!u->cells.empty()) save_hits(target, opt.t, hits, u);
+
+      {  // push u to the stack or the pending array (bwtsw2_core.c:568-601)
+        uint32_t cnt = (uint32_t)iter->second;
+        uint32_t pos = (uint32_t)(iter->second >> 32);
+        if (pos) {  // merge into the pending entry
+          Entry *w = pending[pos - 1];
+          if (!u->cells.empty()) {
+            if (w->cells.size() < u->cells.size()) {
+              std::swap(w, u);
+              pending[pos - 1] = w;
+            }
+            merge_entry(w, u);
+          }
+          if (cnt == 0) {  // all in-edges seen: move to the stack
+            remove_duplicate(w, &rhash);
+            save_narrow_hits(target, w, &b1, opt.t, opt.is);
+            cut_tail(w, opt.z, &scratch);
+            stack0.push_back(w);
+            pending[pos - 1] = nullptr;
+            --n_pending;
+          }
+          pool.release(u);
+        } else if (cnt) {  // first visit of a multi-in-edge node
+          if (!u->cells.empty()) {
+            ++n_pending;
+            pending.push_back(u);
+            iter->second = (uint64_t)pending.size() << 32 | cnt;
+          } else {
+            pool.release(u);
+          }
+        } else {  // single in-edge: straight to the stack
+          save_narrow_hits(target, u, &b1, opt.t, opt.is);
+          cut_tail(u, opt.z, &scratch);
+          stack0.push_back(u);
+        }
+      }
+    }  // ~for(tj)
+    pool.release(v);
+  }  // ~while
+
+  if ((int64_t)b1.size() > b1_cap) return -1;
+  std::memcpy(out_b1, b1.data(), b1.size() * sizeof(Hit));
+  return (int64_t)b1.size();
+}
+
+// Batched genome SA lookup: positions for SA ranks ks[0..n) (bwt_sa,
+// bwt.c:86-96), walking inverse-Psi to the nearest sampled entry.
+void fm_sa_batch(const int64_t *g_ckpt, const uint32_t *g_words,
+                 int64_t g_seq_len, int64_t g_primary, const int64_t *g_L2,
+                 const int64_t *ssa, int32_t sa_intv, const int64_t *ks,
+                 int64_t n, int64_t *out) {
+  GenomeFM g{g_ckpt, g_words, g_seq_len, g_primary, g_L2};
+  int64_t mask = sa_intv - 1;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t k = ks[i], s = 0;
+    while (k & mask) {
+      ++s;
+      k = g_inv_psi(g, k);
+    }
+    out[i] = s + ssa[k / sa_intv];
+  }
+}
+
+}  // extern "C"
