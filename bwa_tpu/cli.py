@@ -493,6 +493,9 @@ def main(argv=None) -> int:
         return fn(rest)
     if cmd == "bwasw":
         return main_bwasw(rest)
+    if cmd == "shm":
+        from bwa_tpu.shm import main_shm
+        return main_shm(rest)
     print(f"[main] unrecognized command '{cmd}'", file=sys.stderr)
     return 1
 

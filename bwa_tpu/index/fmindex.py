@@ -46,6 +46,21 @@ class FMIndex:
 
     @classmethod
     def load(cls, prefix) -> "FMIndex":
+        """Attach from shared memory when staged (bwa shm analog,
+        fastmap.c:362-366 probes shm first), else read the index files."""
+        from bwa_tpu import shm as shm_mod
+
+        fm = shm_mod.shm_attach(str(prefix))
+        if fm is not None:
+            import sys
+
+            print("[M::bwa_idx_load_from_shm] load the bwa index from "
+                  "shared memory", file=sys.stderr)
+            return fm
+        return cls.load_from_disk(prefix)
+
+    @classmethod
+    def load_from_disk(cls, prefix) -> "FMIndex":
         prefix = str(prefix)
         primary, L2, seq_len, ckpt, words = read_bwt_file(prefix + ".bwt")
         bnt = read_ann_amb(prefix)
