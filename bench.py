@@ -50,7 +50,8 @@ def _ensure_data():
         write_fasta(fa, contigs)
         reads = simulate_reads(contigs, N_READS, read_len=READ_LEN, seed=103)
         write_fastq(fq, reads)
-    if not (BENCH_DIR / "bench.fa.bwt").exists():
+    if (not (BENCH_DIR / "bench.fa.bwt").exists()
+            or not (BENCH_DIR / "bench.fa.sad.npy").exists()):
         from bwa_tpu.index.build import index_build
 
         index_build(fa)
@@ -79,9 +80,11 @@ def _time_ours(fa, fq):
         engine = make_engine(fm, "host")
     opt = MemOptions()
     reads = read_batch(SeqReader(fq), None, 1 << 62)
-    # warm up jit on a small slice so compile time isn't in the measurement
-    warm = [r for r in reads[:8]]
-    process_seqs(opt, engine, fm, warm)
+    # warm-up pass: compile (or load from the persistent jit cache) every
+    # program at the measurement shapes; the timed run is steady-state
+    process_seqs(opt, engine, fm, reads)
+    for r in reads:
+        r.sam = ""
     t0 = time.perf_counter()
     process_seqs(opt, engine, fm, reads)
     dt = time.perf_counter() - t0

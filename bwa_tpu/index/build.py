@@ -139,8 +139,27 @@ def index_build(fasta_path, prefix=None) -> str:
     rows_sa[1:] = sa
     samples = rows_sa[np.arange(n_sa, dtype=np.int64) * SA_INTV]
     write_sa_file(prefix + ".sa", primary, L2, SA_INTV, n, samples)
+    write_sad_sidecar(prefix, rows_sa, n)
     log.info("index written to %s.*", prefix)
     return prefix
+
+
+# genomes up to this doubled-text size get a dense rank->position sidecar
+SAD_MAX_LEN = 1 << 28
+
+
+def write_sad_sidecar(prefix: str, rows_sa: np.ndarray, n: int) -> None:
+    """Dense SA sidecar `<prefix>.sad.npy` (our own acceleration file; the
+    reference-format .sa stays byte-identical).  sad[k] is exactly what the
+    bwt_sa walk returns for rank k — in particular sad[0] = -1, matching
+    the reference's bwt->sa[0] = (bwtint_t)-1 (bwt.c:77-84) — so dense
+    lookup and the 31-step inverse-Psi walk are interchangeable."""
+    if n + 1 > SAD_MAX_LEN:
+        return
+    cdt = np.int32 if n + 2 < 2**31 else np.int64
+    sad = rows_sa.astype(cdt, copy=True)
+    sad[0] = -1
+    np.save(prefix + ".sad.npy", sad)
 
 
 def read_bwt_file(path):

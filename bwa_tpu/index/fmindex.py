@@ -35,6 +35,7 @@ class FMIndex:
     ssa: np.ndarray         # [n_sa] coord dtype
     bnt: Bnt
     pac: np.ndarray         # packed forward ref, uint8
+    prefix: str | None = None
 
     @property
     def l_pac(self) -> int:
@@ -70,7 +71,7 @@ class FMIndex:
         pac = load_pac(prefix, bnt.l_pac)
         return cls(primary=primary, L2=L2.astype(np.int64), seq_len=seq_len,
                    ckpt=ckpt.astype(cdt), words=words, sa_intv=sa_intv,
-                   ssa=ssa, bnt=bnt, pac=pac)
+                   ssa=ssa, bnt=bnt, pac=pac, prefix=prefix)
 
     @classmethod
     def build(cls, fasta_path, prefix=None) -> "FMIndex":
@@ -113,9 +114,25 @@ class FMIndex:
         pac_full = pack_codes(fwd)
         pac = np.zeros(len(fwd) // 4 + 1, dtype=np.uint8)
         pac[: pac_full.shape[0]] = pac_full[: pac.shape[0]]
-        return cls(primary=primary, L2=L2, seq_len=n,
-                   ckpt=ckpt.astype(cdt), words=words, sa_intv=SA_INTV,
-                   ssa=ssa.astype(cdt), bnt=bnt, pac=pac)
+        fmi = cls(primary=primary, L2=L2, seq_len=n,
+                  ckpt=ckpt.astype(cdt), words=words, sa_intv=SA_INTV,
+                  ssa=ssa.astype(cdt), bnt=bnt, pac=pac)
+        sad = rows_sa.astype(cdt, copy=True)
+        sad[0] = -1
+        fmi.__dict__["sad"] = sad
+        return fmi
+
+    @cached_property
+    def sad(self):
+        """Dense rank->position SA (the .sad.npy sidecar) or None; turns
+        every bwt_sa batch into one fancy-index on the host."""
+        if self.prefix:
+            import os
+
+            p = self.prefix + ".sad.npy"
+            if os.path.exists(p):
+                return np.load(p, mmap_mode="r")
+        return None
 
     @cached_property
     def pac_codes(self) -> np.ndarray:

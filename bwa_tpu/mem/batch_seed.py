@@ -66,6 +66,68 @@ def collect_intv_batch(opt, engine, codes_list, cap_s: int = 96) -> list[list[tu
     return mems
 
 
+def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 48):
+    """Device seeding straight to the flat arrays finalize_se_arrays
+    consumes — no per-seed Python objects on the hot path.  Requires the
+    dense SA sidecar (fm.sad).  Returns (iv_off, iv_x2, iv_start, iv_end,
+    rbegs, rb_off) or None when a bucket needs the exactness fallback
+    (seed-count/stack overflow) — the caller then uses the tuple path."""
+    B = len(codes_list)
+    sad = fm.sad
+    if B == 0 or sad is None:
+        return None
+    max_occ = opt.max_occ
+    iv_off = [np.zeros(1, np.int32)]
+    iv_x2 = []
+    iv_start = []
+    iv_end = []
+    rbegs = []
+    rb_off = [np.zeros(1, np.int32)]
+    iv_base = 0
+    rb_base = 0
+    for lo in range(0, B, BATCH_BUCKET):
+        chunk = codes_list[lo:lo + BATCH_BUCKET]
+        nb = len(chunk)
+        L = _len_bucket(max(len(c) for c in chunk))
+        q, lens = _pad_reads(chunk, L)
+        if nb < BATCH_BUCKET:
+            q = np.concatenate(
+                [q, np.full((BATCH_BUCKET - nb, L), 4, np.uint8)])
+            lens = np.concatenate(
+                [lens, np.zeros(BATCH_BUCKET - nb, np.int32)])
+        s0, s1, s2, ss, se, sn = engine.collect_seeds(q, lens, opt, cap_s)
+        sn_v = sn[:nb].astype(np.int64)
+        if (sn_v > cap_s).any():
+            return None  # rare: redo the batch through the tuple path
+        mask = np.arange(cap_s)[None, :] < sn_v[:, None]
+        k0 = s0[:nb][mask].astype(np.int64)
+        x2 = s2[:nb][mask].astype(np.int64)
+        start = ss[:nb][mask].astype(np.int32)
+        end = se[:nb][mask].astype(np.int32)
+        counts = np.where(x2 > max_occ, max_occ, x2)
+        step = np.where(x2 > max_occ, x2 // max_occ, 1)
+        tot = int(counts.sum())
+        csum = np.cumsum(counts)
+        grp = np.repeat(np.arange(len(counts)), counts)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(csum - counts,
+                                                            counts)
+        ranks = k0[grp] + step[grp] * within
+        rbegs.append(np.asarray(sad[ranks], dtype=np.int64))
+        iv_x2.append(x2)
+        iv_start.append(start)
+        iv_end.append(end)
+        iv_off.append((iv_base + np.cumsum(sn_v)).astype(np.int32))
+        rb_off.append((rb_base + csum).astype(np.int32))
+        iv_base += int(sn_v.sum())
+        rb_base += tot
+    return (np.concatenate(iv_off),
+            np.concatenate(iv_x2) if iv_x2 else np.zeros(0, np.int64),
+            np.concatenate(iv_start) if iv_start else np.zeros(0, np.int32),
+            np.concatenate(iv_end) if iv_end else np.zeros(0, np.int32),
+            np.concatenate(rbegs) if rbegs else np.zeros(0, np.int64),
+            np.concatenate(rb_off))
+
+
 def collect_intv_batch_unfused(opt, engine, codes_list) -> list[list[tuple]]:
     """Host-driven variant (one device call per pass step); kept as a
     cross-check for the fused program."""

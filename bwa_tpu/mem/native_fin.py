@@ -89,6 +89,41 @@ def finalize_se_batch(opt, fm, ref_blob: RefBlob, reads, codes_list,
                       mems_list, caches, n_processed: int,
                       rg_id: str | None) -> list[str]:
     """Run the full post-seeding SE pipeline in C++; returns SAM per read."""
+    n = len(reads)
+    iv_off = np.zeros(n + 1, np.int32)
+    iv_x2 = []
+    iv_start = []
+    iv_end = []
+    rbegs = []
+    rb_off = [0]
+    for i, mems in enumerate(mems_list):
+        iv_off[i + 1] = iv_off[i] + len(mems)
+        for iv in mems:
+            iv_x2.append(iv[2])
+            iv_start.append(iv[3] >> 32)
+            iv_end.append(iv[3] & 0xFFFFFFFF)
+            # sampled occurrences in reference order (bwamem.c:304-305)
+            step = iv[2] // opt.max_occ if iv[2] > opt.max_occ else 1
+            k = 0
+            count = 0
+            cache = caches[i]
+            while k < iv[2] and count < opt.max_occ:
+                rbegs.append(cache[iv[0] + k])
+                k += step
+                count += 1
+            rb_off.append(len(rbegs))
+    return finalize_se_arrays(
+        opt, fm, ref_blob, reads, codes_list,
+        iv_off, np.array(iv_x2, np.int64), np.array(iv_start, np.int32),
+        np.array(iv_end, np.int32), np.array(rbegs, np.int64),
+        np.array(rb_off, np.int32), n_processed, rg_id)
+
+
+def finalize_se_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
+                       iv_off, iv_x2, iv_start, iv_end, rbegs_a, rb_off_a,
+                       n_processed: int, rg_id: str | None) -> list[str]:
+    """The ctypes call itself, over pre-flattened seed/occurrence arrays
+    (either from the tuple path above or collect_se_flat)."""
     lib = _lib()
     n = len(reads)
     blob = pack_opt(opt)
@@ -115,34 +150,12 @@ def finalize_se_batch(opt, fm, ref_blob: RefBlob, reads, codes_list,
     names_b, name_off = blobify([r.name for r in reads])
     quals_b, qual_off = blobify([r.qual for r in reads])
     comm_b, comm_off = blobify([r.comment for r in reads])
-
-    iv_off = np.zeros(n + 1, np.int32)
-    iv_x2 = []
-    iv_start = []
-    iv_end = []
-    rbegs = []
-    rb_off = [0]
-    for i, mems in enumerate(mems_list):
-        iv_off[i + 1] = iv_off[i] + len(mems)
-        for iv in mems:
-            iv_x2.append(iv[2])
-            iv_start.append(iv[3] >> 32)
-            iv_end.append(iv[3] & 0xFFFFFFFF)
-            # sampled occurrences in reference order (bwamem.c:304-305)
-            step = iv[2] // opt.max_occ if iv[2] > opt.max_occ else 1
-            k = 0
-            count = 0
-            cache = caches[i]
-            while k < iv[2] and count < opt.max_occ:
-                rbegs.append(cache[iv[0] + k])
-                k += step
-                count += 1
-            rb_off.append(len(rbegs))
-    iv_x2 = np.array(iv_x2, np.int64)
-    iv_start = np.array(iv_start, np.int32)
-    iv_end = np.array(iv_end, np.int32)
-    rbegs_a = np.array(rbegs, np.int64)
-    rb_off_a = np.array(rb_off, np.int32)
+    iv_off = np.ascontiguousarray(iv_off, np.int32)
+    iv_x2 = np.ascontiguousarray(iv_x2, np.int64)
+    iv_start = np.ascontiguousarray(iv_start, np.int32)
+    iv_end = np.ascontiguousarray(iv_end, np.int32)
+    rbegs_a = np.ascontiguousarray(rbegs_a, np.int64)
+    rb_off_a = np.ascontiguousarray(rb_off_a, np.int32)
 
     out_off = np.zeros(n + 1, np.int64)
     cap = max(1 << 20, 1024 * n)

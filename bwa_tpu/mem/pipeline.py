@@ -127,13 +127,23 @@ def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
     if not (opt.flag & MEM_F_PE) and not (opt.flag & MEM_F_PRIMARY5) \
             and use_native:
         # SE fast path: whole post-seeding pipeline in the C++ extension
-        from bwa_tpu.mem.native_fin import RefBlob, finalize_se_batch
+        from bwa_tpu.mem.native_fin import (RefBlob, finalize_se_arrays,
+                                            finalize_se_batch)
 
-        mems_list, caches = _collect_batch(opt, engine, fm, codes)
         if not hasattr(fm, "_ref_blob"):
             fm._ref_blob = RefBlob(fm)
-        sams = finalize_se_batch(opt, fm, fm._ref_blob, reads, codes,
-                                 mems_list, caches, n_processed, rg_id)
+        flat = None
+        if hasattr(engine, "collect_seeds"):
+            from bwa_tpu.mem.batch_seed import collect_se_flat
+
+            flat = collect_se_flat(opt, engine, fm, codes)
+        if flat is not None:
+            sams = finalize_se_arrays(opt, fm, fm._ref_blob, reads, codes,
+                                      *flat, n_processed, rg_id)
+        else:
+            mems_list, caches = _collect_batch(opt, engine, fm, codes)
+            sams = finalize_se_batch(opt, fm, fm._ref_blob, reads, codes,
+                                     mems_list, caches, n_processed, rg_id)
         for r, s in zip(reads, sams):
             r.sam = s
         return

@@ -616,6 +616,10 @@ class BatchedFMEngine:
     def sa_many(self, ks: np.ndarray) -> np.ndarray:
         if len(ks) == 0:
             return np.zeros(0, dtype=np.int64)
+        sad = self.fm.sad
+        if sad is not None:  # dense sidecar: one host fancy-index
+            return np.asarray(sad[np.asarray(ks, dtype=np.int64)],
+                              dtype=np.int64)
         # pad to the next power of two: each distinct shape recompiles
         n = len(ks)
         cap = 1 << max(8, (n - 1).bit_length())
@@ -662,22 +666,32 @@ class BatchedFMEngine:
         i32 = jnp.int32
         seeds = jnp.zeros((B, cap_s, 5), cdt)
         seed_n = jnp.zeros(B, i32)
-        seeds, seed_n = fm_machine.smem_machine(
+        # interval stacks use a small cap: typical prev/curr lists hold a
+        # handful of rows, and per-step cost streams the whole buffer; the
+        # rare deeper read is flagged by the machine and redone on host
+        stack_cap = min(int(os.environ.get("BWA_TPU_STACK_CAP", "16")), L + 2)
+        seeds, seed_n, st1, ov1 = fm_machine.smem_machine(
             self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
             np.int32(split_len), cdt(opt.split_width), seeds, seed_n,
-            jnp.zeros(B, i32), cap=L + 2, cap_s=cap_s, pass2=False)
+            jnp.zeros(B, i32), cap=stack_cap, cap_s=cap_s, pass2=False)
         old_n = seed_n
-        seeds, seed_n = fm_machine.smem_machine(
+        seeds, seed_n, st2, ov2 = fm_machine.smem_machine(
             self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
             np.int32(split_len), cdt(opt.split_width), seeds, seed_n,
-            old_n, cap=L + 2, cap_s=cap_s, pass2=True)
+            old_n, cap=stack_cap, cap_s=cap_s, pass2=True)
+        st3 = None
         if opt.max_mem_intv > 0:
-            seeds, seed_n = fm_machine.seed3_machine(
+            seeds, seed_n, st3 = fm_machine.seed3_machine(
                 self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
                 cdt(opt.max_mem_intv), seeds, seed_n, cap_s=cap_s)
+        self.last_steps = tuple(
+            int(jax.device_get(s)) if s is not None else 0
+            for s in (st1, st2, st3))
         seeds = fm_machine.sort_seeds(seeds, seed_n, key64=bool(L >= 32768))
         sd = np.asarray(jax.device_get(seeds))
         sn = np.asarray(jax.device_get(seed_n))
+        ovf = np.asarray(jax.device_get(ov1 | ov2))
+        sn = np.where(ovf, cap_s + 1, sn)  # force the host-redo path
         return (sd[:, :, 0], sd[:, :, 1], sd[:, :, 2],
                 sd[:, :, 3].astype(np.int32), sd[:, :, 4].astype(np.int32), sn)
 
