@@ -10,7 +10,7 @@ from bwa_tpu.aln import samse as se
 from bwa_tpu.aln.opts import BWA_AVG_ERR, GapOpt, cal_maxdiff
 from bwa_tpu.aln.sai import SaiReader, SaiWriter
 from bwa_tpu.aln.search import cal_width, match_gap
-from bwa_tpu.aln.seqio import read_bt_seqs
+from bwa_tpu.aln.seqio import open_reads, read_bt_seqs
 from bwa_tpu.index.fmindex import FMIndex
 from bwa_tpu.io.fastq import SeqReader
 from bwa_tpu.utils.rand48 import Rand48
@@ -24,7 +24,7 @@ def aln_core(prefix, fn_fa, opt: GapOpt, out_fp) -> None:
     from bwa_tpu.engine import make_engine
 
     engine = make_engine(fm, "host")  # scalar spec; device frontier later
-    reader = SeqReader(fn_fa)
+    reader = open_reads(opt.mode, fn_fa)
     writer = SaiWriter(out_fp, opt)
     tot = 0
     while True:
@@ -67,7 +67,7 @@ def samse_core(prefix, fn_sa, fn_fa, n_occ, rg_id, rg_line, out) -> None:
         opt = sai.opt
         pg = f"@PG\tID:bwa\tPN:bwa-tpu\tVN:{__version__}\tCL:bwa-tpu samse"
         out.write(_hdr_lines(fm.bnt, rg_line, pg))
-        reader = SeqReader(fn_fa)
+        reader = open_reads(opt.mode, fn_fa)
         while True:
             seqs = read_bt_seqs(reader, CHUNK, opt.mode, opt.trim_qual)
             if not seqs:

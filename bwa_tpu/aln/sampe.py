@@ -21,7 +21,7 @@ from bwa_tpu.aln.sai import SaiReader
 from bwa_tpu.aln.samse import (BWA_TYPE_MATESW, BWA_TYPE_NO_MATCH,
                                BWA_TYPE_REPEAT, BWA_TYPE_UNIQUE, SAM_FPD,
                                SAM_FPP, SAM_FR1, SAM_FR2, g_log_n)
-from bwa_tpu.aln.seqio import read_bt_seqs, seq_reverse
+from bwa_tpu.aln.seqio import open_reads, read_bt_seqs, seq_reverse
 from bwa_tpu.index.fmindex import FMIndex
 from bwa_tpu.io.fastq import SeqReader
 from bwa_tpu.options import fill_scmat
@@ -378,7 +378,8 @@ def sampe_core(prefix, fn_sa, fn_fa, popt: PEOpt, rg_id, rg_line, out) -> None:
     fps = [open(fn_sa[0], "rb"), open(fn_sa[1], "rb")]
     sais = [SaiReader(fps[0]), SaiReader(fps[1])]
     opt0, opt = sais[0].opt, sais[1].opt
-    readers = [SeqReader(fn_fa[0]), SeqReader(fn_fa[1])]
+    readers = [open_reads(opt0.mode, fn_fa[0]),
+               open_reads(opt.mode if len(fn_fa) > 1 else opt0.mode, fn_fa[1])]
     last_ii = IsizeInfo()
     pg = f"@PG\tID:bwa\tPN:bwa-tpu\tVN:{__version__}\tCL:bwa-tpu sampe"
     out.write(_hdr_lines(fm.bnt, rg_line, pg))

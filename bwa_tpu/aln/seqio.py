@@ -75,9 +75,68 @@ def trim_read(trim_qual: int, qual: bytes, length: int) -> int:
     return max_l
 
 
-def read_bt_seqs(reader: SeqReader, n_needed: int, mode: int,
+def open_reads(mode: int, fn: str):
+    """bwa_open_reads (bwtaln.c:146-157): BAM when BWA_MODE_BAM, with the
+    which-mask from -0/-1/-2, else FASTQ/FASTA."""
+    from bwa_tpu.aln.opts import (BWA_MODE_BAM, BWA_MODE_BAM_READ1,
+                                  BWA_MODE_BAM_READ2, BWA_MODE_BAM_SE)
+
+    if mode & BWA_MODE_BAM:
+        from bwa_tpu.io.bam import BamReader
+
+        which = 0
+        if mode & BWA_MODE_BAM_SE:
+            which |= 4
+        if mode & BWA_MODE_BAM_READ1:
+            which |= 1
+        if mode & BWA_MODE_BAM_READ2:
+            which |= 2
+        if which == 0:
+            which = 7
+        rd = BamReader(fn)
+        rd.which = which
+        return rd
+    return SeqReader(fn)
+
+
+def read_bam_seqs(reader, n_needed: int, is_comp: bool,
+                  trim_qual: int) -> list[BtSeq]:
+    """bwa_read_bam (bwaseqio.c:94-148)."""
+    from bwa_tpu.io.bam import BAM_FREAD1, BAM_FREAD2, BAM_FREVERSE
+
+    which = reader.which
+    out: list[BtSeq] = []
+    for rec in reader:
+        go = ((which & 1) and (rec.flag & BAM_FREAD1)) or \
+             ((which & 2) and (rec.flag & BAM_FREAD2)) or \
+             ((which & 4) and not (rec.flag & (BAM_FREAD1 | BAM_FREAD2)))
+        if not go:
+            continue
+        codes = np.frombuffer(rec.nt4_codes(), dtype=np.uint8).copy()
+        qual = bytearray(min(q + 33, 126) for q in rec.qual)
+        if rec.flag & BAM_FREVERSE:  # stored reverse-complemented
+            codes = seq_reverse(codes, True)
+            qual = qual[::-1]
+        full_len = length = rec.l_qseq
+        if trim_qual >= 1:
+            length = trim_read(trim_qual, qual, length)
+        fwd = codes[:length]
+        out.append(BtSeq(name=rec.name,
+                         seq=seq_reverse(fwd, False),
+                         rseq=seq_reverse(fwd, is_comp),
+                         full_codes=codes,
+                         qual=qual, len=length, full_len=full_len,
+                         clip_len=length))
+        if len(out) == n_needed:
+            break
+    return out
+
+
+def read_bt_seqs(reader, n_needed: int, mode: int,
                  trim_qual: int) -> list[BtSeq]:
     is_comp = bool(mode & BWA_MODE_COMPREAD)
+    if not isinstance(reader, SeqReader):  # BAM input (aln -b)
+        return read_bam_seqs(reader, n_needed, is_comp, trim_qual)
     is_64 = bool(mode & BWA_MODE_IL13)
     l_bc = mode >> 24
     out: list[BtSeq] = []
