@@ -35,15 +35,26 @@ def _lib():
             i32p, i64p, i32p, i32p, i64p, i32p,
             ctypes.c_char_p, ctypes.c_int64, i64p,
         ]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.mem_finalize_pe_batch.restype = ctypes.c_int64
+        lib.mem_finalize_pe_batch.argtypes = [
+            ctypes.c_void_p,
+            u8p, ctypes.c_int64, i64p, i32p, u8p, ctypes.c_char_p, i32p, c,
+            c, u8p, i64p, ctypes.c_char_p, i64p, ctypes.c_char_p, i64p,
+            ctypes.c_char_p, i64p, ctypes.c_int64, ctypes.c_char_p,
+            i32p, i64p, i32p, i32p, i64p, i32p,
+            f64p, c,
+            ctypes.c_char_p, ctypes.c_int64, i64p,
+        ]
         _configured = True
     return lib
 
 
 def pack_opt(opt) -> bytes:
     """Must match struct MemOpt in memfin.cpp (17 ints, pad, 6 doubles,
-    2 ints, 25 int8, tail padding)."""
+    5 ints, 25 int8, tail padding)."""
     blob = struct.pack(
-        "<17i4x6d2i25b",
+        "<17i4x6d5i25b",
         opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
         opt.pen_clip5, opt.pen_clip3, opt.w, opt.zdrop,
         opt.T, opt.flag, opt.min_seed_len, opt.min_chain_weight,
@@ -53,6 +64,7 @@ def pack_opt(opt) -> bytes:
         float(opt.XA_drop_ratio), float(opt.mask_level_redun),
         float(opt.mapQ_coef_len), float(opt.mapQ_coef_fac),
         opt.max_XA_hits, opt.max_XA_hits_alt,
+        opt.pen_unpaired, opt.max_matesw, opt.max_ins,
         *[int(v) for v in np.asarray(opt.mat, dtype=np.int8).reshape(-1)])
     want = _lib().memfin_opt_size()
     if len(blob) < want:
@@ -181,6 +193,87 @@ def finalize_se_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
             iv_off.ctypes.data_as(i32p), iv_x2.ctypes.data_as(i64p),
             iv_start.ctypes.data_as(i32p), iv_end.ctypes.data_as(i32p),
             rbegs_a.ctypes.data_as(i64p), rb_off_a.ctypes.data_as(i32p),
+            out, cap, out_off.ctypes.data_as(i64p))
+        return rc, out
+
+    rc, out = run(cap)
+    if rc < 0:
+        rc, out = run(-rc)
+    assert rc >= 0
+    raw = out.raw[:rc].decode()
+    return [raw[out_off[i]:out_off[i + 1]] for i in range(n)]
+
+
+def finalize_pe_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
+                       iv_off, iv_x2, iv_start, iv_end, rbegs_a, rb_off_a,
+                       n_processed: int, pes0, rg_id: str | None) -> list[str]:
+    """Full post-seeding PE pipeline in C++ (mem_finalize_pe_batch)."""
+    lib = _lib()
+    n = len(reads)
+    blob = pack_opt(opt)
+
+    l_off = np.zeros(n + 1, np.int64)
+    for i, c in enumerate(codes_list):
+        l_off[i + 1] = l_off[i] + len(c)
+    codes_flat = np.concatenate(codes_list) if n else np.zeros(0, np.uint8)
+    codes_flat = np.ascontiguousarray(codes_flat, np.uint8)
+
+    def blobify(items):
+        out = []
+        offs = np.full(n, -1, np.int64)
+        pos = 0
+        for i, s in enumerate(items):
+            if s is None:
+                continue
+            b = s if isinstance(s, bytes) else s.encode()
+            offs[i] = pos
+            out.append(b + b"\x00")
+            pos += len(b) + 1
+        return b"".join(out), offs
+
+    names_b, name_off = blobify([r.name for r in reads])
+    quals_b, qual_off = blobify([r.qual for r in reads])
+    comm_b, comm_off = blobify([r.comment for r in reads])
+    iv_off = np.ascontiguousarray(iv_off, np.int32)
+    iv_x2 = np.ascontiguousarray(iv_x2, np.int64)
+    iv_start = np.ascontiguousarray(iv_start, np.int32)
+    iv_end = np.ascontiguousarray(iv_end, np.int32)
+    rbegs_a = np.ascontiguousarray(rbegs_a, np.int64)
+    rb_off_a = np.ascontiguousarray(rb_off_a, np.int32)
+    pes_arr = np.zeros(20, np.float64)
+    has_pes0 = 0
+    if pes0 is not None:
+        has_pes0 = 1
+        for d in range(4):
+            p = pes0[d]
+            pes_arr[d * 5:d * 5 + 5] = (p.failed, p.low, p.high, p.avg, p.std)
+
+    out_off = np.zeros(n + 1, np.int64)
+    cap = max(1 << 20, 1024 * n)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    def run(cap):
+        out = ctypes.create_string_buffer(cap)
+        rc = lib.mem_finalize_pe_batch(
+            blob,
+            ref_blob.pac.ctypes.data_as(u8p), ref_blob.l_pac,
+            ref_blob.offsets.ctypes.data_as(i64p),
+            ref_blob.lens.ctypes.data_as(i32p),
+            ref_blob.is_alt.ctypes.data_as(u8p),
+            ref_blob.names, ref_blob.name_off.ctypes.data_as(i32p),
+            ref_blob.n,
+            n, codes_flat.ctypes.data_as(u8p), l_off.ctypes.data_as(i64p),
+            names_b, name_off.ctypes.data_as(i64p),
+            quals_b, qual_off.ctypes.data_as(i64p),
+            comm_b, comm_off.ctypes.data_as(i64p),
+            n_processed, (rg_id or "").encode(),
+            iv_off.ctypes.data_as(i32p), iv_x2.ctypes.data_as(i64p),
+            iv_start.ctypes.data_as(i32p), iv_end.ctypes.data_as(i32p),
+            rbegs_a.ctypes.data_as(i64p), rb_off_a.ctypes.data_as(i32p),
+            pes_arr.ctypes.data_as(f64p), has_pes0,
             out, cap, out_off.ctypes.data_as(i64p))
         return rc, out
 

@@ -117,6 +117,31 @@ def _collect_batch(opt, engine, fm, codes):
     return mems_list, caches
 
 
+def _flatten_tuple_seeds(opt, mems_list, caches):
+    """Tuple-path seeds -> the flat arrays the C++ finalize consumes."""
+    n = len(mems_list)
+    iv_off = np.zeros(n + 1, np.int32)
+    iv_x2, iv_start, iv_end, rbegs, rb_off = [], [], [], [], [0]
+    for i, mems in enumerate(mems_list):
+        iv_off[i + 1] = iv_off[i] + len(mems)
+        for iv in mems:
+            iv_x2.append(iv[2])
+            iv_start.append(iv[3] >> 32)
+            iv_end.append(iv[3] & 0xFFFFFFFF)
+            step = iv[2] // opt.max_occ if iv[2] > opt.max_occ else 1
+            k = 0
+            count = 0
+            cache = caches[i]
+            while k < iv[2] and count < opt.max_occ:
+                rbegs.append(cache[iv[0] + k])
+                k += step
+                count += 1
+            rb_off.append(len(rbegs))
+    return (iv_off, np.array(iv_x2, np.int64), np.array(iv_start, np.int32),
+            np.array(iv_end, np.int32), np.array(rbegs, np.int64),
+            np.array(rb_off, np.int32))
+
+
 def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
                  pes0=None, rg_id: str | None = None) -> None:
     """mem_process_seqs (bwamem.c:1235-1264): fills read.sam."""
@@ -124,6 +149,25 @@ def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
 
     codes = [to_codes(r.seq) for r in reads]
     use_native = os.environ.get("BWA_TPU_FINALIZE", "native") == "native"
+    if (opt.flag & MEM_F_PE) and use_native and reads:
+        # PE fast path: rescue/pairing/SAM in the C++ extension
+        from bwa_tpu.mem.native_fin import RefBlob, finalize_pe_arrays
+
+        if not hasattr(fm, "_ref_blob"):
+            fm._ref_blob = RefBlob(fm)
+        flat = None
+        if hasattr(engine, "collect_seeds"):
+            from bwa_tpu.mem.batch_seed import collect_se_flat
+
+            flat = collect_se_flat(opt, engine, fm, codes)
+        if flat is None:
+            mems_list, caches = _collect_batch(opt, engine, fm, codes)
+            flat = _flatten_tuple_seeds(opt, mems_list, caches)
+        sams = finalize_pe_arrays(opt, fm, fm._ref_blob, reads, codes,
+                                  *flat, n_processed, pes0, rg_id)
+        for r, s in zip(reads, sams):
+            r.sam = s
+        return
     if not (opt.flag & MEM_F_PE) and not (opt.flag & MEM_F_PRIMARY5) \
             and use_native:
         # SE fast path: whole post-seeding pipeline in the C++ extension

@@ -14,6 +14,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <algorithm>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -32,13 +33,16 @@ struct MemOpt {  // subset of mem_opt_t used by the finalize stages
   double mask_level, drop_ratio, XA_drop_ratio, mask_level_redun;
   double mapQ_coef_len, mapQ_coef_fac;
   int max_XA_hits, max_XA_hits_alt;
+  int pen_unpaired, max_matesw, max_ins;  // PE stages
   int8_t mat[25];
 };
 
 // flag bits (bwamem.h)
 enum {
+  MEM_F_NOPAIRING = 0x4,
   MEM_F_ALL = 0x8,
   MEM_F_NO_MULTI = 0x10,
+  MEM_F_NO_RESCUE = 0x20,
   MEM_F_SOFTCLIP = 0x200,
   MEM_F_PRIMARY5 = 0x800,
   MEM_F_KEEP_SUPP_MAPQ = 0x1000,
@@ -835,6 +839,7 @@ Aln reg2aln(const MemOpt &o, const RefView &r, int l_query,
 
 int patch_reg(const MemOpt &o, const RefView &r, const uint8_t *query,
               const Reg &a, const Reg &b, int *_w) {
+  if (query == nullptr) return 0;  // mem_patch_reg with bns/pac/query==0
   const double PATCH_MAX_R_BW = 0.05, PATCH_MIN_SC_RATIO = 0.90;
   if (!query) return 0;
   assert(a.rid == b.rid && a.rb <= b.rb);
@@ -1064,11 +1069,28 @@ void aln2sam(const MemOpt &o, const RefView &r, const char *name,
              const char *comment, int n, const std::vector<Aln> &list,
              int which, const Aln *m_, const char *rg_id, std::string &str) {
   Aln p = list[which];
+  Aln m;
+  bool have_m = m_ != nullptr;
+  if (have_m) m = *m_;
   char buf[32];
-  p.flag |= m_ ? 0x1 : 0;
+  // flags (bwamem.c:858-866)
+  p.flag |= have_m ? 0x1 : 0;
   p.flag |= p.rid < 0 ? 0x4 : 0;
-  // SE path: no mate handling beyond flags (m_ == nullptr here)
+  p.flag |= (have_m && m.rid < 0) ? 0x8 : 0;
+  if (p.rid < 0 && have_m && m.rid >= 0) {  // copy mate position over
+    p.rid = m.rid;
+    p.pos = m.pos;
+    p.is_rev = m.is_rev;
+    p.cigar.clear();
+  }
+  if (have_m && m.rid < 0 && p.rid >= 0) {
+    m.rid = p.rid;
+    m.pos = p.pos;
+    m.is_rev = p.is_rev;
+    m.cigar.clear();
+  }
   p.flag |= p.is_rev ? 0x10 : 0;
+  p.flag |= (have_m && m.is_rev) ? 0x20 : 0;
 
   str += name;
   str += '\t';
@@ -1087,7 +1109,24 @@ void aln2sam(const MemOpt &o, const RefView &r, const char *name,
     cigar_text(o, p, which, str);
   } else str += "*\t0\t0\t*";
   str += '\t';
-  str += "*\t0\t0";
+  if (have_m && m.rid >= 0) {  // RNEXT/PNEXT/TLEN (bwamem.c:881-895)
+    if (p.rid == m.rid) str += '=';
+    else str += r.bns.names + r.bns.name_off[m.rid];
+    str += '\t';
+    snprintf(buf, sizeof buf, "%lld", (long long)(m.pos + 1));
+    str += buf;
+    str += '\t';
+    if (p.rid == m.rid) {
+      int64_t p0 = p.pos + (p.is_rev ? rlen_of(p.cigar) - 1 : 0);
+      int64_t p1 = m.pos + (m.is_rev ? rlen_of(m.cigar) - 1 : 0);
+      if (m.cigar.empty() || p.cigar.empty()) str += '0';
+      else {
+        snprintf(buf, sizeof buf, "%lld",
+                 (long long)-(p0 - p1 + (p0 > p1 ? 1 : p0 < p1 ? -1 : 0)));
+        str += buf;
+      }
+    } else str += '0';
+  } else str += "*\t0\t0";
   str += '\t';
 
   if (p.flag & 0x100) {
@@ -1128,6 +1167,15 @@ void aln2sam(const MemOpt &o, const RefView &r, const char *name,
     str += buf;
     str += "\tMD:Z:";
     str += p.md;
+  }
+  if (have_m && !m.cigar.empty()) {
+    str += "\tMC:Z:";
+    cigar_text(o, m, which, str);
+  }
+  if (have_m) {
+    str += "\tMQ:i:";
+    snprintf(buf, sizeof buf, "%d", m.mapq);
+    str += buf;
   }
   if (p.score >= 0) {
     str += "\tAS:i:";
@@ -1245,7 +1293,7 @@ void gen_alt(const MemOpt &o, const RefView &r, const std::vector<Reg> &regs,
 void reg2sam_se(const MemOpt &o, const RefView &r, const char *name,
                 const uint8_t *codes, int l_seq, const char *qual,
                 const char *comment, std::vector<Reg> &regs, int extra_flag,
-                const char *rg_id, std::string &out) {
+                const Aln *mate, const char *rg_id, std::string &out) {
   std::vector<std::string> XA;
   bool have_xa = false;
   if (!(o.flag & MEM_F_ALL)) {
@@ -1278,13 +1326,399 @@ void reg2sam_se(const MemOpt &o, const RefView &r, const char *name,
     Aln t = reg2aln(o, r, l_seq, codes, nullptr);
     t.flag |= extra_flag;
     std::vector<Aln> one{t};
-    aln2sam(o, r, name, codes, l_seq, qual, comment, 1, one, 0, nullptr,
+    aln2sam(o, r, name, codes, l_seq, qual, comment, 1, one, 0, mate,
             rg_id, out);
   } else {
     for (int k = 0; k < (int)aa.size(); ++k)
       aln2sam(o, r, name, codes, l_seq, qual, comment, (int)aa.size(), aa, k,
-              nullptr, rg_id, out);
+              mate, rg_id, out);
   }
+}
+
+
+// ---------------------------------------------------------------------------
+// Paired-end machinery (bwamem_pair.c)
+// ---------------------------------------------------------------------------
+
+struct PeStat {  // mem_pestat_t
+  int low = 0, high = 0, failed = 0;
+  double avg = 0.0, std = 0.0;
+};
+
+// mem_infer_dir (bwamem_pair.c:49-56)
+inline int infer_dir(int64_t l_pac, int64_t b1, int64_t b2, int64_t *dist) {
+  int r1 = b1 >= l_pac, r2 = b2 >= l_pac;
+  int64_t p2 = r1 == r2 ? b2 : (l_pac << 1) - 1 - b2;
+  *dist = p2 > b1 ? p2 - b1 : b1 - p2;
+  return (r1 == r2 ? 0 : 1) ^ (p2 > b1 ? 0 : 3);
+}
+
+// cal_sub (bwamem_pair.c:58-70)
+inline int cal_sub(const MemOpt &o, const std::vector<Reg> &r) {
+  for (int j = 1; j < (int)r.size(); ++j) {
+    int b_max = r[j].qb > r[0].qb ? r[j].qb : r[0].qb;
+    int e_min = r[j].qe < r[0].qe ? r[j].qe : r[0].qe;
+    if (e_min > b_max) {
+      int min_l = (int)std::min(r[j].qe - r[j].qb, r[0].qe - r[0].qb);
+      if (e_min - b_max >= min_l * o.mask_level) return r[j].score;
+    }
+  }
+  return o.min_seed_len * o.a;
+}
+
+// mem_pestat (bwamem_pair.c:72-135)
+void pe_stat(const MemOpt &o, int64_t l_pac,
+             const std::vector<std::vector<Reg>> &regs, PeStat pes[4]) {
+  const double kMinRatio = 0.8, kOutlier = 2.0, kMapping = 3.0, kMaxStd = 4.0;
+  std::vector<int64_t> isize[4];
+  int n = (int)regs.size();
+  for (int i = 0; i < n >> 1; ++i) {
+    const std::vector<Reg> &r0 = regs[i * 2], &r1 = regs[i * 2 + 1];
+    if (r0.empty() || r1.empty()) continue;
+    if (cal_sub(o, r0) > kMinRatio * r0[0].score) continue;
+    if (cal_sub(o, r1) > kMinRatio * r1[0].score) continue;
+    if (r0[0].rid != r1[0].rid) continue;
+    int64_t dist;
+    int d = infer_dir(l_pac, r0[0].rb, r1[0].rb, &dist);
+    if (dist && dist <= o.max_ins) isize[d].push_back(dist);
+  }
+  fprintf(stderr,
+          "[M::mem_pestat] # candidate unique pairs for (FF, FR, RF, RR): "
+          "(%ld, %ld, %ld, %ld)\n",
+          (long)isize[0].size(), (long)isize[1].size(),
+          (long)isize[2].size(), (long)isize[3].size());
+  for (int d = 0; d < 4; ++d) {
+    PeStat &r = pes[d];
+    std::vector<int64_t> &q = isize[d];
+    if ((int)q.size() < 10) {  // MIN_DIR_CNT
+      fprintf(stderr,
+              "[M::mem_pestat] skip orientation %c%c as there are not enough "
+              "pairs\n", "FR"[d >> 1 & 1], "FR"[d & 1]);
+      r.failed = 1;
+      continue;
+    }
+    fprintf(stderr,
+            "[M::mem_pestat] analyzing insert size distribution for "
+            "orientation %c%c...\n", "FR"[d >> 1 & 1], "FR"[d & 1]);
+    std::sort(q.begin(), q.end());
+    int p25 = (int)q[(int)(.25 * q.size() + .499)];
+    int p50 = (int)q[(int)(.50 * q.size() + .499)];
+    int p75 = (int)q[(int)(.75 * q.size() + .499)];
+    r.low = (int)(p25 - kOutlier * (p75 - p25) + .499);
+    if (r.low < 1) r.low = 1;
+    r.high = (int)(p75 + kOutlier * (p75 - p25) + .499);
+    fprintf(stderr, "[M::mem_pestat] (25, 50, 75) percentile: (%d, %d, %d)\n",
+            p25, p50, p75);
+    fprintf(stderr,
+            "[M::mem_pestat] low and high boundaries for computing mean and "
+            "std.dev: (%d, %d)\n", r.low, r.high);
+    int x = 0;
+    r.avg = 0;
+    for (int64_t v : q)
+      if (v >= r.low && v <= r.high) r.avg += v, ++x;
+    r.avg /= x;
+    r.std = 0;
+    for (int64_t v : q)
+      if (v >= r.low && v <= r.high) r.std += (v - r.avg) * (v - r.avg);
+    r.std = std::sqrt(r.std / x);
+    fprintf(stderr, "[M::mem_pestat] mean and std.dev: (%.2f, %.2f)\n",
+            r.avg, r.std);
+    r.low = (int)(p25 - kMapping * (p75 - p25) + .499);
+    r.high = (int)(p75 + kMapping * (p75 - p25) + .499);
+    if (r.low > r.avg - kMaxStd * r.std) r.low = (int)(r.avg - kMaxStd * r.std + .499);
+    if (r.high < r.avg + kMaxStd * r.std) r.high = (int)(r.avg + kMaxStd * r.std + .499);
+    if (r.low < 1) r.low = 1;
+    fprintf(stderr,
+            "[M::mem_pestat] low and high boundaries for proper pairs: "
+            "(%d, %d)\n", r.low, r.high);
+  }
+  size_t mx = 0;
+  for (int d = 0; d < 4; ++d) mx = std::max(mx, isize[d].size());
+  for (int d = 0; d < 4; ++d)
+    if (pes[d].failed == 0 && isize[d].size() < mx * .05) {  // MIN_DIR_RATIO
+      pes[d].failed = 1;
+      fprintf(stderr, "[M::mem_pestat] skip orientation %c%c\n",
+              "FR"[d >> 1 & 1], "FR"[d & 1]);
+    }
+}
+
+// mem_matesw (bwamem_pair.c:137-206)
+int mate_sw(const MemOpt &o, const RefView &r, const PeStat pes[4],
+            const Reg &a, int l_ms, const uint8_t *ms, std::vector<Reg> &ma) {
+  int skip[4];
+  for (int d = 0; d < 4; ++d) skip[d] = pes[d].failed ? 1 : 0;
+  for (const Reg &p : ma) {
+    int64_t dist;
+    int d = infer_dir(r.l_pac, a.rb, p.rb, &dist);
+    if (dist >= pes[d].low && dist <= pes[d].high) skip[d] = 1;
+  }
+  if (skip[0] + skip[1] + skip[2] + skip[3] == 4) return 0;
+  int n = 0;
+  for (int d = 0; d < 4; ++d) {
+    if (skip[d]) continue;
+    int is_rev = (d >> 1) != (d & 1);
+    int is_larger = !(d >> 1);
+    std::vector<uint8_t> seq(l_ms);
+    if (is_rev) {
+      for (int i = 0; i < l_ms; ++i)
+        seq[l_ms - 1 - i] = ms[i] < 4 ? 3 - ms[i] : 4;
+    } else {
+      std::copy(ms, ms + l_ms, seq.begin());
+    }
+    int64_t rb, re;
+    if (!is_rev) {
+      rb = is_larger ? a.rb + pes[d].low : a.rb - pes[d].high;
+      re = (is_larger ? a.rb + pes[d].high : a.rb - pes[d].low) + l_ms;
+    } else {
+      rb = (is_larger ? a.rb + pes[d].low : a.rb - pes[d].high) - l_ms;
+      re = is_larger ? a.rb + pes[d].high : a.rb - pes[d].low;
+    }
+    if (rb < 0) rb = 0;
+    if (re > r.l_pac << 1) re = r.l_pac << 1;
+    std::vector<uint8_t> ref;
+    int rid = -1;
+    if (rb < re) fetch_seq(r, rb, (rb + re) >> 1, re, &rid, ref);
+    if (a.rid == rid && re - rb >= o.min_seed_len) {
+      int use_byte = l_ms * o.a < 250;
+      int32_t outv[7];
+      bt_ksw_align2(l_ms, seq.data(), (int)(re - rb), ref.data(), 5, o.mat,
+                    o.o_del, o.e_del, o.o_ins, o.e_ins, use_byte,
+                    /*start*/ 1, /*subo*/ 1, /*stop*/ 0,
+                    o.min_seed_len * o.a, outv);
+      int score = outv[0], te = outv[1], qe = outv[2], score2 = outv[3];
+      int tb = outv[5], qb = outv[6];
+      if (score >= o.min_seed_len && qb >= 0) {
+        Reg b;
+        b.rid = a.rid;
+        b.is_alt = a.is_alt;
+        b.qb = is_rev ? l_ms - (qe + 1) : qb;
+        b.qe = is_rev ? l_ms - qb : qe + 1;
+        b.rb = is_rev ? (r.l_pac << 1) - (rb + te + 1) : rb + tb;
+        b.re = is_rev ? (r.l_pac << 1) - (rb + tb) : rb + te + 1;
+        b.score = score;
+        b.csub = score2;
+        b.secondary = -1;
+        b.seedcov = (int)(std::min(b.re - b.rb, (int64_t)(b.qe - b.qb)) >> 1);
+        // insert keeping ma sorted by score (bwamem_pair.c:191-197)
+        ma.push_back(b);
+        int i = 0;
+        while (i < (int)ma.size() - 1 && ma[i].score >= b.score) ++i;
+        for (int j = (int)ma.size() - 1; j > i; --j) ma[j] = ma[j - 1];
+        ma[i] = b;
+      }
+      ++n;
+    }
+    if (n) sort_dedup_patch(o, r, nullptr, ma);
+  }
+  return n;
+}
+
+inline int raw_mapq(int diff, int a) { return (int)(6.02 * diff / a + .499); }
+
+struct Pair64 { uint64_t x, y; };
+inline bool pair64_lt(const Pair64 &a, const Pair64 &b) {
+  return a.x < b.x || (a.x == b.x && a.y < b.y);
+}
+
+// mem_pair (bwamem_pair.c:208-269); returns score or 0; fills sub/n_sub/z
+int mem_pair(const MemOpt &o, const RefView &r, const PeStat pes[4],
+             std::vector<Reg> a[2], int64_t id, const int n_pri[2],
+             int *sub, int *n_sub, int z[2]) {
+  std::vector<Pair64> v, u;
+  for (int rr = 0; rr < 2; ++rr) {
+    for (int i = 0; i < n_pri[rr]; ++i) {
+      const Reg &e = a[rr][i];
+      Pair64 p;
+      int64_t xf = e.rb < r.l_pac ? e.rb : (r.l_pac << 1) - 1 - e.rb;
+      p.x = (uint64_t)e.rid << 32 | (uint64_t)(xf - r.bns.offset[e.rid]);
+      p.y = (uint64_t)e.score << 32 | (uint64_t)i << 2 |
+            (uint64_t)(e.rb >= r.l_pac) << 1 | rr;
+      v.push_back(p);
+    }
+  }
+  ks_introsort(v.size(), v.data(), pair64_lt);
+  int y[4] = {-1, -1, -1, -1};
+  for (int i = 0; i < (int)v.size(); ++i) {
+    for (int rr = 0; rr < 2; ++rr) {
+      int dir = rr << 1 | (int)(v[i].y >> 1 & 1);
+      if (pes[dir].failed) continue;
+      int which = rr << 1 | ((int)(v[i].y & 1) ^ 1);
+      if (y[which] < 0) continue;
+      for (int k = y[which]; k >= 0; --k) {
+        if ((int)(v[k].y & 3) != which) continue;
+        int64_t dist = (int64_t)(v[i].x - v[k].x);
+        if (dist > pes[dir].high) break;
+        if (dist < pes[dir].low) continue;
+        double ns = (dist - pes[dir].avg) / pes[dir].std;
+        int q = (int)((v[i].y >> 32) + (v[k].y >> 32) +
+                      .721 * std::log(2. * std::erfc(std::fabs(ns) *
+                                                     0.7071067811865475244)) *
+                          o.a + .499);
+        if (q < 0) q = 0;
+        Pair64 p;
+        p.y = (uint64_t)k << 32 | (uint64_t)i;
+        p.x = (uint64_t)q << 32 |
+              (hash_64(p.y ^ (uint64_t)id << 8) & 0xffffffffu);
+        u.push_back(p);
+      }
+    }
+    y[v[i].y & 3] = i;
+  }
+  int ret = 0;
+  *sub = *n_sub = 0;
+  if (!u.empty()) {
+    int tmp = std::max(o.a + o.b,
+                       std::max(o.o_del + o.e_del, o.o_ins + o.e_ins));
+    ks_introsort(u.size(), u.data(), pair64_lt);
+    int i = (int)(u.back().y >> 32);
+    int k = (int)(u.back().y & 0xffffffffu);
+    z[v[i].y & 1] = (int)((v[i].y & 0xffffffffu) >> 2);
+    z[v[k].y & 1] = (int)((v[k].y & 0xffffffffu) >> 2);
+    ret = (int)(u.back().x >> 32);
+    *sub = u.size() > 1 ? (int)(u[u.size() - 2].x >> 32) : 0;
+    for (int j = (int)u.size() - 2; j >= 0; --j)
+      if (*sub - (int)(u[j].x >> 32) <= tmp) ++*n_sub;
+  }
+  return ret;
+}
+
+// mem_sam_pe (bwamem_pair.c:276-419); fills sam0/sam1
+int sam_pe(const MemOpt &o, const RefView &r, const PeStat pes[4],
+           int64_t pair_id, const char *name, const uint8_t *codes[2],
+           const int l_seq[2], const char *qual[2], const char *comment[2],
+           std::vector<Reg> a[2], const char *rg_id, std::string sams[2]) {
+  int n = 0, extra_flag = 1;
+  if (!(o.flag & MEM_F_NO_RESCUE)) {  // mate rescue
+    std::vector<Reg> b[2];
+    for (int i = 0; i < 2; ++i)
+      for (const Reg &reg : a[i])
+        if (!a[i].empty() && reg.score >= a[i][0].score - o.pen_unpaired)
+          b[i].push_back(reg);
+    for (int i = 0; i < 2; ++i)
+      for (int j = 0; j < (int)b[i].size() && j < o.max_matesw; ++j)
+        n += mate_sw(o, r, pes, b[i][j], l_seq[1 - i], codes[1 - i],
+                     a[1 - i]);
+  }
+  int n_pri[2] = {mark_primary_se(o, a[0], pair_id << 1 | 0),
+                  mark_primary_se(o, a[1], pair_id << 1 | 1)};
+  if (o.flag & MEM_F_PRIMARY5) {
+    reorder_primary5(o.T, a[0]);
+    reorder_primary5(o.T, a[1]);
+  }
+  if (!(o.flag & MEM_F_NOPAIRING)) {
+    int subo = 0, n_sub = 0, z[2] = {0, 0};
+    int score = (n_pri[0] && n_pri[1])
+                    ? mem_pair(o, r, pes, a, pair_id, n_pri, &subo, &n_sub, z)
+                    : 0;
+    if (score > 0) {
+      // check multiple hits even after rescue (bwamem_pair.c:312-320)
+      int is_multi[2] = {0, 0};
+      for (int i = 0; i < 2; ++i)
+        for (int j = 1; j < n_pri[i]; ++j)
+          if (a[i][j].secondary < 0 && a[i][j].score >= o.T) {
+            is_multi[i] = 1;
+            break;
+          }
+      if (!is_multi[0] && !is_multi[1]) {
+        int score_un = a[0][0].score + a[1][0].score - o.pen_unpaired;
+        subo = subo > score_un ? subo : score_un;
+        int q_pe = raw_mapq(score - subo, o.a);
+        if (n_sub > 0) q_pe -= (int)(4.343 * std::log(n_sub + 1) + .499);
+        if (q_pe < 0) q_pe = 0;
+        if (q_pe > 60) q_pe = 60;
+        q_pe = (int)(q_pe * (1. - .5 * (a[0][0].frac_rep +
+                                        a[1][0].frac_rep)) + .499);
+        int q_se[2] = {0, 0};
+        if (score > score_un) {  // paired alignment preferred
+          for (int i = 0; i < 2; ++i) {
+            Reg &c = a[i][z[i]];
+            if (c.secondary >= 0) {
+              c.sub = a[i][c.secondary].score;
+              c.secondary = -2;
+            }
+            q_se[i] = approx_mapq_se(o, c);
+          }
+          for (int i = 0; i < 2; ++i)
+            q_se[i] = q_se[i] > q_pe ? q_se[i]
+                                     : std::min(q_pe, q_se[i] + 40);
+          extra_flag |= 2;
+          for (int i = 0; i < 2; ++i) {
+            const Reg &c = a[i][z[i]];
+            q_se[i] = std::min(q_se[i], raw_mapq(c.score - c.csub, o.a));
+          }
+        } else {
+          z[0] = z[1] = 0;
+          q_se[0] = approx_mapq_se(o, a[0][0]);
+          q_se[1] = approx_mapq_se(o, a[1][0]);
+        }
+        for (int i = 0; i < 2; ++i) {  // promote to primary (350-359)
+          int k = a[i][z[i]].secondary_all;
+          if (k >= 0 && k < n_pri[i]) {
+            for (int j = 0; j < (int)a[i].size(); ++j)
+              if (a[i][j].secondary_all == k || j == k)
+                a[i][j].secondary_all = z[i];
+            a[i][z[i]].secondary_all = -1;
+          }
+        }
+        std::vector<std::string> XA[2];
+        bool have_xa = false;
+        if (!(o.flag & MEM_F_ALL)) {
+          for (int i = 0; i < 2; ++i)
+            gen_alt(o, r, a[i], l_seq[i], codes[i], XA[i]);
+          have_xa = true;
+        }
+        Aln h[2];
+        std::vector<Aln> aa[2];
+        for (int i = 0; i < 2; ++i) {
+          h[i] = reg2aln(o, r, l_seq[i], codes[i], &a[i][z[i]]);
+          h[i].mapq = q_se[i];
+          h[i].flag |= (0x40 << i) | extra_flag;
+          if (have_xa && !XA[i].empty()) h[i].XA = XA[i][z[i]];
+          aa[i].push_back(h[i]);
+          if (n_pri[i] < (int)a[i].size()) {  // ALT supplementary
+            const Reg &p = a[i][n_pri[i]];
+            if (p.score < o.T || p.secondary >= 0 || !p.is_alt) continue;
+            Aln g = reg2aln(o, r, l_seq[i], codes[i], &p);
+            g.flag |= 0x800 | (0x40 << i) | extra_flag;
+            if (have_xa && !XA[i].empty()) g.XA = XA[i][n_pri[i]];
+            aa[i].push_back(std::move(g));
+          }
+        }
+        for (int k = 0; k < (int)aa[0].size(); ++k)
+          aln2sam(o, r, name, codes[0], l_seq[0], qual[0], comment[0],
+                  (int)aa[0].size(), aa[0], k, &h[1], rg_id, sams[0]);
+        for (int k = 0; k < (int)aa[1].size(); ++k)
+          aln2sam(o, r, name, codes[1], l_seq[1], qual[1], comment[1],
+                  (int)aa[1].size(), aa[1], k, &h[0], rg_id, sams[1]);
+        return n;
+      }
+    }
+  }
+  // no_pairing (bwamem_pair.c:397-418)
+  Aln h[2];
+  for (int i = 0; i < 2; ++i) {
+    int which = -1;
+    if (!a[i].empty()) {
+      if (a[i][0].score >= o.T) which = 0;
+      else if (n_pri[i] < (int)a[i].size() &&
+               a[i][n_pri[i]].score >= o.T)
+        which = n_pri[i];
+    }
+    h[i] = reg2aln(o, r, l_seq[i], codes[i],
+                   which >= 0 ? &a[i][which] : nullptr);
+  }
+  if (!(o.flag & MEM_F_NOPAIRING) && h[0].rid == h[1].rid && h[0].rid >= 0 &&
+      !a[0].empty() && !a[1].empty()) {
+    int64_t dist;
+    int d = infer_dir(r.l_pac, a[0][0].rb, a[1][0].rb, &dist);
+    if (!pes[d].failed && dist >= pes[d].low && dist <= pes[d].high)
+      extra_flag |= 2;
+  }
+  reg2sam_se(o, r, name, codes[0], l_seq[0], qual[0], comment[0], a[0],
+             0x41 | extra_flag, &h[1], rg_id, sams[0]);
+  reg2sam_se(o, r, name, codes[1], l_seq[1], qual[1], comment[1], a[1],
+             0x81 | extra_flag, &h[0], rg_id, sams[1]);
+  return n;
 }
 
 }  // namespace
@@ -1346,9 +1780,89 @@ int64_t mem_finalize_se_batch(
     const char *comment =
         comment_off[i] >= 0 ? comments + comment_off[i] : nullptr;
     reg2sam_se(o, r, names + name_off[i], codes, l_query, qual, comment,
-               regs, 0, rg_id, sam);
+               regs, 0, nullptr, rg_id, sam);
     all += sam;
     out_off[i + 1] = (int64_t)all.size();
+  }
+  if ((int64_t)all.size() > out_cap) return -(int64_t)all.size();
+  memcpy(out, all.data(), all.size());
+  return (int64_t)all.size();
+}
+
+
+// Finalize a batch of PE reads (even count, pairs interleaved).  Same flat
+// layout as the SE entry; pes0 (4x[failed,low,high,avg,std] doubles) is
+// used when has_pes0, otherwise the insert-size distribution is inferred
+// from this batch (mem_pestat).  id0 is n_processed (read granularity).
+int64_t mem_finalize_pe_batch(
+    const void *opt_blob,
+    const uint8_t *pac, int64_t l_pac, const int64_t *ctg_offset,
+    const int32_t *ctg_len, const uint8_t *ctg_is_alt, const char *ctg_names,
+    const int32_t *ctg_name_off, int32_t n_ctg,
+    int32_t n_reads, const uint8_t *codes_flat, const int64_t *l_off,
+    const char *names, const int64_t *name_off, const char *quals,
+    const int64_t *qual_off, const char *comments, const int64_t *comment_off,
+    int64_t id0, const char *rg_id,
+    const int32_t *iv_off, const int64_t *iv_x2, const int32_t *iv_start,
+    const int32_t *iv_end, const int64_t *rbegs, const int32_t *rb_off,
+    const double *pes0, int32_t has_pes0,
+    char *out, int64_t out_cap, int64_t *out_off) {
+  const MemOpt &o = *(const MemOpt *)opt_blob;
+  RefView r{pac, l_pac,
+            {ctg_offset, ctg_len, ctg_is_alt, ctg_names, ctg_name_off, n_ctg}};
+  // phase 1: per-read alignment regions (worker1)
+  std::vector<std::vector<Reg>> regs(n_reads);
+  for (int32_t i = 0; i < n_reads; ++i) {
+    const uint8_t *codes = codes_flat + l_off[i];
+    int l_query = (int)(l_off[i + 1] - l_off[i]);
+    std::vector<Chain> chains;
+    int iv0 = iv_off[i], iv1 = iv_off[i + 1];
+    chain_read(o, r, l_query, iv1 - iv0, iv_x2 + iv0, iv_start + iv0,
+               iv_end + iv0, rbegs, rb_off + iv0, chains);
+    chain_flt(o, chains);
+    flt_chained_seeds(o, r, l_query, codes, chains);
+    for (const Chain &c : chains) chain2aln(o, r, l_query, codes, c, regs[i]);
+    sort_dedup_patch(o, r, codes, regs[i]);
+    for (Reg &p : regs[i])
+      if (p.rid >= 0 && r.bns.is_alt[p.rid]) p.is_alt = 1;
+  }
+  // phase 2: insert-size statistics (the one batch-global sync)
+  PeStat pes[4];
+  if (has_pes0) {
+    for (int d = 0; d < 4; ++d) {
+      pes[d].failed = (int)pes0[d * 5 + 0];
+      pes[d].low = (int)pes0[d * 5 + 1];
+      pes[d].high = (int)pes0[d * 5 + 2];
+      pes[d].avg = pes0[d * 5 + 3];
+      pes[d].std = pes0[d * 5 + 4];
+    }
+  } else {
+    pe_stat(o, l_pac, regs, pes);
+  }
+  // phase 3: per-pair rescue/pairing/SAM (worker2)
+  std::string all;
+  out_off[0] = 0;
+  for (int32_t i = 0; i < n_reads >> 1; ++i) {
+    std::vector<Reg> a[2] = {std::move(regs[i * 2]),
+                             std::move(regs[i * 2 + 1])};
+    const uint8_t *codes[2] = {codes_flat + l_off[i * 2],
+                               codes_flat + l_off[i * 2 + 1]};
+    int l_seq[2] = {(int)(l_off[i * 2 + 1] - l_off[i * 2]),
+                    (int)(l_off[i * 2 + 2] - l_off[i * 2 + 1])};
+    const char *qual[2] = {
+        qual_off[i * 2] >= 0 ? quals + qual_off[i * 2] : nullptr,
+        qual_off[i * 2 + 1] >= 0 ? quals + qual_off[i * 2 + 1] : nullptr};
+    const char *comment[2] = {
+        comment_off[i * 2] >= 0 ? comments + comment_off[i * 2] : nullptr,
+        comment_off[i * 2 + 1] >= 0 ? comments + comment_off[i * 2 + 1]
+                                    : nullptr};
+    std::string sams[2];
+    sam_pe(o, r, pes, (id0 >> 1) + i, names + name_off[i * 2], codes, l_seq,
+           qual, comment, a, rg_id, sams);
+    all += sams[0];
+    out_off[i * 2 + 1] = (int64_t)all.size();
+    all += sams[1];
+    out_off[i * 2 + 2] = (int64_t)all.size();
   }
   if ((int64_t)all.size() > out_cap) return -(int64_t)all.size();
   memcpy(out, all.data(), all.size());
