@@ -68,7 +68,9 @@ class MemOptions:
     XA_drop_ratio: float = 0.80
     mask_level_redun: float = 0.95
     mapQ_coef_len: float = 50.0
-    mapQ_coef_fac: float = field(default_factory=lambda: math.log(50.0))
+    # the reference stores this in an *int* field (bwamem.h:79), so
+    # log(50)=3.91 truncates to 3 — observable in near-tie ALT mapq
+    mapQ_coef_fac: int = field(default_factory=lambda: int(math.log(50.0)))
     max_ins: int = 10000
     max_matesw: int = 50
     max_XA_hits: int = 5

@@ -1,0 +1,59 @@
+"""Multi-host sharding: 2-host merged SAM == single-host == oracle."""
+
+import subprocess
+from pathlib import Path
+
+import pytest
+
+DATA = Path("/tmp/bwa_tpu_testdata")
+
+
+@pytest.fixture(scope="module")
+def mh_reads(small_genome):
+    from datagen import random_genome, simulate_reads, write_fastq
+
+    fq = DATA / "mh_se.fq"
+    if not fq.exists():
+        contigs = random_genome(200_000, seed=7, n_contigs=2)
+        reads = simulate_reads(contigs, 400, read_len=150, seed=57,
+                               err_rate=0.01, indel_rate=0.001)
+        write_fastq(fq, reads)
+    return fq
+
+
+def test_two_host_merge_matches_oracle(oracle_bwa, small_genome, mh_reads,
+                                       tmp_path):
+    from bwa_tpu.options import MemOptions
+    from bwa_tpu.parallel.multihost import align_shard, merge_shards
+
+    # small chunks so the run spans several batches
+    def mk_opt():
+        o = MemOptions()
+        o.chunk_size = 20_000
+        o.n_threads = 1
+        return o
+
+    shard = tmp_path / "shards"
+    n0 = align_shard(str(small_genome), str(mh_reads), None, 0, 2,
+                     str(shard), opt=mk_opt(), engine_kind="host")
+    n1 = align_shard(str(small_genome), str(mh_reads), None, 1, 2,
+                     str(shard), opt=mk_opt(), engine_kind="host")
+    assert n0 + n1 >= 3  # actually sharded across several batches
+    merged = tmp_path / "merged.sam"
+    merge_shards(str(shard), str(merged))
+
+    # single "host" with identical chunking
+    shard1 = tmp_path / "one"
+    align_shard(str(small_genome), str(mh_reads), None, 0, 1, str(shard1),
+                opt=mk_opt(), engine_kind="host")
+    single = tmp_path / "single.sam"
+    merge_shards(str(shard1), str(single))
+    assert merged.read_text() == single.read_text()
+
+    # oracle with the same -K chunking (body lines; headers differ by @PG)
+    r = subprocess.run([str(oracle_bwa), "mem", "-K", "20000",
+                        str(small_genome), str(mh_reads)],
+                       check=True, capture_output=True)
+    oracle_body = "".join(l + "\n" for l in r.stdout.decode().splitlines()
+                          if not l.startswith("@"))
+    assert merged.read_text() == oracle_body
