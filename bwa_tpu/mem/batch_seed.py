@@ -66,7 +66,7 @@ def collect_intv_batch(opt, engine, codes_list, cap_s: int = 96) -> list[list[tu
     return mems
 
 
-def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 48):
+def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
     """Device seeding straight to the flat arrays finalize_se_arrays
     consumes — no per-seed Python objects on the hot path.  Requires the
     dense SA sidecar (fm.sad).  Returns (iv_off, iv_x2, iv_start, iv_end,
@@ -95,11 +95,16 @@ def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 48):
                 [q, np.full((BATCH_BUCKET - nb, L), 4, np.uint8)])
             lens = np.concatenate(
                 [lens, np.zeros(BATCH_BUCKET - nb, np.int32)])
-        s0, s1, s2, ss, se, sn = engine.collect_seeds(q, lens, opt, cap_s)
+        cs = cap_s
+        s0, s1, s2, ss, se, sn = engine.collect_seeds(q, lens, opt, cs)
         sn_v = sn[:nb].astype(np.int64)
-        if (sn_v > cap_s).any():
-            return None  # rare: redo the batch through the tuple path
-        mask = np.arange(cap_s)[None, :] < sn_v[:, None]
+        if (sn_v > cs).any():  # seed-rich bucket: retry with a roomier cap
+            cs = 96
+            s0, s1, s2, ss, se, sn = engine.collect_seeds(q, lens, opt, cs)
+            sn_v = sn[:nb].astype(np.int64)
+            if (sn_v > cs).any():
+                return None  # rare: redo the batch through the tuple path
+        mask = np.arange(cs)[None, :] < sn_v[:, None]
         k0 = s0[:nb][mask].astype(np.int64)
         x2 = s2[:nb][mask].astype(np.int64)
         start = ss[:nb][mask].astype(np.int32)

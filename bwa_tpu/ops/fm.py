@@ -670,12 +670,12 @@ class BatchedFMEngine:
         # handful of rows, and per-step cost streams the whole buffer; the
         # rare deeper read is flagged by the machine and redone on host
         stack_cap = min(int(os.environ.get("BWA_TPU_STACK_CAP", "16")), L + 2)
-        seeds, seed_n, st1, ov1 = fm_machine.smem_machine(
+        seeds, seed_n, st1, ov1, ds1 = fm_machine.smem_machine(
             self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
             np.int32(split_len), cdt(opt.split_width), seeds, seed_n,
             jnp.zeros(B, i32), cap=stack_cap, cap_s=cap_s, pass2=False)
         old_n = seed_n
-        seeds, seed_n, st2, ov2 = fm_machine.smem_machine(
+        seeds, seed_n, st2, ov2, ds2 = fm_machine.smem_machine(
             self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
             np.int32(split_len), cdt(opt.split_width), seeds, seed_n,
             old_n, cap=stack_cap, cap_s=cap_s, pass2=True)
@@ -684,6 +684,8 @@ class BatchedFMEngine:
             seeds, seed_n, st3 = fm_machine.seed3_machine(
                 self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
                 cdt(opt.max_mem_intv), seeds, seed_n, cap_s=cap_s)
+        self.last_done = (np.asarray(jax.device_get(ds1)),
+                          np.asarray(jax.device_get(ds2)))
         self.last_steps = tuple(
             int(jax.device_get(s)) if s is not None else 0
             for s in (st1, st2, st3))

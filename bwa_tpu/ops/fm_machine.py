@@ -98,6 +98,7 @@ def smem_machine(idx, q, qlen, next_valid, min_seed_len, split_len,
         seeds=seeds_in, seed_n=seed_n_in,
         steps=jnp.zeros((), i32),
         ovf=jnp.zeros(B, bool),
+        done_step=jnp.zeros(B, i32),
     )
     keys = list(st.keys())
 
@@ -260,13 +261,16 @@ def smem_machine(idx, q, qlen, next_valid, min_seed_len, split_len,
             d["job"] = jnp.where(call_over, d["ret"], d["job"])
         d["phase"] = jnp.where(call_over, P_NEXT, d["phase"])
         d["steps"] = d["steps"] + 1
+        d["done_step"] = jnp.where((d["phase"] == P_DONE)
+                                   & (d["done_step"] == 0),
+                                   d["steps"], d["done_step"])
 
         return tuple(d[k] for k in keys)
 
     t = tuple(st[k] for k in keys)
     t = lax.while_loop(cond, body, t)
     d = dict(zip(keys, t))
-    return d["seeds"], d["seed_n"], d["steps"], d["ovf"]
+    return d["seeds"], d["seed_n"], d["steps"], d["ovf"], d["done_step"]
 
 
 @partial(jax.jit, static_argnames=("cap_s",))
