@@ -670,29 +670,134 @@ class BatchedFMEngine:
         # handful of rows, and per-step cost streams the whole buffer; the
         # rare deeper read is flagged by the machine and redone on host
         stack_cap = min(int(os.environ.get("BWA_TPU_STACK_CAP", "16")), L + 2)
-        seeds, seed_n, st1, ov1, ds1 = fm_machine.smem_machine(
-            self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
-            np.int32(split_len), cdt(opt.split_width), seeds, seed_n,
-            jnp.zeros(B, i32), cap=stack_cap, cap_s=cap_s, pass2=False)
-        old_n = seed_n
-        seeds, seed_n, st2, ov2, ds2 = fm_machine.smem_machine(
-            self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
-            np.int32(split_len), cdt(opt.split_width), seeds, seed_n,
-            old_n, cap=stack_cap, cap_s=cap_s, pass2=True)
-        st3 = None
-        if opt.max_mem_intv > 0:
-            seeds, seed_n, st3 = fm_machine.seed3_machine(
+        if os.environ.get("BWA_TPU_SEED_MACHINE", "unified") == "split":
+            # three-call cross-check path
+            seeds, seed_n, st1, ov1, ds1 = fm_machine.smem_machine(
                 self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
-                cdt(opt.max_mem_intv), seeds, seed_n, cap_s=cap_s)
-        self.last_done = (np.asarray(jax.device_get(ds1)),
-                          np.asarray(jax.device_get(ds2)))
-        self.last_steps = tuple(
-            int(jax.device_get(s)) if s is not None else 0
-            for s in (st1, st2, st3))
+                np.int32(split_len), cdt(opt.split_width), seeds, seed_n,
+                jnp.zeros(B, i32), cap=stack_cap, cap_s=cap_s, pass2=False)
+            old_n = seed_n
+            seeds, seed_n, st2, ov2, ds2 = fm_machine.smem_machine(
+                self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
+                np.int32(split_len), cdt(opt.split_width), seeds, seed_n,
+                old_n, cap=stack_cap, cap_s=cap_s, pass2=True)
+            st3 = None
+            if opt.max_mem_intv > 0:
+                seeds, seed_n, st3 = fm_machine.seed3_machine(
+                    self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
+                    cdt(opt.max_mem_intv), seeds, seed_n, cap_s=cap_s)
+            self.last_done = (np.asarray(jax.device_get(ds1)),
+                              np.asarray(jax.device_get(ds2)))
+            self.last_steps = tuple(
+                int(jax.device_get(s)) if s is not None else 0
+                for s in (st1, st2, st3))
+            ovf = ov1 | ov2
+        else:
+            # unified machine with tail compaction: run a segment, retire
+            # finished lanes, shrink the bucket, continue.  The machine
+            # runs at the speed of the slowest lane (utilization ~48% on
+            # the bench data), so compaction reclaims most of the tail.
+            use_p3 = bool(opt.max_mem_intv > 0)
+            if not os.environ.get("BWA_TPU_SEED_COMPACT"):
+                # single segment: on the tunnel-attached chip each
+                # differently-shaped executable costs ~0.3-0.4s program
+                # swap per invocation, which eats the tail-compaction win
+                # (PERF.md); multi-level compaction stays available for
+                # backends with cheap program switches.
+                seeds, seed_n, st1, ovf, ds1 = fm_machine.seed_machine(
+                    self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
+                    np.int32(split_len), cdt(opt.split_width),
+                    cdt(opt.max_mem_intv), cap=stack_cap, cap_s=cap_s,
+                    use_p3=use_p3)
+                self.last_done = (np.asarray(jax.device_get(ds1)),)
+                self.last_steps = (int(jax.device_get(st1)),)
+                seeds = fm_machine.sort_seeds(seeds, seed_n,
+                                              key64=bool(L >= 32768))
+                sd = np.asarray(jax.device_get(seeds))
+                sn = np.asarray(jax.device_get(seed_n))
+                ovf = np.asarray(jax.device_get(ovf))
+                sn = np.where(ovf, cap_s + 1, sn)
+                return (sd[:, :, 0], sd[:, :, 1], sd[:, :, 2],
+                        sd[:, :, 3].astype(np.int32),
+                        sd[:, :, 4].astype(np.int32), sn)
+            kw = dict(cap=stack_cap, cap_s=cap_s, use_p3=use_p3)
+            consts = (np.int32(opt.min_seed_len), np.int32(split_len),
+                      cdt(opt.split_width), cdt(opt.max_mem_intv))
+            seg0 = int(os.environ.get("BWA_TPU_SEED_SEG", "448"))
+            seg = int(os.environ.get("BWA_TPU_SEED_SEG2", "256"))
+            min_b = 256
+            big = jnp.int32(0x7fffffff)
+            state = fm_machine.seed_state_init(B, stack_cap, cap_s, cdt)
+            out_seeds = jnp.zeros((B + 1, cap_s, 5), cdt)
+            out_sn = jnp.zeros(B + 1, i32)
+            out_ovf = jnp.zeros(B + 1, bool)
+            orig = jnp.arange(B + 1, dtype=i32)[:B]
+            qd_l, qld_l, nvd_l = qd, qld, nvd
+            B_l = B
+            first = True
+            total_steps = 0
+            while True:
+                ms = jnp.int32(seg0 if first else seg)
+                if B_l <= min_b:
+                    ms = big
+                state = fm_machine.seed_machine_seg(
+                    state, self.idx, qd_l, qld_l, nvd_l, *consts, ms, **kw)
+                first = False
+                d = dict(zip(fm_machine.SEED_KEYS, state))
+                # write this level's results home (alive lanes get
+                # overwritten by their retirement level later)
+                out_seeds = out_seeds.at[orig].set(d["seeds"])
+                out_sn = out_sn.at[orig].set(d["seed_n"])
+                out_ovf = out_ovf.at[orig].set(d["ovf"])
+                total_steps = int(jax.device_get(d["steps"]))
+                phase = np.asarray(jax.device_get(d["phase"]))
+                alive = np.nonzero(phase != fm_machine.P_DONE)[0]
+                if os.environ.get("BWA_TPU_SEED_DEBUG"):
+                    import time as _t
+                    print(f"[seed] level B={B_l} cum_steps={total_steps} "
+                          f"alive={alive.size} t={_t.perf_counter():.3f}")
+                if alive.size == 0:
+                    break
+                B2 = max(min_b, 1 << int(alive.size - 1).bit_length())
+                if B2 >= B_l:  # not enough retirement to shrink: run out
+                    state = fm_machine.seed_machine_seg(
+                        state, self.idx, qd_l, qld_l, nvd_l, *consts, big,
+                        **kw)
+                    d = dict(zip(fm_machine.SEED_KEYS, state))
+                    out_seeds = out_seeds.at[orig].set(d["seeds"])
+                    out_sn = out_sn.at[orig].set(d["seed_n"])
+                    out_ovf = out_ovf.at[orig].set(d["ovf"])
+                    total_steps = int(jax.device_get(d["steps"]))
+                    if os.environ.get("BWA_TPU_SEED_DEBUG"):
+                        import time as _t
+                        print(f"[seed] runout B={B_l} cum={total_steps} "
+                              f"t={_t.perf_counter():.3f}")
+                    break
+                pad = np.zeros(B2, np.int64)
+                pad[:alive.size] = alive
+                pidx = jnp.asarray(pad)
+                live2 = jnp.arange(B2) < alive.size
+                state = tuple(
+                    a[pidx] if (hasattr(a, "ndim") and a.ndim >= 1
+                                and a.shape[0] == B_l) else a
+                    for a in state)
+                d = dict(zip(fm_machine.SEED_KEYS, state))
+                d["phase"] = jnp.where(live2, d["phase"],
+                                       jnp.int32(fm_machine.P_DONE))
+                state = tuple(d[k] for k in fm_machine.SEED_KEYS)
+                orig = jnp.where(live2, orig[pidx], B)  # parked -> junk row
+                qd_l = qd_l[pidx]
+                qld_l = qld_l[pidx]
+                nvd_l = nvd_l[pidx]
+                B_l = B2
+            seeds, seed_n = out_seeds[:B], out_sn[:B]
+            ovf = out_ovf[:B]
+            self.last_done = (np.zeros(B, np.int32),)
+            self.last_steps = (total_steps,)
         seeds = fm_machine.sort_seeds(seeds, seed_n, key64=bool(L >= 32768))
         sd = np.asarray(jax.device_get(seeds))
         sn = np.asarray(jax.device_get(seed_n))
-        ovf = np.asarray(jax.device_get(ov1 | ov2))
+        ovf = np.asarray(jax.device_get(ovf))
         sn = np.where(ovf, cap_s + 1, sn)  # force the host-redo path
         return (sd[:, :, 0], sd[:, :, 1], sd[:, :, 2],
                 sd[:, :, 3].astype(np.int32), sd[:, :, 4].astype(np.int32), sn)

@@ -273,6 +273,296 @@ def smem_machine(idx, q, qlen, next_valid, min_seed_len, split_len,
     return d["seeds"], d["seed_n"], d["steps"], d["ovf"], d["done_step"]
 
 
+S_P1, S_P2, S_P3 = 0, 1, 2
+
+
+SEED_KEYS = ("phase", "stage", "old_n", "job", "x", "minv", "ik",
+             "info_end", "i", "j", "stkA", "an", "stkB", "bn", "cur_is_a",
+             "rev_read", "last_x2", "call_last_start", "call_mem_n", "ret",
+             "seeds", "seed_n", "qmask", "steps", "ovf", "done_step")
+
+
+def seed_state_init(B: int, cap: int, cap_s: int, cdt) -> tuple:
+    """Fresh per-lane machine state (lanes start in P_NEXT/pass-1)."""
+    i32 = jnp.int32
+    st = dict(
+        phase=jnp.full(B, P_NEXT, i32),
+        stage=jnp.zeros(B, i32),
+        old_n=jnp.zeros(B, i32),
+        job=jnp.zeros(B, i32),
+        x=jnp.zeros(B, i32),
+        minv=jnp.ones(B, cdt),
+        ik=jnp.zeros((B, 3), cdt),
+        info_end=jnp.zeros(B, i32),
+        i=jnp.zeros(B, i32),
+        j=jnp.zeros(B, i32),
+        stkA=jnp.zeros((B, cap, 4), cdt), an=jnp.zeros(B, i32),
+        stkB=jnp.zeros((B, cap, 4), cdt), bn=jnp.zeros(B, i32),
+        cur_is_a=jnp.ones(B, bool),
+        rev_read=jnp.ones(B, bool),
+        last_x2=jnp.zeros(B, cdt),
+        call_last_start=jnp.zeros(B, i32),
+        call_mem_n=jnp.zeros(B, i32),
+        ret=jnp.zeros(B, i32),
+        seeds=jnp.zeros((B, cap_s, 5), cdt),
+        seed_n=jnp.zeros(B, i32),
+        qmask=jnp.zeros((B, cap_s), bool),  # row qualifies for pass-2
+        steps=jnp.zeros((), i32),
+        ovf=jnp.zeros(B, bool),
+        done_step=jnp.zeros(B, i32),
+    )
+    return tuple(st[k] for k in SEED_KEYS)
+
+
+@partial(jax.jit, static_argnames=("cap", "cap_s", "use_p3"))
+def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
+                     split_len, split_width, max_intv3, max_steps,
+                     cap: int, cap_s: int, use_p3: bool):
+    """All three seeding passes in ONE while_loop with a per-lane stage
+    cursor (pass1 SMEMs -> pass2 re-seeding -> pass3 LAST-like).
+
+    A lane moves to its own pass 2 the moment its pass 1 finishes, so the
+    program runs for max-of-sums steps instead of the three-call
+    sum-of-maxima (bwamem.c:140-188 semantics unchanged; the final
+    sort_seeds canonicalizes emission order as before).  Runs at most
+    max_steps more steps (traced; pass a huge value for run-to-done) so
+    the driver can compact away finished lanes between segments.
+    Returns the updated state tuple.
+    """
+    cdt = idx["ckpt"].dtype
+    B, L = q.shape
+    i32 = jnp.int32
+    bidx = jnp.arange(B)
+    sidx = jnp.arange(cap_s, dtype=i32)
+    keys = list(SEED_KEYS)
+    stop_at = state[keys.index("steps")] + max_steps
+
+    def cond(t):
+        return jnp.any(t[0] != P_DONE) & (t[keys.index("steps")] < stop_at)
+
+    def body(t):
+        d = dict(zip(keys, t))
+        phase = d["phase"]
+        st1m = d["stage"] == S_P2
+        st2m = d["stage"] == S_P3
+
+        # ---------- P_NEXT: acquire the next job (stage-dependent) ----------
+        nx = phase == P_NEXT
+        # stages 1 and 3 walk start positions via the next-valid table
+        xv = _vec_read(next_valid, jnp.clip(d["job"], 0, L))
+        have_nv = nx & ~st1m & (xv < qlen)
+        # stage 2 scans this lane's first old_n seed rows for long, unique
+        # SMEMs to re-seed from their midpoints (bwamem.c:160-168); the
+        # qualification bit is maintained at push time (qmask)
+        qual = d["qmask"] & (sidx[None, :] < d["old_n"][:, None])
+        cand = qual & (sidx[None, :] >= d["job"][:, None])
+        jj_first = jnp.min(jnp.where(cand, sidx[None, :], cap_s), axis=1)
+        found = jj_first < cap_s
+        jj = jnp.where(found, jj_first, d["old_n"])
+        k = jnp.minimum(jj, cap_s - 1)
+        have_s1 = nx & st1m & found & (jj < d["old_n"])
+        row = _row_read(d["seeds"], k)
+        x_s1 = ((row[:, 3] + row[:, 4]) >> 1).astype(i32)
+
+        have = jnp.where(st1m, have_s1, have_nv)
+        x_new = jnp.where(st1m, x_s1, xv)
+        d["minv"] = jnp.where(nx,
+                              jnp.where(st1m,
+                                        jnp.where(have_s1, row[:, 2] + 1,
+                                                  d["minv"]),
+                                        jnp.ones_like(d["minv"])),
+                              d["minv"])
+        d["job"] = jnp.where(nx & st1m, jj + have_s1.astype(i32), d["job"])
+        d["x"] = jnp.where(have, x_new, d["x"])
+
+        # stage advance when this stage has no more jobs
+        exh = nx & ~have
+        to_s2 = exh & (d["stage"] == S_P1)
+        to_s3 = exh & st1m & use_p3
+        to_done = exh & (st2m | (st1m & (not use_p3)))
+        d["old_n"] = jnp.where(to_s2, d["seed_n"], d["old_n"])
+        d["stage"] = jnp.where(to_s2, S_P2,
+                               jnp.where(to_s3, S_P3, d["stage"]))
+        d["job"] = jnp.where(to_s2 | to_s3, 0, d["job"])
+        st2m = d["stage"] == S_P3  # refresh after transitions
+
+        qx = _vec_read(q, jnp.clip(d["x"], 0, L - 1))
+        startable = have & (qx < 4)
+        k0, k1, k2 = _set_intv(idx, qx)
+        ik_new = jnp.stack([k0, k1, k2], axis=-1)
+        d["ik"] = jnp.where(startable[:, None], ik_new, d["ik"])
+        d["info_end"] = jnp.where(startable, d["x"] + 1, d["info_end"])
+        d["i"] = jnp.where(startable, d["x"] + 1, d["i"])
+        d["an"] = jnp.where(startable, 0, d["an"])
+        d["minv"] = jnp.maximum(d["minv"], 1)
+        d["phase"] = jnp.where(startable, P_FWD,
+                               jnp.where(to_done, P_DONE, phase))
+
+        # ---------- shared batched occ work ----------
+        in_fwd = d["phase"] == P_FWD
+        in_bwd = d["phase"] == P_BWD
+        pn = jnp.where(d["cur_is_a"], d["an"], d["bn"])
+        jj2 = jnp.where(d["rev_read"], pn - 1 - d["j"], d["j"])
+        jj2 = jnp.clip(jj2, 0, cap - 1)
+        pA = _row_read(d["stkA"], jj2)
+        pB = _row_read(d["stkB"], jj2)
+        p = jnp.where(d["cur_is_a"][:, None], pA, pB)      # [B, 4]
+        ex = jnp.where(in_bwd[:, None], p[:, :3], d["ik"])  # x0 x1 x2
+        fwd_side = jnp.where(in_bwd, ex[:, 0], ex[:, 1])
+        tk = _occ4(idx, fwd_side - 1)
+        tl = _occ4(idx, fwd_side - 1 + ex[:, 2])
+        L2r = idx["L2"][:4][None, :].astype(cdt)
+        ok_nb = L2r + 1 + tk
+        ok_sz = (tl - tk).astype(cdt)
+        bk = jnp.where(in_bwd, ex[:, 1], ex[:, 0])
+        span = ((fwd_side <= idx["primary"])
+                & (fwd_side + ex[:, 2] - 1 >= idx["primary"])).astype(cdt)
+        acc3 = bk + span
+        acc2 = acc3 + ok_sz[:, 3]
+        acc1 = acc2 + ok_sz[:, 2]
+        acc0 = acc1 + ok_sz[:, 1]
+        accs = jnp.stack([acc0, acc1, acc2, acc3], axis=-1)
+
+        # ---------- P_FWD micro-op (SMEM forward for stages 1/2) ----------
+        qi = _vec_read(q, jnp.clip(d["i"], 0, L - 1))
+        fwd_s12 = in_fwd & ~st2m
+        run_f = fwd_s12 & (d["i"] < qlen)
+        off_end = fwd_s12 & ~run_f
+        amb = run_f & (qi >= 4)
+        ext_m = run_f & ~amb
+        cf = jnp.clip(3 - qi, 0, 3)
+        of = jnp.stack([accs[bidx, cf], ok_nb[bidx, cf], ok_sz[bidx, cf]],
+                       axis=-1)
+        changed = ext_m & (of[:, 2] != d["ik"][:, 2])
+        push_f = amb | changed | off_end
+        rowf = jnp.concatenate(
+            [d["ik"], d["info_end"][:, None].astype(cdt)], axis=1)
+        d["stkA"], d["an"], o1 = _push_row(d["stkA"], d["an"], push_f, rowf,
+                                           cap)
+        d["ovf"] = d["ovf"] | o1
+        too_small = changed & (of[:, 2] < d["minv"])
+        stop_f = amb | too_small | off_end
+        adv = ext_m & ~stop_f
+        d["ik"] = jnp.where(adv[:, None], of, d["ik"])
+        d["info_end"] = jnp.where(adv, d["i"] + 1, d["info_end"])
+        d["i"] = jnp.where(adv, d["i"] + 1, d["i"])
+        to_bwd = stop_f
+        d["ret"] = jnp.where(
+            to_bwd,
+            _row_read(d["stkA"], jnp.clip(d["an"] - 1, 0, cap - 1))[:, 3]
+            .astype(i32),
+            d["ret"])
+        d["cur_is_a"] = jnp.where(to_bwd, True, d["cur_is_a"])
+        d["rev_read"] = jnp.where(to_bwd, True, d["rev_read"])
+        d["bn"] = jnp.where(to_bwd, 0, d["bn"])
+        d["j"] = jnp.where(to_bwd, 0, d["j"])
+        d["i"] = jnp.where(to_bwd, d["x"] - 1, d["i"])
+        d["call_mem_n"] = jnp.where(to_bwd, 0, d["call_mem_n"])
+        d["last_x2"] = jnp.where(to_bwd, jnp.zeros_like(d["last_x2"]),
+                                 d["last_x2"])
+        d["phase"] = jnp.where(to_bwd, P_BWD, d["phase"])
+
+        # ---------- P_FWD micro-op, stage 3 (bwt_seed_strategy1) ----------
+        if use_p3:
+            f3 = in_fwd & st2m
+            run3 = f3 & (d["i"] < qlen)
+            hit_end3 = f3 & ~run3
+            amb3 = run3 & (qi >= 4)
+            ext3 = run3 & ~amb3
+            hit3 = ext3 & (of[:, 2] < max_intv3) & \
+                ((d["i"] - d["x"]) >= min_seed_len)
+            write3 = hit3 & (of[:, 2] > 0)
+            row3 = jnp.concatenate(
+                [of, d["x"][:, None].astype(cdt),
+                 (d["i"] + 1)[:, None].astype(cdt)], axis=1)
+            adv3 = ext3 & ~hit3
+            d["ik"] = jnp.where(adv3[:, None], of, d["ik"])
+            d["i"] = jnp.where(adv3, d["i"] + 1, d["i"])
+            over3 = amb3 | hit3 | hit_end3
+            d["job"] = jnp.where(amb3 | hit3, d["i"] + 1,
+                                 jnp.where(hit_end3, qlen, d["job"]))
+            d["phase"] = jnp.where(over3, P_NEXT, d["phase"])
+        else:
+            write3 = jnp.zeros(B, bool)
+            row3 = jnp.zeros((B, 5), cdt)
+
+        # ---------- P_BWD micro-op (one j of row i) ----------
+        qb_i = jnp.where(d["i"] >= 0,
+                         _vec_read(q, jnp.clip(d["i"], 0, L - 1)), 4)
+        c = jnp.where((d["i"] >= 0) & (qb_i < 4), qb_i, -1)
+        jact = in_bwd & (d["j"] < pn)
+        cb = jnp.clip(c, 0, 3)
+        ob = jnp.stack([ok_nb[bidx, cb], accs[bidx, cb], ok_sz[bidx, cb]],
+                       axis=-1)
+        keep = jact & ((c < 0) | (ob[:, 2] < d["minv"]))
+        curr_n_now = jnp.where(d["cur_is_a"], d["bn"], d["an"])
+        can_emit = keep & (curr_n_now == 0) & (
+            (d["call_mem_n"] == 0) | ((d["i"] + 1) < d["call_last_start"]))
+        slen = p[:, 3].astype(i32) - (d["i"] + 1)
+        write = can_emit & (slen >= min_seed_len)
+        seed_row = jnp.concatenate(
+            [p[:, :3], (d["i"] + 1)[:, None].astype(cdt), p[:, 3:4]], axis=1)
+        # stage-3 hits merge into the same (disjoint-lane) push
+        write_any = write | write3
+        seed_row = jnp.where(write3[:, None], row3, seed_row)
+        qual_new = ((seed_row[:, 4] - seed_row[:, 3]) >= split_len) \
+            & (seed_row[:, 2] <= split_width)
+        slot_q = jnp.minimum(d["seed_n"], cap_s - 1)
+        sel_q = write_any[:, None] & (sidx[None, :] == slot_q[:, None])
+        d["qmask"] = jnp.where(sel_q, qual_new[:, None], d["qmask"])
+        d["seeds"], d["seed_n"], _ = _push_row(d["seeds"], d["seed_n"],
+                                               write_any, seed_row, cap_s)
+        d["call_last_start"] = jnp.where(can_emit, d["i"] + 1,
+                                         d["call_last_start"])
+        d["call_mem_n"] = d["call_mem_n"] + can_emit.astype(i32)
+        push_b = jact & ~keep & ((curr_n_now == 0) | (ob[:, 2] != d["last_x2"]))
+        rowb = jnp.concatenate([ob, p[:, 3:4]], axis=1)
+        d["stkA"], d["an"], o2 = _push_row(d["stkA"], d["an"],
+                                           push_b & ~d["cur_is_a"], rowb, cap)
+        d["stkB"], d["bn"], o3 = _push_row(d["stkB"], d["bn"],
+                                           push_b & d["cur_is_a"], rowb, cap)
+        d["ovf"] = d["ovf"] | o2 | o3
+        d["last_x2"] = jnp.where(push_b, ob[:, 2], d["last_x2"])
+        d["j"] = jnp.where(jact, d["j"] + 1, d["j"])
+        row_done = in_bwd & (d["j"] >= pn)
+        new_n = jnp.where(d["cur_is_a"], d["bn"], d["an"])
+        call_over = row_done & ((new_n == 0) | (d["i"] < 0))
+        keep_going = row_done & ~call_over
+        d["cur_is_a"] = jnp.where(keep_going, ~d["cur_is_a"], d["cur_is_a"])
+        d["rev_read"] = jnp.where(keep_going, False, d["rev_read"])
+        d["bn"] = jnp.where(keep_going & d["cur_is_a"], 0, d["bn"])
+        d["an"] = jnp.where(keep_going & ~d["cur_is_a"], 0, d["an"])
+        d["i"] = jnp.where(keep_going, d["i"] - 1, d["i"])
+        d["j"] = jnp.where(keep_going, 0, d["j"])
+        d["last_x2"] = jnp.where(keep_going, jnp.zeros_like(d["last_x2"]),
+                                 d["last_x2"])
+        # pass-1 chains to the next start from the forward-pass return
+        d["job"] = jnp.where(call_over & (d["stage"] == S_P1), d["ret"],
+                             d["job"])
+        d["phase"] = jnp.where(call_over, P_NEXT, d["phase"])
+        d["steps"] = d["steps"] + 1
+        d["done_step"] = jnp.where((d["phase"] == P_DONE)
+                                   & (d["done_step"] == 0),
+                                   d["steps"], d["done_step"])
+
+        return tuple(d[k] for k in keys)
+
+    return lax.while_loop(cond, body, state)
+
+
+def seed_machine(idx, q, qlen, next_valid, min_seed_len, split_len,
+                 split_width, max_intv3, cap: int, cap_s: int, use_p3: bool):
+    """Single-shot convenience wrapper: init + run to completion."""
+    cdt = idx["ckpt"].dtype
+    state = seed_state_init(q.shape[0], cap, cap_s, cdt)
+    t = seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
+                         split_len, split_width, max_intv3,
+                         jnp.int32(0x7fffffff), cap=cap, cap_s=cap_s,
+                         use_p3=use_p3)
+    d = dict(zip(SEED_KEYS, t))
+    return d["seeds"], d["seed_n"], d["steps"], d["ovf"], d["done_step"]
+
+
 @partial(jax.jit, static_argnames=("cap_s",))
 def seed3_machine(idx, q, qlen, next_valid, min_len, max_intv,
                   seeds_in, seed_n_in, cap_s: int):
