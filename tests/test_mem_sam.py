@@ -50,3 +50,22 @@ def test_mem_pe(oracle_bwa, small_genome, small_reads_pe):
 ])
 def test_mem_se_flags(oracle_bwa, small_genome, small_reads_se, extra):
     _assert_same(oracle_bwa, [*extra, str(small_genome), str(small_reads_se)])
+
+
+def test_mem_pe_isize_override(oracle_bwa, small_genome, small_reads_pe):
+    r1, r2 = small_reads_pe
+    for spec in ("250,30", "250,30,400,100"):
+        args = ["mem", "-I", spec, str(small_genome), str(r1), str(r2)]
+        _assert_same(oracle_bwa, args[1:])
+
+
+def test_mem_smart_pairing(oracle_bwa, small_genome, small_reads_pe, tmp_path):
+    r1, r2 = small_reads_pe
+    a = Path(r1).read_bytes().splitlines()
+    b = Path(r2).read_bytes().splitlines()
+    inter = tmp_path / "inter.fq"
+    out = []
+    for i in range(0, len(a), 4):
+        out += a[i:i + 4] + b[i:i + 4]
+    inter.write_bytes(b"\n".join(out) + b"\n")
+    _assert_same(oracle_bwa, ["-p", str(small_genome), str(inter)])
