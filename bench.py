@@ -83,11 +83,13 @@ def _time_ours(fa, fq):
     # warm-up pass: compile (or load from the persistent jit cache) every
     # program at the measurement shapes; the timed run is steady-state
     process_seqs(opt, engine, fm, reads)
-    for r in reads:
-        r.sam = ""
-    t0 = time.perf_counter()
-    process_seqs(opt, engine, fm, reads)
-    dt = time.perf_counter() - t0
+    dt = 1e30
+    for _ in range(2):  # best-of-2, like the oracle timing
+        for r in reads:
+            r.sam = ""
+        t0 = time.perf_counter()
+        process_seqs(opt, engine, fm, reads)
+        dt = min(dt, time.perf_counter() - t0)
     n_out = sum(1 for r in reads if r.sam)
     assert n_out == len(reads)
     return dt, len(reads)

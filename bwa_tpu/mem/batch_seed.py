@@ -8,6 +8,8 @@ device calls; occurrence SA lookups are batched flat across the batch.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from bwa_tpu.mem.ksort import ks_introsort
@@ -71,7 +73,14 @@ def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
     consumes — no per-seed Python objects on the hot path.  Requires the
     dense SA sidecar (fm.sad).  Returns (iv_off, iv_x2, iv_start, iv_end,
     rbegs, rb_off) or None when a bucket needs the exactness fallback
-    (seed-count/stack overflow) — the caller then uses the tuple path."""
+    (seed-count/stack overflow) — the caller then uses the tuple path.
+
+    Reads are PACKED pack_k per machine lane, separated by an ambiguous
+    base: the state machine treats N as a hard boundary in every pass, so
+    a packed lane behaves exactly like pack_k independent reads while the
+    per-lane step totals average out (the tail-utilization remedy that
+    keeps ONE executable shape — PERF.md).  Seeds demux by start offset.
+    """
     B = len(codes_list)
     sad = fm.sad
     if B == 0 or sad is None:
@@ -89,26 +98,48 @@ def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
         chunk = codes_list[lo:lo + BATCH_BUCKET]
         nb = len(chunk)
         L = _len_bucket(max(len(c) for c in chunk))
-        q, lens = _pad_reads(chunk, L)
-        if nb < BATCH_BUCKET:
-            q = np.concatenate(
-                [q, np.full((BATCH_BUCKET - nb, L), 4, np.uint8)])
-            lens = np.concatenate(
-                [lens, np.zeros(BATCH_BUCKET - nb, np.int32)])
-        cs = cap_s
+        pack_k = int(os.environ.get("BWA_TPU_PACK_K", "2"))
+        if L > 256 or nb < BATCH_BUCKET // 2:
+            pack_k = 1  # long reads carry enough work per lane already
+        B2 = BATCH_BUCKET // pack_k
+        Lp = pack_k * (L + 1)
+        q = np.full((B2, Lp), 4, np.uint8)
+        lens = np.zeros(B2, np.int32)
+        read_len = np.zeros(pack_k * B2, np.int64)
+        for i, c in enumerate(chunk):
+            read_len[i] = len(c)
+        for r in range(pack_k):
+            for i in range(B2):
+                ridx = r * B2 + i
+                if ridx < nb:
+                    c = chunk[ridx]
+                    q[i, r * (L + 1):r * (L + 1) + len(c)] = c
+                    lens[i] = r * (L + 1) + len(c)
+        cs = cap_s * pack_k
         s0, s1, s2, ss, se, sn = engine.collect_seeds(q, lens, opt, cs)
-        sn_v = sn[:nb].astype(np.int64)
-        if (sn_v > cs).any():  # seed-rich bucket: retry with a roomier cap
-            cs = 96
+        if (sn > cs).any():  # seed-rich bucket: retry with a roomier cap
+            cs = 96 * pack_k
             s0, s1, s2, ss, se, sn = engine.collect_seeds(q, lens, opt, cs)
-            sn_v = sn[:nb].astype(np.int64)
-            if (sn_v > cs).any():
+            if (sn > cs).any():
                 return None  # rare: redo the batch through the tuple path
-        mask = np.arange(cs)[None, :] < sn_v[:, None]
-        k0 = s0[:nb][mask].astype(np.int64)
-        x2 = s2[:nb][mask].astype(np.int64)
-        start = ss[:nb][mask].astype(np.int32)
-        end = se[:nb][mask].astype(np.int32)
+        # demux packed lanes back to per-read rows (rows are sorted by
+        # start within a lane, so a stable sort by read id keeps order)
+        sn_l = sn.astype(np.int64)
+        lmask = np.arange(cs)[None, :] < sn_l[:, None]
+        lane_id = np.broadcast_to(np.arange(B2)[:, None], lmask.shape)[lmask]
+        start_p = ss[lmask].astype(np.int64)
+        rslot = start_p // (L + 1)
+        read_id = rslot * B2 + lane_id
+        order = np.argsort(read_id, kind="stable")
+        keep = read_id[order] < nb  # drop pad-lane rows
+        order = order[keep]
+        rid_sorted = read_id[order]
+        k0 = s0[lmask][order].astype(np.int64)
+        x2 = s2[lmask][order].astype(np.int64)
+        off_p = (rslot * (L + 1))[order].astype(np.int64)
+        start = (start_p[order] - off_p).astype(np.int32)
+        end = (se[lmask].astype(np.int64)[order] - off_p).astype(np.int32)
+        sn_v = np.bincount(rid_sorted, minlength=nb)[:nb]
         counts = np.where(x2 > max_occ, max_occ, x2)
         step = np.where(x2 > max_occ, x2 // max_occ, 1)
         tot = int(counts.sum())
