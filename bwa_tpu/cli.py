@@ -116,7 +116,9 @@ def main_mem(argv: list[str]) -> int:
         elif c == "Q":
             import math
             opt.set("mapQ_coef_len", int(a))
-            opt.mapQ_coef_fac = math.log(opt.mapQ_coef_len) if opt.mapQ_coef_len > 0 else 0
+            # int field in the reference (bwamem.h:79): log() truncates
+            opt.mapQ_coef_fac = (int(math.log(opt.mapQ_coef_len))
+                                 if opt.mapQ_coef_len > 0 else 0)
         elif c == "O":
             parts = a.replace(",", " ").split()
             opt.set("o_del", int(parts[0]))

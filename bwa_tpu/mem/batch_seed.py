@@ -105,9 +105,6 @@ def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
         Lp = pack_k * (L + 1)
         q = np.full((B2, Lp), 4, np.uint8)
         lens = np.zeros(B2, np.int32)
-        read_len = np.zeros(pack_k * B2, np.int64)
-        for i, c in enumerate(chunk):
-            read_len[i] = len(c)
         for r in range(pack_k):
             for i in range(B2):
                 ridx = r * B2 + i

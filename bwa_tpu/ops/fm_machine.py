@@ -6,8 +6,9 @@ one batched occ4 pair per global step serves whatever micro-op each lane is
 on.  No lock-step restarts: a lane never waits for the slowest lane's call.
 
 Buffers are packed ([B, cap, 4] interval stacks, [B, cap_s, 5] seed store)
-to keep the per-step op count low; per-step cost on the tunnel-attached
-chip is dominated by op dispatch, not data volume.
+and every per-lane access is a one-hot select/contraction — batched
+gather/scatter on loop-carried buffers is ~10x slower on this backend
+(PERF.md); per-step cost is ~230us fixed + ~0.1us/lane of buffer streams.
 
 Emission order within a lane differs from the reference's collection order,
 but the final stable sort by (start, end) makes the result identical: tied
