@@ -1,0 +1,472 @@
+// Backtrack gapped search (bwa aln) — native batch engine.
+//
+// C++ implementation of the framework's validated executable spec
+// (bwa_tpu/aln/search.py): bwt_cal_width lower bounds (bwtaln.c:57-81)
+// and the best-first bounded-difference search bwt_match_gap
+// (bwtgap.c:109-264) with its score-bucketed LIFO stack, gap-shadow
+// width adjustment and seed-region limits.  Operates directly on the
+// framework's split (ckpt, words) FM-index arrays like native/bsw2.cpp.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct FM {
+  const int64_t *ckpt;
+  const uint32_t *words;
+  int64_t seq_len, primary;
+  const int64_t *L2;
+};
+
+static void occ4(const FM &g, int64_t k, int64_t cnt[4]) {
+  if (k == -1) {
+    cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0;
+    return;
+  }
+  if (k == g.seq_len) {
+    for (int c = 0; c < 4; ++c) cnt[c] = g.L2[c + 1] - g.L2[c];
+    return;
+  }
+  if (k >= g.primary) --k;
+  int64_t blk = k >> 7;
+  int kw = (int)((k >> 4) & 7), kb = (int)(k & 15);
+  const uint32_t *w = g.words + blk * 8;
+  int64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+  for (int i = 0; i <= kw; ++i) {
+    int nkeep = (i < kw) ? 16 : kb + 1;
+    uint32_t mask2 =
+        nkeep == 16 ? 0xffffffffu : ~((1u << ((16 - nkeep) << 1)) - 1u);
+    uint32_t word = w[i] & mask2;
+    uint32_t vm = mask2 & 0x55555555u;
+    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
+    a3 += __builtin_popcount(hi & lo);
+    a2 += __builtin_popcount(hi & ~lo);
+    a1 += __builtin_popcount(lo & ~hi);
+    a0 += __builtin_popcount(vm & ~hi & ~lo);
+  }
+  const int64_t *cp = g.ckpt + blk * 4;
+  cnt[0] = cp[0] + a0;
+  cnt[1] = cp[1] + a1;
+  cnt[2] = cp[2] + a2;
+  cnt[3] = cp[3] + a3;
+}
+
+// single-base occ (bwt_occ-style: popcount only base c's pattern)
+static inline int64_t occ1(const FM &g, int64_t k, int c) {
+  if (k == -1) return 0;
+  if (k == g.seq_len) return g.L2[c + 1] - g.L2[c];
+  if (k >= g.primary) --k;
+  int64_t blk = k >> 7;
+  int kw = (int)((k >> 4) & 7), kb = (int)(k & 15);
+  const uint32_t *w = g.words + blk * 8;
+  int64_t acc = 0;
+  uint32_t want_hi = (c & 2) ? 0xffffffffu : 0u;
+  uint32_t want_lo = (c & 1) ? 0xffffffffu : 0u;
+  for (int i = 0; i <= kw; ++i) {
+    int nkeep = (i < kw) ? 16 : kb + 1;
+    uint32_t mask2 =
+        nkeep == 16 ? 0xffffffffu : ~((1u << ((16 - nkeep) << 1)) - 1u);
+    uint32_t word = w[i] & mask2;
+    uint32_t vm = mask2 & 0x55555555u;
+    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
+    acc += __builtin_popcount((hi ^ ~want_hi) & (lo ^ ~want_lo) & vm);
+  }
+  return g.ckpt[blk * 4 + c] + acc;
+}
+
+// bwt_2occ4-style shared-block pair (bwt.c:189-220): when k and l land in
+// the same 128-base block, count the block once
+static void occ4_pair(const FM &g, int64_t k, int64_t l, int64_t cntk[4],
+                      int64_t cntl[4]) {
+  int64_t _k = k - (k >= g.primary);
+  int64_t _l = l - (l >= g.primary);
+  if (k == -1 || l == -1 || k == g.seq_len || l == g.seq_len
+      || (_l >> 7) != (_k >> 7)) {
+    occ4(g, k, cntk);
+    occ4(g, l, cntl);
+    return;
+  }
+  int64_t blk = _k >> 7;
+  int kw = (int)((_k >> 4) & 7), kb = (int)(_k & 15);
+  int lw = (int)((_l >> 4) & 7), lb = (int)(_l & 15);
+  const uint32_t *w = g.words + blk * 8;
+  const int64_t *cp = g.ckpt + blk * 4;
+  int64_t a[4] = {0, 0, 0, 0};
+  bool k_done = false;
+  for (int i = 0; i <= lw; ++i) {
+    // contribution of word i up to the k boundary
+    if (!k_done && i <= kw) {
+      int nkeep = (i < kw) ? 16 : kb + 1;
+      uint32_t mask2 =
+          nkeep == 16 ? 0xffffffffu : ~((1u << ((16 - nkeep) << 1)) - 1u);
+      uint32_t word = w[i] & mask2;
+      uint32_t vm = mask2 & 0x55555555u;
+      uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
+      a[3] += __builtin_popcount(hi & lo);
+      a[2] += __builtin_popcount(hi & ~lo);
+      a[1] += __builtin_popcount(lo & ~hi);
+      a[0] += __builtin_popcount(vm & ~hi & ~lo);
+      if (i == kw) {
+        for (int c = 0; c < 4; ++c) cntk[c] = cp[c] + a[c];
+        k_done = true;
+        // add the remainder of word kw (beyond kb) toward the l counts
+        if (kb < 15 || lw > kw) {
+          uint32_t full_mask =
+              (i < lw) ? 0xffffffffu
+                       : ~((1u << ((15 - lb) << 1)) - 1u);
+          uint32_t extra = full_mask & ~mask2;
+          uint32_t word2 = w[i] & extra;
+          uint32_t vm2 = extra & 0x55555555u;
+          uint32_t hi2 = (word2 >> 1) & 0x55555555u;
+          uint32_t lo2 = word2 & 0x55555555u;
+          a[3] += __builtin_popcount(hi2 & lo2);
+          a[2] += __builtin_popcount(hi2 & ~lo2);
+          a[1] += __builtin_popcount(lo2 & ~hi2);
+          a[0] += __builtin_popcount(vm2 & ~hi2 & ~lo2);
+        }
+      }
+      continue;
+    }
+    int nkeep = (i < lw) ? 16 : lb + 1;
+    uint32_t mask2 =
+        nkeep == 16 ? 0xffffffffu : ~((1u << ((16 - nkeep) << 1)) - 1u);
+    uint32_t word = w[i] & mask2;
+    uint32_t vm = mask2 & 0x55555555u;
+    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
+    a[3] += __builtin_popcount(hi & lo);
+    a[2] += __builtin_popcount(hi & ~lo);
+    a[1] += __builtin_popcount(lo & ~hi);
+    a[0] += __builtin_popcount(vm & ~hi & ~lo);
+  }
+  if (!k_done)
+    for (int c = 0; c < 4; ++c) cntk[c] = cp[c] + a[c];  // unreachable
+  for (int c = 0; c < 4; ++c) cntl[c] = cp[c] + a[c];
+}
+
+struct Opt {
+  int s_mm, s_gapo, s_gape;
+  int max_gape, max_seed_diff, max_entries, max_del_occ;
+  int indel_end_skip, max_top2, mode;
+};
+
+enum { MODE_GAPE = 0x01, MODE_LOGGAP = 0x04, MODE_NONSTOP = 0x10 };
+enum { ST_M = 0, ST_I = 1, ST_D = 2 };
+
+struct Width {
+  int64_t w;
+  int bid;
+};
+
+struct Entry {
+  int i;
+  int64_t k, l;
+  int n_mm, n_gapo, n_gape, n_ins, n_del, state, ldp;
+};
+
+struct AlnRec {
+  int64_t n_mm, n_gapo, n_gape, score, n_ins, n_del, k, l;
+};
+
+static inline int aln_score(int m, int o, int e, const Opt &opt) {
+  return m * opt.s_mm + o * opt.s_gapo + e * opt.s_gape;
+}
+
+// bwt_cal_width over seq (stored orientation)
+static void cal_width(const FM &g, const uint8_t *seq, int len,
+                      std::vector<Width> *out) {
+  int64_t k = 0, l = g.seq_len;
+  int bid = 0;
+  out->resize(len + 1);
+  for (int p = 0; p < len; ++p) {
+    int c = seq[p];
+    if (c < 4) {
+      int64_t ok = occ1(g, k - 1, c);
+      int64_t ol = occ1(g, l, c);
+      k = g.L2[c] + ok + 1;
+      l = g.L2[c] + ol;
+    }
+    if (k > l || c > 3) {
+      k = 0;
+      l = g.seq_len;
+      ++bid;
+    }
+    (*out)[p] = {l - k + 1, bid};
+  }
+  (*out)[len] = {0, bid + 1};
+}
+
+static inline int int_log2(uint32_t v) {
+  int c = 0;
+  if (v & 0xffff0000u) v >>= 16, c |= 16;
+  if (v & 0xff00u) v >>= 8, c |= 8;
+  if (v & 0xf0u) v >>= 4, c |= 4;
+  if (v & 0xcu) v >>= 2, c |= 2;
+  if (v & 0x2u) c |= 1;
+  return c;
+}
+
+struct GapStack {  // score-bucketed LIFO (bwtgap.c:17-84)
+  std::vector<std::vector<Entry>> stacks;
+  int best;
+  int64_t n = 0;
+  explicit GapStack(int n_stacks) : stacks(n_stacks), best(n_stacks) {}
+  void push(const Entry &e, int score) {
+    stacks[score].push_back(e);
+    ++n;
+    if (best > score) best = score;
+  }
+  Entry pop() {
+    std::vector<Entry> &q = stacks[best];
+    Entry e = q.back();
+    q.pop_back();
+    --n;
+    if (q.empty() && n) {
+      int i = best + 1;
+      while (i < (int)stacks.size() && stacks[i].empty()) ++i;
+      best = i;
+    } else if (n == 0) {
+      best = (int)stacks.size();
+    }
+    return e;
+  }
+};
+
+// bwt_match_exact_alt over seq[0:i]
+static int match_exact_alt(const FM &g, const uint8_t *seq, int i,
+                           int64_t *k_, int64_t *l_) {
+  int64_t k = *k_, l = *l_;
+  for (int j = i - 1; j >= 0; --j) {
+    int c = seq[j];
+    if (c > 3) return 0;
+    int64_t ok = occ1(g, k - 1, c);
+    int64_t ol = occ1(g, l, c);
+    k = g.L2[c] + ok + 1;
+    l = g.L2[c] + ol;
+    if (k > l) return 0;
+  }
+  *k_ = k;
+  *l_ = l;
+  return 1;
+}
+
+// bwt_match_gap; seq is the reverse complement of the read
+static void match_gap(const FM &g, const uint8_t *seq, int length,
+                      std::vector<Width> &width,
+                      std::vector<Width> *seed_width, int max_diff_in,
+                      int max_gapo, const Opt &opt,
+                      std::vector<AlnRec> *alns) {
+  int best_score = aln_score(max_diff_in + 1, max_gapo + 1,
+                             opt.max_gape + 1, opt);
+  int best_diff = max_diff_in + 1;
+  int max_diff = max_diff_in;
+  int64_t best_cnt = 0;
+  alns->clear();
+
+  int n_amb = 0;
+  for (int p = 0; p < length; ++p) n_amb += seq[p] > 3;
+  if (n_amb > max_diff) return;
+
+  GapStack stack(aln_score(max_diff_in + 1, max_gapo + 1,
+                           opt.max_gape + 1, opt));
+  stack.push({length, 0, g.seq_len, 0, 0, 0, 0, 0, ST_M, 0}, 0);
+
+  while (stack.n) {
+    if (stack.n > opt.max_entries) break;
+    Entry e = stack.pop();
+    int i = e.i;
+    int64_t k = e.k, l = e.l;
+    int score = aln_score(e.n_mm, e.n_gapo, e.n_gape, opt);
+    if (!(opt.mode & MODE_NONSTOP) && score > best_score + opt.s_mm) break;
+
+    int m = max_diff - (e.n_mm + e.n_gapo);
+    if (opt.mode & MODE_GAPE) m -= e.n_gape;
+    if (m < 0) continue;
+    int m_seed = 0;
+    if (seed_width) {
+      m_seed = opt.max_seed_diff - (e.n_mm + e.n_gapo);
+      if (opt.mode & MODE_GAPE) m_seed -= e.n_gape;
+    }
+    if (i > 0 && m < width[i - 1].bid) continue;
+
+    bool hit_found = false;
+    if (i == 0) {
+      hit_found = true;
+    } else if (m == 0 && (e.state == ST_M || (opt.mode & MODE_GAPE)
+                          || e.n_gape == opt.max_gape)) {
+      if (match_exact_alt(g, seq, i, &k, &l)) hit_found = true;
+      else continue;
+    }
+
+    if (hit_found) {
+      bool do_add = true;
+      if (alns->empty()) {
+        best_score = score;
+        best_diff = e.n_mm + e.n_gapo;
+        if (opt.mode & MODE_GAPE) best_diff += e.n_gape;
+        if (!(opt.mode & MODE_NONSTOP))
+          max_diff = best_diff + 1 > max_diff_in ? max_diff_in
+                                                 : best_diff + 1;
+      }
+      if (score == best_score) best_cnt += l - k + 1;
+      else if (best_cnt > opt.max_top2) break;
+      if (e.n_gapo) {  // tandem-repeat duplicate check
+        for (const AlnRec &a : *alns)
+          if (a.k == k && a.l == l) { do_add = false; break; }
+      }
+      if (do_add) {
+        // gap_shadow (bwtgap.c:86-96)
+        int64_t x = l - k + 1;
+        int64_t jj = 0;
+        for (int t = 0; t < e.ldp; ++t) {
+          if (width[t].w > x) {
+            width[t].w -= x;
+          } else if (width[t].w == x) {
+            ++jj;
+            width[t] = {g.seq_len - jj, 1};
+          }
+        }
+        alns->push_back({e.n_mm, e.n_gapo, e.n_gape, score, e.n_ins,
+                         e.n_del, k, l});
+      }
+      continue;
+    }
+
+    --i;
+    int64_t cnt_k[4], cnt_l[4];
+    occ4_pair(g, k - 1, l, cnt_k, cnt_l);
+    int64_t occ = l - k + 1;
+    bool allow_diff = true, allow_M = true;
+    if (i > 0) {
+      if (width[i - 1].bid > m - 1) allow_diff = false;
+      else if (width[i - 1].bid == m - 1 && width[i].bid == m - 1
+               && width[i - 1].w == width[i].w)
+        allow_M = false;
+      if (seed_width) {
+        int ii = i - (length - (int)(seed_width->size() - 1));
+        if (ii > 0) {
+          if ((*seed_width)[ii - 1].bid > m_seed - 1) allow_diff = false;
+          else if ((*seed_width)[ii - 1].bid == m_seed - 1
+                   && (*seed_width)[ii].bid == m_seed - 1
+                   && (*seed_width)[ii - 1].w == (*seed_width)[ii].w)
+            allow_M = false;
+        }
+      }
+    }
+
+    int tmp = (opt.mode & MODE_LOGGAP)
+                  ? int_log2((uint32_t)(e.n_gape + e.n_gapo)) / 2 + 1
+                  : e.n_gapo + e.n_gape;
+    if (allow_diff && i >= opt.indel_end_skip + tmp
+        && length - i >= opt.indel_end_skip + tmp) {
+      if (e.state == ST_M) {
+        if (e.n_gapo < max_gapo) {
+          // insertion
+          stack.push({i, k, l, e.n_mm, e.n_gapo + 1, e.n_gape,
+                      e.n_ins + 1, e.n_del, ST_I, i},
+                     aln_score(e.n_mm, e.n_gapo + 1, e.n_gape, opt));
+          // deletions
+          for (int j = 0; j < 4; ++j) {
+            int64_t kk = g.L2[j] + cnt_k[j] + 1;
+            int64_t ll = g.L2[j] + cnt_l[j];
+            if (kk <= ll)
+              stack.push({i + 1, kk, ll, e.n_mm, e.n_gapo + 1, e.n_gape,
+                          e.n_ins, e.n_del + 1, ST_D, i + 1},
+                         aln_score(e.n_mm, e.n_gapo + 1, e.n_gape, opt));
+          }
+        }
+      } else if (e.state == ST_I) {
+        if (e.n_gape < opt.max_gape)
+          stack.push({i, k, l, e.n_mm, e.n_gapo, e.n_gape + 1,
+                      e.n_ins + 1, e.n_del, ST_I, i},
+                     aln_score(e.n_mm, e.n_gapo, e.n_gape + 1, opt));
+      } else if (e.state == ST_D) {
+        if (e.n_gape < opt.max_gape) {
+          if (e.n_gape + e.n_gapo < max_diff || occ < opt.max_del_occ) {
+            for (int j = 0; j < 4; ++j) {
+              int64_t kk = g.L2[j] + cnt_k[j] + 1;
+              int64_t ll = g.L2[j] + cnt_l[j];
+              if (kk <= ll)
+                stack.push({i + 1, kk, ll, e.n_mm, e.n_gapo,
+                            e.n_gape + 1, e.n_ins, e.n_del + 1, ST_D,
+                            i + 1},
+                           aln_score(e.n_mm, e.n_gapo, e.n_gape + 1, opt));
+            }
+          }
+        }
+      }
+    }
+    if (allow_diff && allow_M) {
+      for (int j = 1; j <= 4; ++j) {
+        int c = (seq[i] + j) & 3;
+        int is_mm = (j != 4 || seq[i] > 3) ? 1 : 0;
+        int64_t kk = g.L2[c] + cnt_k[c] + 1;
+        int64_t ll = g.L2[c] + cnt_l[c];
+        if (kk <= ll)
+          stack.push({i, kk, ll, e.n_mm + is_mm, e.n_gapo, e.n_gape,
+                      e.n_ins, e.n_del, ST_M, is_mm ? i : 0},
+                     aln_score(e.n_mm + is_mm, e.n_gapo, e.n_gape, opt));
+      }
+    } else if (seq[i] < 4) {
+      int c = seq[i] & 3;
+      int64_t kk = g.L2[c] + cnt_k[c] + 1;
+      int64_t ll = g.L2[c] + cnt_l[c];
+      if (kk <= ll)
+        stack.push({i, kk, ll, e.n_mm, e.n_gapo, e.n_gape, e.n_ins,
+                    e.n_del, ST_M, 0},
+                   aln_score(e.n_mm, e.n_gapo, e.n_gape, opt));
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batch `aln` search.  seqs_flat holds the STORED (reversed) reads per
+// bwaseqio; width/seed-width/complement are derived here.  Per read:
+// max_diff/max_gapo/seed_len precomputed by the caller (fnr logic).
+// Records are 8 int64 each; returns total records or -needed if rec_cap
+// is too small.
+int64_t bt_aln_batch(const int64_t *g_ckpt, const uint32_t *g_words,
+                     int64_t g_seq_len, int64_t g_primary,
+                     const int64_t *g_L2, const uint8_t *seqs_flat,
+                     const int64_t *seq_off, int32_t n_reads,
+                     const int32_t *max_diff, const int32_t *max_gapo,
+                     const int32_t *seed_len, int32_t s_mm, int32_t s_gapo,
+                     int32_t s_gape, int32_t max_gape,
+                     int32_t max_seed_diff, int32_t max_entries,
+                     int32_t max_del_occ, int32_t indel_end_skip,
+                     int32_t max_top2, int32_t mode, int32_t *out_n,
+                     int64_t *out_rec, int64_t rec_cap) {
+  FM g{g_ckpt, g_words, g_seq_len, g_primary, g_L2};
+  Opt opt{s_mm, s_gapo, s_gape, max_gape, max_seed_diff, max_entries,
+          max_del_occ, indel_end_skip, max_top2, mode};
+  std::vector<Width> width, seed_w;
+  std::vector<AlnRec> alns;
+  std::vector<uint8_t> q;
+  int64_t tot = 0;
+  for (int r = 0; r < n_reads; ++r) {
+    const uint8_t *seq = seqs_flat + seq_off[r];
+    int len = (int)(seq_off[r + 1] - seq_off[r]);
+    cal_width(g, seq, len, &width);
+    std::vector<Width> *sw = nullptr;
+    if (len > seed_len[r]) {
+      cal_width(g, seq + (len - seed_len[r]), seed_len[r], &seed_w);
+      sw = &seed_w;
+    }
+    q.resize(len);
+    for (int p = 0; p < len; ++p) q[p] = seq[p] > 3 ? 4 : 3 - seq[p];
+    match_gap(g, q.data(), len, width, sw, max_diff[r], max_gapo[r], opt,
+              &alns);
+    out_n[r] = (int32_t)alns.size();
+    if (tot + (int64_t)alns.size() * 8 <= rec_cap) {
+      std::memcpy(out_rec + tot, alns.data(), alns.size() * sizeof(AlnRec));
+    }
+    tot += (int64_t)alns.size() * 8;
+  }
+  return tot;
+}
+
+}  // extern "C"
