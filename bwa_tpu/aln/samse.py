@@ -126,7 +126,11 @@ def approx_mapQ(p: BtSeq, mm: int) -> int:
 
 def sa2pos(fm, engine, sapos: int, ref_len: int):
     """bwa_sa2pos (bwase.c:112-123); returns (pos, strand) or (-1, 0)."""
-    pos_f = engine.sa(sapos)
+    return pos2coord(fm, engine.sa(sapos), ref_len)
+
+
+def pos2coord(fm, pos_f: int, ref_len: int):
+    """The coordinate/strand step of bwa_sa2pos given the SA value."""
     if pos_f < fm.l_pac < pos_f + ref_len:
         return -1, 0
     pos_f, is_rev = fm.bnt.depos(pos_f)
@@ -423,19 +427,34 @@ def print_sam1(fm, p: BtSeq, mate: BtSeq | None, mode: int, max_top2: int,
 
 
 def cal_pac_pos(fm, engine, seqs: list[BtSeq], max_mm: int, fnr: float) -> None:
-    """bwa_cal_pac_pos (bwase.c:131-165)."""
+    """bwa_cal_pac_pos (bwase.c:131-165); SA lookups batched through the
+    native walker (one call per read batch)."""
+    import numpy as np
+
+    ranks = []
+    for p in seqs:
+        if p.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT):
+            ranks.append(p.sa)
+        for q in p.multi:
+            ranks.append(q.pos)
+    pos_f = engine.sa_many(np.asarray(ranks, dtype=np.int64))
+    pi = 0
     for p in seqs:
         if p.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT):
             max_diff = (cal_maxdiff(p.len, BWA_AVG_ERR, fnr)
                         if fnr > 0.0 else max_mm)
             p.seQ = p.mapQ = approx_mapQ(p, max_diff)
-            p.pos, p.strand = sa2pos(fm, engine, p.sa, p.len + p.ref_shift)
+            p.pos, p.strand = pos2coord(fm, int(pos_f[pi]),
+                                        p.len + p.ref_shift)
+            pi += 1
             p.seQ = p.mapQ = approx_mapQ(p, max_diff)
             if p.pos == -1:
                 p.type = BWA_TYPE_NO_MATCH
         kept = []
         for q in p.multi:
-            q.pos, q.strand = sa2pos(fm, engine, q.pos, p.len + q.ref_shift)
+            q.pos, q.strand = pos2coord(fm, int(pos_f[pi]),
+                                        p.len + q.ref_shift)
+            pi += 1
             if q.pos != p.pos and q.pos != -1:
                 kept.append(q)
         p.multi = kept

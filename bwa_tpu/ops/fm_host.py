@@ -80,6 +80,14 @@ class HostFM:
         return 0 if k == self.primary else r
 
     def sa(self, k: int) -> int:
+        sad = self.fm.sad
+        if sad is not None:  # dense sidecar: sad[k] == the walk result
+            return int(sad[k])
+        return int(self.sa_many([k])[0])
+
+    def sa_walk(self, k: int) -> int:
+        """The pure-Python inverse-Psi walk (the executable spec; sa()
+        routes through the native batch walker for speed)."""
         s, mask = 0, self.fm.sa_intv - 1
         while k & mask:
             s += 1
@@ -87,7 +95,15 @@ class HostFM:
         return s + int(self.fm.ssa[k // self.fm.sa_intv])
 
     def sa_many(self, ks) -> "np.ndarray":
-        return np.array([self.sa(int(k)) for k in ks], dtype=np.int64)
+        sad = self.fm.sad
+        if sad is not None:
+            return np.asarray(sad[np.asarray(ks, dtype=np.int64)],
+                              dtype=np.int64)
+        from bwa_tpu.sw2.core import Sw2Index
+
+        if not hasattr(self, "_sw2idx"):
+            self._sw2idx = Sw2Index(self.fm)
+        return self._sw2idx.sa_batch(np.asarray(ks, dtype=np.int64))
 
     # ---- bidirectional extension ----
 
