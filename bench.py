@@ -105,6 +105,8 @@ def main():
         baseline = N_READS / baseline_dt
     dt, n = _time_ours(fa, fq)
     ours = n / dt
+    print(f"[bench] ours {dt:.2f}s for {n} reads; baseline "
+          f"{(n / baseline if baseline else 0):.2f}s", file=sys.stderr)
     print(json.dumps({
         "metric": "mem_se_reads_per_sec",
         "value": round(ours, 3),

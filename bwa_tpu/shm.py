@@ -94,6 +94,12 @@ def shm_stage(prefix: str) -> int:
         (d / (nm + ".bin")).write_bytes(arr.tobytes())
         meta["arrays"][nm] = dict(dtype=str(arr.dtype), shape=list(arr.shape))
         total += arr.nbytes
+    if fm.sad is not None:  # dense-SA sidecar rides along when present
+        arr = np.ascontiguousarray(fm.sad)
+        (d / "sad.bin").write_bytes(arr.tobytes())
+        meta["arrays"]["sad"] = dict(dtype=str(arr.dtype),
+                                     shape=list(arr.shape))
+        total += arr.nbytes
     (d / "meta.json").write_text(json.dumps(meta))
     ctl = _read_ctl()
     ctl[name] = dict(dir=PREFIX + name, l_mem=total)
@@ -121,6 +127,11 @@ def shm_attach(hint: str):
         info = meta["arrays"][nm]
         arrs[nm] = np.memmap(d / (nm + ".bin"), dtype=np.dtype(info["dtype"]),
                              mode="r", shape=tuple(info["shape"]))
+    sad = None
+    if "sad" in meta["arrays"]:
+        info = meta["arrays"]["sad"]
+        sad = np.memmap(d / "sad.bin", dtype=np.dtype(info["dtype"]),
+                        mode="r", shape=tuple(info["shape"]))
     mb = meta["bnt"]
     bnt = Bnt(
         l_pac=mb["l_pac"], seed=mb["seed"],
@@ -130,11 +141,14 @@ def shm_attach(hint: str):
         holes=[Hole(offset=h["offset"], length=h["length"], amb=h["amb"])
                for h in mb["holes"]],
     )
-    return FMIndex(primary=meta["primary"],
-                   L2=np.asarray(meta["L2"], dtype=np.int64),
-                   seq_len=meta["seq_len"], ckpt=arrs["ckpt"],
-                   words=arrs["words"], sa_intv=meta["sa_intv"],
-                   ssa=arrs["ssa"], bnt=bnt, pac=arrs["pac"])
+    fmi = FMIndex(primary=meta["primary"],
+                  L2=np.asarray(meta["L2"], dtype=np.int64),
+                  seq_len=meta["seq_len"], ckpt=arrs["ckpt"],
+                  words=arrs["words"], sa_intv=meta["sa_intv"],
+                  ssa=arrs["ssa"], bnt=bnt, pac=arrs["pac"])
+    if sad is not None:
+        fmi.__dict__["sad"] = sad
+    return fmi
 
 
 def shm_list() -> int:
