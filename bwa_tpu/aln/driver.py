@@ -12,7 +12,6 @@ from bwa_tpu.aln.sai import SaiReader, SaiWriter
 from bwa_tpu.aln.search import Aln1, cal_width, match_gap
 from bwa_tpu.aln.seqio import open_reads, read_bt_seqs
 from bwa_tpu.index.fmindex import FMIndex
-from bwa_tpu.io.fastq import SeqReader
 from bwa_tpu.utils.rand48 import Rand48
 
 CHUNK = 0x40000

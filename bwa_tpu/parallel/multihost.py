@@ -50,7 +50,7 @@ def align_shard(prefix: str, fq1: str, fq2: str | None, host_id: int,
                 engine_kind: str | None = None, rg_id=None) -> int:
     """Align this host's batches; writes <shard_dir>/batch<j>.sam per owned
     batch.  Returns the number of batches owned."""
-    from bwa_tpu.mem.pipeline import process_seqs, process_seqs_smart
+    from bwa_tpu.mem.pipeline import process_seqs
 
     from bwa_tpu.options import MemOptions
 
