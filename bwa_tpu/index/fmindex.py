@@ -62,7 +62,12 @@ class FMIndex:
 
     @classmethod
     def load_from_disk(cls, prefix) -> "FMIndex":
+        import os
+
         prefix = str(prefix)
+        # bwa_idx_infer_prefix (bwa.c:245-269): prefer the .64 variant
+        if os.path.exists(prefix + ".64.bwt"):
+            prefix = prefix + ".64"
         primary, L2, seq_len, ckpt, words = read_bwt_file(prefix + ".bwt")
         bnt = read_ann_amb(prefix)
         assert seq_len == 2 * bnt.l_pac
