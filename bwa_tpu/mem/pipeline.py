@@ -48,6 +48,21 @@ def to_codes(seq: bytes) -> np.ndarray:
     return NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)]
 
 
+def to_codes_batch(reads) -> list[np.ndarray]:
+    """One table lookup for the whole batch; returns per-read views."""
+    if not reads:
+        return []
+    flat = NT4_TABLE[np.frombuffer(b"".join(r.seq for r in reads),
+                                   dtype=np.uint8)]
+    out = []
+    pos = 0
+    for r in reads:
+        ln = len(r.seq)
+        out.append(flat[pos:pos + ln])
+        pos += ln
+    return out
+
+
 def _batch_align(opt, engine, fm, codes):
     """worker1 over the batch: seeds (device, batched) then per-read
     chaining/extension."""
@@ -147,7 +162,7 @@ def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
     """mem_process_seqs (bwamem.c:1235-1264): fills read.sam."""
     import os
 
-    codes = [to_codes(r.seq) for r in reads]
+    codes = to_codes_batch(reads)
     use_native = os.environ.get("BWA_TPU_FINALIZE", "native") == "native"
     if (opt.flag & MEM_F_PE) and use_native and reads:
         # PE fast path: rescue/pairing/SAM in the C++ extension
