@@ -30,33 +30,37 @@ NEG = np.int32(-(1 << 30))
 TB = 128     # target rows per grid step
 
 
-def _tile_for(QP: int) -> int:
+def _tile_for(QP: int, half: bool) -> int:
     """Lanes per kernel instance, bounded by VMEM (~16MB scoped)."""
     if QP <= 384:
-        return 256
-    if QP <= 768:
-        return 128
-    if QP <= 1536:
-        return 64
-    return 32
+        t = 256
+    elif QP <= 768:
+        t = 128
+    elif QP <= 1536:
+        t = 64
+    else:
+        t = 32
+    return t * 2 if half else t
 
 
-def _prefix_max(x, colid, width):
+def _prefix_max(x, colid, width, sentinel=NEG):
     """Exact inclusive prefix max along axis 1 via a log tree of rolls."""
     off = 1
     while off < width:
         shifted = pltpu.roll(x, off, 1)
-        x = jnp.maximum(x, jnp.where(colid >= off, shifted, NEG))
+        x = jnp.maximum(x, jnp.where(colid >= off, shifted, sentinel))
         off <<= 1
     return x
 
 
 def _mk_kernel(QP: int, T: int, o_del: int, e_del: int, o_ins: int,
-               e_ins: int, zdrop: int):
+               e_ins: int, zdrop: int, half: bool):
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     n_tb = T // TB
-    TILE = _tile_for(QP)
+    TILE = _tile_for(QP, half)
+    vt = jnp.int16 if half else jnp.int32
+    neg = np.int16(-20000) if half else NEG
 
     def kernel(qs_ref, ts_ref, sc_ref, par_ref, out_ref,
                H_ref, E_ref, st_ref):
@@ -80,8 +84,9 @@ def _mk_kernel(QP: int, T: int, o_del: int, e_del: int, o_ins: int,
             keep = (col >= 2) & (prev > e_ins) & (col <= qlen)
             H_ref[:] = jnp.where(col == 0, h0,
                                  jnp.where(col == 1, e1,
-                                           jnp.where(keep, fill, 0)))
-            E_ref[:] = jnp.zeros((TILE, QP), jnp.int32)
+                                           jnp.where(keep, fill, 0))
+                                 ).astype(vt)
+            E_ref[:] = jnp.zeros((TILE, QP), vt)
             st = jnp.where(sid == 1, qlen, 0)                 # end = qlen
             st = jnp.where(sid == 2, h0, st)                  # mx = h0
             st = jnp.where((sid >= 3) & (sid <= 6), -1, st)   # mx_i/j/ie,gsc
@@ -92,9 +97,9 @@ def _mk_kernel(QP: int, T: int, o_del: int, e_del: int, o_ins: int,
         qv = qs_ref[:]
         sqs = []
         for c in range(5):
-            s = jnp.zeros((TILE, QP), jnp.int32)
+            s = jnp.zeros((TILE, QP), vt)
             for d in range(5):
-                s = jnp.where(qv == d, sc_ref[0, c * 5 + d], s)
+                s = jnp.where(qv == d, sc_ref[0, c * 5 + d].astype(vt), s)
             sqs.append(s)
         tsb = ts_ref[:]
         st0 = st_ref[:]
@@ -128,40 +133,52 @@ def _mk_kernel(QP: int, T: int, o_del: int, e_del: int, o_ins: int,
             for c in range(4):
                 S = jnp.where(wide(sel(tci == c, 1, 0)), sqs[c], S)
             inband = (col >= beg_r) & (col < end_r)
-            M = jnp.where(H != 0, H + S, 0)
-            M = jnp.where(inband, M, NEG)
-            e_cur = jnp.where(inband, E, NEG)
-            g = jnp.maximum(M - oe_ins, 0)
-            g = jnp.where(inband, g, NEG)
-            run = _prefix_max(g + col * e_ins, col, QP)
+            zero_vt = jnp.zeros((), vt)
+            M = jnp.where(H != zero_vt, H + S, zero_vt)
+            M = jnp.where(inband, M, neg)
+            e_cur = jnp.where(inband, E, neg)
+            g = jnp.maximum(M - vt(oe_ins), zero_vt)
+            g = jnp.where(inband, g, neg)
+            colv = col.astype(vt)
+            run = _prefix_max(g + colv * vt(e_ins), col, QP, neg)
+            if half:
+                # keep F = run - (col-1)*e_ins above int16 wrap; -13000
+                # still loses to every legitimate value (which are >= 0)
+                run = jnp.maximum(run, vt(-13000))
             F = jnp.where(col >= 1,
-                          pltpu.roll(run, 1, 1) - (col - 1) * e_ins, NEG)
-            F = jnp.where(col == beg_r, 0, F)
-            F = jnp.where(inband, F, NEG)
+                          pltpu.roll(run, 1, 1) - (colv - 1) * vt(e_ins),
+                          neg)
+            F = jnp.where(col == beg_r, zero_vt, F)
+            F = jnp.where(inband, F, neg)
             Hrow = jnp.maximum(jnp.maximum(M, e_cur), F)
-            Hrow = jnp.where(inband, Hrow, NEG)
-            mrow = jnp.maximum(jnp.max(Hrow, axis=1, keepdims=True), 0)
+            Hrow = jnp.where(inband, Hrow, neg)
+            # (Mosaic can't reduce int16 directly: widen first)
+            mrow = jnp.maximum(
+                jnp.max(Hrow.astype(jnp.int32), axis=1, keepdims=True), 0)
             pos_row = sel(mrow > 0, 1, 0)
-            is_max = (Hrow == mrow) & inband & wide(pos_row)
+            is_max = (Hrow.astype(jnp.int32) == mrow) & inband \
+                & wide(pos_row)
             mj = jnp.max(jnp.where(is_max, col, -1), axis=1, keepdims=True)
             mj = sel(pos_row, mj, jnp.full_like(mj, -1))
             h_last = jnp.sum(
-                jnp.where(col == jnp.maximum(end_r - 1, 0), Hrow, 0),
+                jnp.where(col == jnp.maximum(end_r - 1, 0),
+                          Hrow.astype(jnp.int32), 0),
                 axis=1, keepdims=True)
             h_last = sel(sel(end_r > beg_r, 1, 0), h_last, h1_init)
             better = act * sel(end_r == qlen, 1, 0) * sel(h_last >= gsc,
                                                           1, 0)
             mx_ie = sel(better, jnp.full_like(mx_ie, i), mx_ie)
             gsc = sel(better, jnp.maximum(h_last, gsc), gsc)
-            t_del = jnp.maximum(M - oe_del, 0)
-            Enew = jnp.maximum(e_cur - e_del, t_del)
-            Hsh = jnp.where(col >= 1, pltpu.roll(Hrow, 1, 1), h1_init)
+            t_del = jnp.maximum(M - vt(oe_del), zero_vt)
+            Enew = jnp.maximum(e_cur - vt(e_del), t_del)
+            Hsh = jnp.where(col >= 1, pltpu.roll(Hrow, 1, 1),
+                            h1_init.astype(vt))
             wr = inband & wide(act)
             H2 = jnp.where(wr, Hsh, H)
             E2 = jnp.where(wr, Enew, E)
             endw = (col == end_r) & wide(act)
-            H2 = jnp.where(endw, h_last, H2)
-            E2 = jnp.where(endw, 0, E2)
+            H2 = jnp.where(endw, h_last.astype(vt), H2)
+            E2 = jnp.where(endw, zero_vt, E2)
 
             brk0 = act * sel(mrow == 0, 1, 0)
             imp = act * (1 - brk0) * sel(mrow > mx, 1, 0)
@@ -177,7 +194,7 @@ def _mk_kernel(QP: int, T: int, o_del: int, e_del: int, o_ins: int,
             brkz = zd * zcond
             mx = sel(imp, mrow, mx)
 
-            zero_cell = (H2 == 0) & (E2 == 0)
+            zero_cell = (H2 == zero_vt) & (E2 == zero_vt)
             in_lo = (col >= beg_r) & (col < end_r)
             first_nz = jnp.min(jnp.where(~zero_cell & in_lo, col, QP + 1),
                                axis=1, keepdims=True)
@@ -223,13 +240,14 @@ def _mk_kernel(QP: int, T: int, o_del: int, e_del: int, o_ins: int,
 
 
 @partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins", "e_ins",
-                                   "zdrop", "interpret"))
+                                   "zdrop", "half", "interpret"))
 def _extend_pallas(qs, ts, sc, par, o_del, e_del, o_ins, e_ins, zdrop,
-                   interpret):
+                   half, interpret):
     N, QP = qs.shape
     T = ts.shape[1]
-    TILE = _tile_for(QP)
-    kern = _mk_kernel(QP, T, o_del, e_del, o_ins, e_ins, zdrop)
+    TILE = _tile_for(QP, half)
+    vt = jnp.int16 if half else jnp.int32
+    kern = _mk_kernel(QP, T, o_del, e_del, o_ins, e_ins, zdrop, half)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((N, 128), jnp.int32),
@@ -246,8 +264,8 @@ def _extend_pallas(qs, ts, sc, par, o_del, e_del, o_ins, e_ins, zdrop,
         ],
         out_specs=pl.BlockSpec((TILE, 128), lambda i, t: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TILE, QP), jnp.int32),
-                        pltpu.VMEM((TILE, QP), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((TILE, QP), vt),
+                        pltpu.VMEM((TILE, QP), vt),
                         pltpu.VMEM((TILE, 128), jnp.int32)],
         interpret=interpret,
     )(qs, ts, sc, par)
@@ -262,7 +280,16 @@ def extend_batch_pallas(qs, qlens, ts, tlens, mat, o_del, e_del, o_ins,
     N, Q = qs.shape
     T = ts.shape[1]
     QP = -(-(Q + 1) // 128) * 128        # room for the eh end slot
-    TILE = _tile_for(QP)
+    # int16 wide math doubles lanes when every intermediate provably
+    # fits, but this backend's Mosaic cannot lower pltpu.roll / iota on
+    # int16 vectors (probed 2026-08); the machinery stays for a backend
+    # that can — force the int32 path until then.
+    mmax_v = int(np.asarray(mat).max())
+    smax = int(np.max(h0s)) + Q * mmax_v + 64
+    half = bool(smax + QP * max(e_ins, e_del) < 19000
+                and smax < 19000)
+    half = False
+    TILE = _tile_for(QP, half)
     Np = -(-N // TILE) * TILE
     Tp = max(TB, -(-T // TB) * TB)
     qsp = np.full((Np, QP), 4, np.int32)
@@ -291,7 +318,7 @@ def extend_batch_pallas(qs, qlens, ts, tlens, mat, o_del, e_del, o_ins,
     out = _extend_pallas(jnp.asarray(qsp), jnp.asarray(tsp),
                          jnp.asarray(sc), jnp.asarray(par),
                          int(o_del), int(e_del), int(o_ins), int(e_ins),
-                         int(zdrop), bool(interpret))
+                         int(zdrop), half, bool(interpret))
     out = np.asarray(jax.device_get(out))[:N]
     return (out[:, 0], out[:, 1], out[:, 2], out[:, 3], out[:, 4],
             out[:, 5])
