@@ -30,6 +30,19 @@ def _pad_reads(codes_list, L: int) -> tuple[np.ndarray, np.ndarray]:
 BATCH_BUCKET = 8192
 
 
+def _lane_bucket(L: int) -> int:
+    """Lanes per machine call: long reads carry many more steps per lane
+    and wider q streams, so shrink the lane count with read length to
+    keep tail padding and per-step cost in check."""
+    if L <= 256:
+        return BATCH_BUCKET
+    if L <= 512:
+        return BATCH_BUCKET // 2
+    if L <= 1024:
+        return BATCH_BUCKET // 4
+    return BATCH_BUCKET // 8
+
+
 def _len_bucket(L: int) -> int:
     return max(64, -(-L // 64) * 64)
 
@@ -42,16 +55,18 @@ def collect_intv_batch(opt, engine, codes_list, cap_s: int = 96) -> list[list[tu
     if B == 0:
         return []
     mems: list[list[tuple]] = []
-    for lo in range(0, B, BATCH_BUCKET):
-        chunk = codes_list[lo:lo + BATCH_BUCKET]
+    bucket0 = _lane_bucket(_len_bucket(max(len(c) for c in codes_list)))
+    for lo in range(0, B, bucket0):
+        chunk = codes_list[lo:lo + bucket0]
         nb = len(chunk)
         L = _len_bucket(max(len(c) for c in chunk))
+        bucket = _lane_bucket(L)
         q, lens = _pad_reads(chunk, L)
-        if nb < BATCH_BUCKET:  # pad the tail chunk to the bucket size
+        if nb < bucket:  # pad the tail chunk to the bucket size
             q = np.concatenate(
-                [q, np.full((BATCH_BUCKET - nb, L), 4, np.uint8)])
+                [q, np.full((bucket - nb, L), 4, np.uint8)])
             lens = np.concatenate(
-                [lens, np.zeros(BATCH_BUCKET - nb, np.int32)])
+                [lens, np.zeros(bucket - nb, np.int32)])
         s0, s1, s2, ss, se, seed_n = engine.collect_seeds(q, lens, opt, cap_s)
         for b in range(nb):
             n = int(seed_n[b])
@@ -94,14 +109,16 @@ def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
     rb_off = [np.zeros(1, np.int32)]
     iv_base = 0
     rb_base = 0
-    for lo in range(0, B, BATCH_BUCKET):
-        chunk = codes_list[lo:lo + BATCH_BUCKET]
+    bucket0 = _lane_bucket(_len_bucket(max(len(c) for c in codes_list)))
+    for lo in range(0, B, bucket0):
+        chunk = codes_list[lo:lo + bucket0]
         nb = len(chunk)
         L = _len_bucket(max(len(c) for c in chunk))
+        bucket = _lane_bucket(L)
         pack_k = int(os.environ.get("BWA_TPU_PACK_K", "2"))
-        if L > 256 or nb < BATCH_BUCKET // 2:
+        if L > 256 or nb < bucket // 2:
             pack_k = 1  # long reads carry enough work per lane already
-        B2 = BATCH_BUCKET // pack_k
+        B2 = bucket // pack_k
         Lp = pack_k * (L + 1)
         q = np.full((B2, Lp), 4, np.uint8)
         lens = np.zeros(B2, np.int32)
