@@ -354,6 +354,177 @@ LocalResult striped_sw(int qlen, const uint8_t *query, int tlen,
   return r;
 }
 
+#if defined(__SSE2__)
+#include <emmintrin.h>
+
+// SSE2 striped SW — the same uint8/int16 lane arithmetic as striped_sw
+// above (which is the exactness spec), vectorized 16/8 lanes per op.
+template <int SZ>
+LocalResult striped_sw_simd(int qlen, const uint8_t *query, int tlen,
+                            const uint8_t *target, int m, const int8_t *mat,
+                            int o_del, int e_del, int o_ins, int e_ins,
+                            int xtra) {
+  LocalResult r{0, -1, -1, -1, -1, -1, -1};
+  const int NL = SZ == 1 ? 16 : 8;
+  const int slen = (qlen + NL - 1) / NL;
+  int shift = 0, mmax = 0;
+  if (SZ == 1) {
+    int mn = 127;
+    for (int a = 0; a < m * m; ++a) { mn = imin(mn, mat[a]); mmax = imax(mmax, mat[a]); }
+    shift = (uint8_t)(256 - mn);
+  } else {
+    for (int a = 0; a < m * m; ++a) mmax = imax(mmax, mat[a]);
+  }
+  const int minsc = (xtra & 0x10000) ? (xtra & 0xffff) : 0x10000;
+  const int endsc = (xtra & 0x20000) ? (xtra & 0xffff) : 0x10000;
+
+  std::vector<__m128i> qp((size_t)m * slen), H0(slen), H1(slen), E(slen),
+      Hmax(slen);
+  {  // striped query profile
+    if (SZ == 1) {
+      int8_t *t = (int8_t *)qp.data();
+      size_t p = 0;
+      for (int a = 0; a < m; ++a) {
+        const int8_t *ma = mat + a * m;
+        for (int i = 0; i < slen; ++i)
+          for (int k = i; k < slen * NL; k += slen)
+            t[p++] = (int8_t)((k >= qlen ? 0 : ma[query[k]]) + shift);
+      }
+    } else {
+      int16_t *t = (int16_t *)qp.data();
+      size_t p = 0;
+      for (int a = 0; a < m; ++a) {
+        const int8_t *ma = mat + a * m;
+        for (int i = 0; i < slen; ++i)
+          for (int k = i; k < slen * NL; k += slen)
+            t[p++] = k >= qlen ? 0 : ma[query[k]];
+      }
+    }
+  }
+  const __m128i zero = _mm_setzero_si128();
+  const __m128i shift_v = _mm_set1_epi8((char)shift);
+  const __m128i oe_del_v = SZ == 1 ? _mm_set1_epi8((char)(o_del + e_del))
+                                   : _mm_set1_epi16(o_del + e_del);
+  const __m128i e_del_v = SZ == 1 ? _mm_set1_epi8((char)e_del)
+                                  : _mm_set1_epi16(e_del);
+  const __m128i oe_ins_v = SZ == 1 ? _mm_set1_epi8((char)(o_ins + e_ins))
+                                   : _mm_set1_epi16(o_ins + e_ins);
+  const __m128i e_ins_v = SZ == 1 ? _mm_set1_epi8((char)e_ins)
+                                  : _mm_set1_epi16(e_ins);
+  std::fill(H0.begin(), H0.end(), zero);
+  std::fill(E.begin(), E.end(), zero);
+  std::vector<uint64_t> b;
+  int gmax = 0, te = -1;
+
+  for (int i = 0; i < tlen; ++i) {
+    const __m128i *S = &qp[(size_t)target[i] * slen];
+    __m128i f = zero, maxv = zero;
+    __m128i h = _mm_slli_si128(H0[slen - 1], SZ);  // shift one lane
+    for (int j = 0; j < slen; ++j) {
+      __m128i e = E[j], hv;
+      if (SZ == 1) {
+        hv = _mm_subs_epu8(_mm_adds_epu8(h, S[j]), shift_v);
+        hv = _mm_max_epu8(hv, e);
+        hv = _mm_max_epu8(hv, f);
+        maxv = _mm_max_epu8(maxv, hv);
+        H1[j] = hv;
+        e = _mm_subs_epu8(e, e_del_v);
+        __m128i t2 = _mm_subs_epu8(hv, oe_del_v);
+        E[j] = _mm_max_epu8(e, t2);
+        f = _mm_subs_epu8(f, e_ins_v);
+        t2 = _mm_subs_epu8(hv, oe_ins_v);
+        f = _mm_max_epu8(f, t2);
+      } else {
+        hv = _mm_adds_epi16(h, S[j]);
+        hv = _mm_max_epi16(hv, e);
+        hv = _mm_max_epi16(hv, f);
+        maxv = _mm_max_epi16(maxv, hv);
+        H1[j] = hv;
+        e = _mm_subs_epu16(e, e_del_v);
+        __m128i t2 = _mm_subs_epu16(hv, oe_del_v);
+        E[j] = _mm_max_epi16(e, t2);
+        f = _mm_subs_epu16(f, e_ins_v);
+        t2 = _mm_subs_epu16(hv, oe_ins_v);
+        f = _mm_max_epi16(f, t2);
+      }
+      h = H0[j];
+    }
+    for (int k = 0; k < 16; ++k) {  // lazy-F (cap observable: 16 rounds)
+      f = _mm_slli_si128(f, SZ);
+      bool done = false;
+      for (int j = 0; j < slen; ++j) {
+        if (SZ == 1) {
+          H1[j] = _mm_max_epu8(H1[j], f);
+          __m128i hq = _mm_subs_epu8(H1[j], oe_ins_v);
+          f = _mm_subs_epu8(f, e_ins_v);
+          __m128i cmp = _mm_cmpeq_epi8(_mm_subs_epu8(f, hq), zero);
+          if (_mm_movemask_epi8(cmp) == 0xffff) { done = true; break; }
+        } else {
+          H1[j] = _mm_max_epi16(H1[j], f);
+          __m128i hq = _mm_subs_epu16(H1[j], oe_ins_v);
+          f = _mm_subs_epu16(f, e_ins_v);
+          __m128i cmp = _mm_cmpgt_epi16(f, hq);
+          if (_mm_movemask_epi8(cmp) == 0) { done = true; break; }
+        }
+      }
+      if (done) break;
+    }
+    int im = 0;
+    if (SZ == 1) {
+      const uint8_t *mv = (const uint8_t *)&maxv;
+      for (int l = 0; l < 16; ++l) im = imax(im, mv[l]);
+    } else {
+      const int16_t *mv = (const int16_t *)&maxv;
+      for (int l = 0; l < 8; ++l) im = imax(im, mv[l]);
+    }
+    if (im >= minsc) {
+      if (b.empty() || (int32_t)(uint32_t)b.back() + 1 != i)
+        b.push_back((uint64_t)im << 32 | (uint32_t)i);
+      else if ((int)(b.back() >> 32) < im)
+        b.back() = (uint64_t)im << 32 | (uint32_t)i;
+    }
+    if (im > gmax) {
+      gmax = im; te = i;
+      Hmax = H1;
+      if ((SZ == 1 && gmax + shift >= 255) || gmax >= endsc) break;
+    }
+    std::swap(H0, H1);
+  }
+
+  if (SZ == 1) {
+    r.score = gmax + shift < 255 ? gmax : 255;
+    r.te = te;
+    if (r.score == 255) return r;
+  } else {
+    r.score = gmax;
+    r.te = te;
+  }
+  {
+    int best = -1;
+    const int tot = slen * NL;
+    for (int i2 = 0; i2 < tot; ++i2) {
+      int v = SZ == 1 ? ((const uint8_t *)Hmax.data())[i2]
+                      : ((const int16_t *)Hmax.data())[i2];
+      int qpos = i2 / NL + (i2 % NL) * slen;
+      if (v > best) { best = v; r.qe = qpos; }
+      else if (v == best && qpos < r.qe) r.qe = qpos;
+    }
+    if (!b.empty()) {
+      int ii = (r.score + mmax - 1) / mmax;
+      int low = te - ii, high = te + ii;
+      for (size_t x = 0; x < b.size(); ++x) {
+        int e = (int32_t)(uint32_t)b[x];
+        if ((e < low || e > high) && (int)(b[x] >> 32) > r.score2) {
+          r.score2 = (int)(b[x] >> 32);
+          r.te2 = e;
+        }
+      }
+    }
+  }
+  return r;
+}
+#endif  // __SSE2__
+
 }  // namespace
 
 // out[7] = {score, te, qe, score2, te2, tb, qb}
@@ -363,9 +534,15 @@ extern "C" void bt_ksw_align2(int qlen, uint8_t *query, int tlen, uint8_t *targe
                    int thres, int *out) {
   int xtra = (use_subo ? 0x10000 : 0) | (use_stop ? 0x20000 : 0) |
              ((use_subo || use_stop) ? (thres & 0xffff) : 0);
+#if defined(__SSE2__)
+  LocalResult r = use_byte
+      ? striped_sw_simd<1>(qlen, query, tlen, target, m, mat, o_del, e_del, o_ins, e_ins, xtra)
+      : striped_sw_simd<2>(qlen, query, tlen, target, m, mat, o_del, e_del, o_ins, e_ins, xtra);
+#else
   LocalResult r = use_byte
       ? striped_sw<1>(qlen, query, tlen, target, m, mat, o_del, e_del, o_ins, e_ins, xtra)
       : striped_sw<2>(qlen, query, tlen, target, m, mat, o_del, e_del, o_ins, e_ins, xtra);
+#endif
   // start-position recovery by reversed re-alignment (ksw.c:392-400)
   if (use_start && !(use_subo && r.score < thres)) {
     // reference reverses the first qe+1/te+1 chars IN PLACE and reruns with
@@ -374,9 +551,15 @@ extern "C" void bt_ksw_align2(int qlen, uint8_t *query, int tlen, uint8_t *targe
     for (int i = 0; i < (int)rq.size() / 2; ++i) std::swap(rq[i], rq[rq.size() - 1 - i]);
     for (int i = 0; i < (r.te + 1) / 2; ++i) std::swap(rt[i], rt[r.te - i]);
     int xtra2 = 0x20000 | r.score;
+#if defined(__SSE2__)
+    LocalResult rr = use_byte
+        ? striped_sw_simd<1>(r.qe + 1, rq.data(), tlen, rt.data(), m, mat, o_del, e_del, o_ins, e_ins, xtra2)
+        : striped_sw_simd<2>(r.qe + 1, rq.data(), tlen, rt.data(), m, mat, o_del, e_del, o_ins, e_ins, xtra2);
+#else
     LocalResult rr = use_byte
         ? striped_sw<1>(r.qe + 1, rq.data(), tlen, rt.data(), m, mat, o_del, e_del, o_ins, e_ins, xtra2)
         : striped_sw<2>(r.qe + 1, rq.data(), tlen, rt.data(), m, mat, o_del, e_del, o_ins, e_ins, xtra2);
+#endif
     if (r.score == rr.score) { r.tb = r.te - rr.te; r.qb = r.qe - rr.qe; }
   }
   out[0] = r.score; out[1] = r.te; out[2] = r.qe; out[3] = r.score2;
