@@ -30,17 +30,22 @@ def _pad_reads(codes_list, L: int) -> tuple[np.ndarray, np.ndarray]:
 BATCH_BUCKET = 8192
 
 
-def _lane_bucket(L: int) -> int:
+def _lane_bucket(L: int, nb: int | None = None) -> int:
     """Lanes per machine call: long reads carry many more steps per lane
-    and wider q streams, so shrink the lane count with read length to
-    keep tail padding and per-step cost in check."""
+    and wider q streams, so shrink the lane count with read length; a
+    sub-bucket batch also shrinks to the next power of two (shapes stay
+    bounded: one executable per pow2 level per length bucket)."""
     if L <= 256:
-        return BATCH_BUCKET
-    if L <= 512:
-        return BATCH_BUCKET // 2
-    if L <= 1024:
-        return BATCH_BUCKET // 4
-    return BATCH_BUCKET // 8
+        b = BATCH_BUCKET
+    elif L <= 512:
+        b = BATCH_BUCKET // 2
+    elif L <= 1024:
+        b = BATCH_BUCKET // 4
+    else:
+        b = BATCH_BUCKET // 8
+    if nb is not None and nb < b:
+        b = max(256, 1 << (nb - 1).bit_length())
+    return b
 
 
 def _len_bucket(L: int) -> int:
@@ -60,7 +65,7 @@ def collect_intv_batch(opt, engine, codes_list, cap_s: int = 96) -> list[list[tu
         chunk = codes_list[lo:lo + bucket0]
         nb = len(chunk)
         L = _len_bucket(max(len(c) for c in chunk))
-        bucket = _lane_bucket(L)
+        bucket = _lane_bucket(L, nb)
         q, lens = _pad_reads(chunk, L)
         if nb < bucket:  # pad the tail chunk to the bucket size
             q = np.concatenate(
@@ -114,7 +119,7 @@ def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
         chunk = codes_list[lo:lo + bucket0]
         nb = len(chunk)
         L = _len_bucket(max(len(c) for c in chunk))
-        bucket = _lane_bucket(L)
+        bucket = _lane_bucket(L, nb)
         pack_k = int(os.environ.get("BWA_TPU_PACK_K", "2"))
         if L > 256 or nb < bucket // 2:
             pack_k = 1  # long reads carry enough work per lane already
