@@ -15,6 +15,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <algorithm>
+#include <chrono>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -1759,18 +1761,26 @@ int64_t mem_finalize_se_batch(
             {ctg_offset, ctg_len, ctg_is_alt, ctg_names, ctg_name_off, n_ctg}};
   std::string all;
   out_off[0] = 0;
+  const bool dbg = std::getenv("BWA_TPU_FIN_DEBUG") != nullptr;
+  double t_chain = 0, t_flt = 0, t_ext = 0, t_sam = 0;
+  auto now = [] { return std::chrono::steady_clock::now(); };
   for (int32_t i = 0; i < n_reads; ++i) {
     const uint8_t *codes = codes_flat + l_off[i];
     int l_query = (int)(l_off[i + 1] - l_off[i]);
     std::vector<Chain> chains;
     int iv0 = iv_off[i], iv1 = iv_off[i + 1];
+    auto tc = now();
     chain_read(o, r, l_query, iv1 - iv0, iv_x2 + iv0, iv_start + iv0,
                iv_end + iv0, rbegs, rb_off + iv0, chains);
     chain_flt(o, chains);
+    auto t0 = now();
+    if (dbg) t_chain += std::chrono::duration<double>(t0 - tc).count();
     flt_chained_seeds(o, r, l_query, codes, chains);
+    auto t1 = now();
     std::vector<Reg> regs;
     for (const Chain &c : chains) chain2aln(o, r, l_query, codes, c, regs);
     sort_dedup_patch(o, r, codes, regs);
+    auto t2 = now();
     for (Reg &p : regs)
       if (p.rid >= 0 && r.bns.is_alt[p.rid]) p.is_alt = 1;
     mark_primary_se(o, regs, id0 + i);
@@ -1781,9 +1791,19 @@ int64_t mem_finalize_se_batch(
         comment_off[i] >= 0 ? comments + comment_off[i] : nullptr;
     reg2sam_se(o, r, names + name_off[i], codes, l_query, qual, comment,
                regs, 0, nullptr, rg_id, sam);
+    auto t3 = now();
+    if (dbg) {
+      t_flt += std::chrono::duration<double>(t1 - t0).count();
+      t_ext += std::chrono::duration<double>(t2 - t1).count();
+      t_sam += std::chrono::duration<double>(t3 - t2).count();
+    }
     all += sam;
     out_off[i + 1] = (int64_t)all.size();
   }
+  if (dbg)
+    fprintf(stderr, "[memfin] chain=%.2fs flt_seeds=%.2fs "
+            "extend+dedup=%.2fs reg2sam=%.2fs\n", t_chain, t_flt, t_ext,
+            t_sam);
   if ((int64_t)all.size() > out_cap) return -(int64_t)all.size();
   memcpy(out, all.data(), all.size());
   return (int64_t)all.size();
