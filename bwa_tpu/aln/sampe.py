@@ -428,14 +428,23 @@ def sampe_core(prefix, fn_sa, fn_fa, popt: PEOpt, rg_id, rg_line, out) -> None:
                     and p[1].type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT)):
                 n_occ = [sum(r.l - r.k + 1 for r in d_aln[j]) for j in (0, 1)]
                 if not (n_occ[0] > popt.max_occ or n_occ[1] > popt.max_occ):
-                    arr = []
+                    import numpy as _np
+
+                    ranks = []
+                    meta = []
                     for j in (0, 1):
                         for kidx, r in enumerate(d_aln[j]):
                             for l in range(r.k, r.l + 1):
-                                pos, strand = se.sa2pos(
-                                    fm, engine, l, p[j].len + p[j].ref_shift)
-                                arr.append((pos if pos != -1 else (1 << 64) - 1,
-                                            (kidx << 2) | (strand << 1) | j))
+                                ranks.append(l)
+                                meta.append((j, kidx))
+                    pos_f = engine.sa_many(_np.asarray(ranks,
+                                                       dtype=_np.int64))
+                    arr = []
+                    for (j, kidx), pf in zip(meta, pos_f):
+                        pos, strand = se.pos2coord(
+                            fm, int(pf), p[j].len + p[j].ref_shift)
+                        arr.append((pos if pos != -1 else (1 << 64) - 1,
+                                    (kidx << 2) | (strand << 1) | j))
                     pairing(p, arr, d_aln, popt, opt.s_mm, ii)
 
             if popt.N_multi or popt.n_multi:

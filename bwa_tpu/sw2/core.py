@@ -56,13 +56,16 @@ class Sw2Index:
         self.words = np.ascontiguousarray(fm.words, dtype=np.uint32)
         self.L2 = np.ascontiguousarray(fm.L2, dtype=np.int64)
         self.ssa64 = np.ascontiguousarray(fm.ssa, dtype=np.int64)
+        self._args = (self.ckpt64.ctypes.data_as(_i64p),
+                      self.words.ctypes.data_as(_u32p),
+                      ctypes.c_int64(fm.seq_len),
+                      ctypes.c_int64(fm.primary),
+                      self.L2.ctypes.data_as(_i64p))
+        self._ssa_p = self.ssa64.ctypes.data_as(_i64p)
+        self._sa_intv = np.int32(fm.sa_intv)
 
     def _fm_args(self):
-        return (self.ckpt64.ctypes.data_as(_i64p),
-                self.words.ctypes.data_as(_u32p),
-                ctypes.c_int64(self.fm.seq_len),
-                ctypes.c_int64(self.fm.primary),
-                self.L2.ctypes.data_as(_i64p))
+        return self._args
 
     def core(self, read_codes: np.ndarray, opt) -> tuple[HitSet, HitSet]:
         """One DAG traversal; returns the raw (wide, narrow) hit sets
@@ -94,9 +97,7 @@ class Sw2Index:
         ks = np.ascontiguousarray(ks, dtype=np.int64)
         out = np.empty(ks.shape[0], dtype=np.int64)
         if ks.shape[0]:
-            _lib().fm_sa_batch(*self._fm_args(),
-                               self.ssa64.ctypes.data_as(_i64p),
-                               np.int32(self.fm.sa_intv),
+            _lib().fm_sa_batch(*self._args, self._ssa_p, self._sa_intv,
                                ks.ctypes.data_as(_i64p),
                                ctypes.c_int64(ks.shape[0]),
                                out.ctypes.data_as(_i64p))
