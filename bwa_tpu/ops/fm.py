@@ -167,13 +167,22 @@ def sa_batch(idx, k):
 # ---------------------------------------------------------------------------
 
 def _set_intv(idx, c):
-    """bwt_set_intv for a vector of first bases c (clamped to [0,3])."""
+    """bwt_set_intv for a vector of first bases c (clamped to [0,3]).
+
+    The L2 picks are one-hot contractions over the 4 columns instead of
+    L2[cc]-style gathers: a dynamic gather costs ~40us/step inside the
+    seeding while_loop on this backend while the 4-wide select chain
+    fuses for free (PERF.md)."""
     cdt = idx["ckpt"].dtype
     cc = jnp.clip(c, 0, 3)
     L2 = idx["L2"].astype(cdt)
-    x0 = L2[cc] + 1
-    x1 = L2[3 - cc] + 1
-    x2 = L2[cc + 1] - L2[cc]
+    oh = jnp.arange(4, dtype=cc.dtype)[None, :] == cc[:, None]
+    tab = jnp.stack([L2[:4], L2[1:5], L2[:4][::-1]], axis=-1)  # [4, 3]
+    z = jnp.sum(jnp.where(oh[:, :, None], tab[None, :, :], 0),
+                axis=1, dtype=cdt)                             # [B, 3]
+    x0 = z[:, 0] + 1
+    x1 = z[:, 2] + 1
+    x2 = z[:, 1] - z[:, 0]
     return x0, x1, x2
 
 

@@ -63,6 +63,25 @@ def _vec_read(vec, pos, dtype=jnp.int32):
     return jnp.sum(jnp.where(oh, vec, 0).astype(dtype), axis=1)
 
 
+def _col4(mat, c):
+    """mat[b, c[b]] for a [B, 4] matrix — one-hot contraction instead of
+    mat[bidx, c]: every dynamic gather costs ~40us/step on this backend
+    regardless of size, while the 4-wide compare/where/sum chain fuses
+    into the surrounding elementwise work for free (PERF.md)."""
+    oh = jnp.arange(4, dtype=c.dtype)[None, :] == c[:, None]
+    return jnp.sum(jnp.where(oh, mat, 0), axis=1, dtype=mat.dtype)
+
+
+def _pick3(a0, a1, a2, c):
+    """(a0[b,c[b]], a1[b,c[b]], a2[b,c[b]]) stacked [B, 3] — the shared
+    column select for the of/ob interval updates.  One reduction over a
+    stacked [B, 4, 3] tensor: each separate reduce is its own kernel
+    launch (~10us) inside the while body, so fewer reduces > fewer ops."""
+    oh = jnp.arange(4, dtype=c.dtype)[None, :] == c[:, None]
+    a = jnp.stack([a0, a1, a2], axis=-1)            # [B, 4, 3]
+    return jnp.sum(jnp.where(oh[:, :, None], a, 0), axis=1, dtype=a.dtype)
+
+
 @partial(jax.jit, static_argnames=("cap", "cap_s", "pass2"))
 def smem_machine(idx, q, qlen, next_valid, min_seed_len, split_len,
                  split_width, seeds_in, seed_n_in, old_n,
@@ -158,11 +177,16 @@ def smem_machine(idx, q, qlen, next_valid, min_seed_len, split_len,
         pn = jnp.where(d["cur_is_a"], d["an"], d["bn"])
         jj2 = jnp.where(d["rev_read"], pn - 1 - d["j"], d["j"])
         jj2 = jnp.clip(jj2, 0, cap - 1)
-        pA = _row_read(d["stkA"], jj2)
-        pB = _row_read(d["stkB"], jj2)
-        p = jnp.where(d["cur_is_a"][:, None], pA, pB)      # [B, 4]
+        # one read across both stacks (index cap+jj2 selects stkB): one
+        # reduce kernel instead of two row_reads + a select
+        stk2 = jnp.concatenate([d["stkA"], d["stkB"]], axis=1)
+        p = _row_read(stk2, jnp.where(d["cur_is_a"], jj2, jj2 + cap))
         ex = jnp.where(in_bwd[:, None], p[:, :3], d["ik"])  # x0 x1 x2
         fwd_side = jnp.where(in_bwd, ex[:, 0], ex[:, 1])
+        # NOTE: keep tk/tl as two separate occ4 calls — fusing them into
+        # one [2B] call wins ~20us in isolation but regresses the full
+        # body by ~150us/step (the concat splits the big fused
+        # elementwise kernel; measured twice, also pre-diet)
         tk = _occ4(idx, fwd_side - 1)
         tl = _occ4(idx, fwd_side - 1 + ex[:, 2])
         L2r = idx["L2"][:4][None, :].astype(cdt)
@@ -179,13 +203,13 @@ def smem_machine(idx, q, qlen, next_valid, min_seed_len, split_len,
 
         # ---------- P_FWD micro-op ----------
         qi = _vec_read(q, jnp.clip(d["i"], 0, L - 1))
+        qb_i = jnp.where(d["i"] >= 0, qi, 4)  # P_BWD's base char (same i)
         run_f = in_fwd & (d["i"] < qlen)
         off_end = in_fwd & ~run_f
         amb = run_f & (qi >= 4)
         ext_m = run_f & ~amb
         cf = jnp.clip(3 - qi, 0, 3)
-        of = jnp.stack([accs[bidx, cf], ok_nb[bidx, cf], ok_sz[bidx, cf]],
-                       axis=-1)
+        of = _pick3(accs, ok_nb, ok_sz, cf)
         changed = ext_m & (of[:, 2] != d["ik"][:, 2])
         push_f = amb | changed | off_end
         rowf = jnp.concatenate(
@@ -200,11 +224,11 @@ def smem_machine(idx, q, qlen, next_valid, min_seed_len, split_len,
         d["info_end"] = jnp.where(adv, d["i"] + 1, d["info_end"])
         d["i"] = jnp.where(adv, d["i"] + 1, d["i"])
         to_bwd = stop_f
-        d["ret"] = jnp.where(
-            to_bwd,
-            _row_read(d["stkA"], jnp.clip(d["an"] - 1, 0, cap - 1))[:, 3]
-            .astype(i32),
-            d["ret"])
+        # at to_bwd the stack top is always the row pushed THIS step
+        # (stop_f implies push_f: amb/off_end push directly, too_small
+        # implies changed), and adv is disjoint from to_bwd, so the top's
+        # .info field is exactly the current info_end — no re-read needed
+        d["ret"] = jnp.where(to_bwd, d["info_end"], d["ret"])
         d["cur_is_a"] = jnp.where(to_bwd, True, d["cur_is_a"])
         d["rev_read"] = jnp.where(to_bwd, True, d["rev_read"])
         d["bn"] = jnp.where(to_bwd, 0, d["bn"])
@@ -216,13 +240,13 @@ def smem_machine(idx, q, qlen, next_valid, min_seed_len, split_len,
         d["phase"] = jnp.where(to_bwd, P_BWD, d["phase"])
 
         # ---------- P_BWD micro-op (one j of row i) ----------
-        qb_i = jnp.where(d["i"] >= 0,
-                         _vec_read(q, jnp.clip(d["i"], 0, L - 1)), 4)
+        # qb_i comes from the shared q read at the top of P_FWD: in_bwd
+        # lanes' i is untouched by the FWD updates (those only rewrite
+        # in_fwd lanes), so the earlier read saw the same index
         c = jnp.where((d["i"] >= 0) & (qb_i < 4), qb_i, -1)
         jact = in_bwd & (d["j"] < pn)
         cb = jnp.clip(c, 0, 3)
-        ob = jnp.stack([ok_nb[bidx, cb], accs[bidx, cb], ok_sz[bidx, cb]],
-                       axis=-1)
+        ob = _pick3(ok_nb, accs, ok_sz, cb)
         keep = jact & ((c < 0) | (ob[:, 2] < d["minv"]))
         curr_n_now = jnp.where(d["cur_is_a"], d["bn"], d["an"])
         can_emit = keep & (curr_n_now == 0) & (
@@ -405,11 +429,16 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
         pn = jnp.where(d["cur_is_a"], d["an"], d["bn"])
         jj2 = jnp.where(d["rev_read"], pn - 1 - d["j"], d["j"])
         jj2 = jnp.clip(jj2, 0, cap - 1)
-        pA = _row_read(d["stkA"], jj2)
-        pB = _row_read(d["stkB"], jj2)
-        p = jnp.where(d["cur_is_a"][:, None], pA, pB)      # [B, 4]
+        # one read across both stacks (index cap+jj2 selects stkB): one
+        # reduce kernel instead of two row_reads + a select
+        stk2 = jnp.concatenate([d["stkA"], d["stkB"]], axis=1)
+        p = _row_read(stk2, jnp.where(d["cur_is_a"], jj2, jj2 + cap))
         ex = jnp.where(in_bwd[:, None], p[:, :3], d["ik"])  # x0 x1 x2
         fwd_side = jnp.where(in_bwd, ex[:, 0], ex[:, 1])
+        # NOTE: keep tk/tl as two separate occ4 calls — fusing them into
+        # one [2B] call wins ~20us in isolation but regresses the full
+        # body by ~150us/step (the concat splits the big fused
+        # elementwise kernel; measured twice, also pre-diet)
         tk = _occ4(idx, fwd_side - 1)
         tl = _occ4(idx, fwd_side - 1 + ex[:, 2])
         L2r = idx["L2"][:4][None, :].astype(cdt)
@@ -426,14 +455,14 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
 
         # ---------- P_FWD micro-op (SMEM forward for stages 1/2) ----------
         qi = _vec_read(q, jnp.clip(d["i"], 0, L - 1))
+        qb_i = jnp.where(d["i"] >= 0, qi, 4)  # P_BWD's base char (same i)
         fwd_s12 = in_fwd & ~st2m
         run_f = fwd_s12 & (d["i"] < qlen)
         off_end = fwd_s12 & ~run_f
         amb = run_f & (qi >= 4)
         ext_m = run_f & ~amb
         cf = jnp.clip(3 - qi, 0, 3)
-        of = jnp.stack([accs[bidx, cf], ok_nb[bidx, cf], ok_sz[bidx, cf]],
-                       axis=-1)
+        of = _pick3(accs, ok_nb, ok_sz, cf)
         changed = ext_m & (of[:, 2] != d["ik"][:, 2])
         push_f = amb | changed | off_end
         rowf = jnp.concatenate(
@@ -448,11 +477,11 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
         d["info_end"] = jnp.where(adv, d["i"] + 1, d["info_end"])
         d["i"] = jnp.where(adv, d["i"] + 1, d["i"])
         to_bwd = stop_f
-        d["ret"] = jnp.where(
-            to_bwd,
-            _row_read(d["stkA"], jnp.clip(d["an"] - 1, 0, cap - 1))[:, 3]
-            .astype(i32),
-            d["ret"])
+        # at to_bwd the stack top is always the row pushed THIS step
+        # (stop_f implies push_f: amb/off_end push directly, too_small
+        # implies changed), and adv is disjoint from to_bwd, so the top's
+        # .info field is exactly the current info_end — no re-read needed
+        d["ret"] = jnp.where(to_bwd, d["info_end"], d["ret"])
         d["cur_is_a"] = jnp.where(to_bwd, True, d["cur_is_a"])
         d["rev_read"] = jnp.where(to_bwd, True, d["rev_read"])
         d["bn"] = jnp.where(to_bwd, 0, d["bn"])
@@ -488,13 +517,13 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
             row3 = jnp.zeros((B, 5), cdt)
 
         # ---------- P_BWD micro-op (one j of row i) ----------
-        qb_i = jnp.where(d["i"] >= 0,
-                         _vec_read(q, jnp.clip(d["i"], 0, L - 1)), 4)
+        # qb_i comes from the shared q read at the top of P_FWD: in_bwd
+        # lanes' i is untouched by the FWD updates (those only rewrite
+        # in_fwd lanes), so the earlier read saw the same index
         c = jnp.where((d["i"] >= 0) & (qb_i < 4), qb_i, -1)
         jact = in_bwd & (d["j"] < pn)
         cb = jnp.clip(c, 0, 3)
-        ob = jnp.stack([ok_nb[bidx, cb], accs[bidx, cb], ok_sz[bidx, cb]],
-                       axis=-1)
+        ob = _pick3(ok_nb, accs, ok_sz, cb)
         keep = jact & ((c < 0) | (ob[:, 2] < d["minv"]))
         curr_n_now = jnp.where(d["cur_is_a"], d["bn"], d["an"])
         can_emit = keep & (curr_n_now == 0) & (
@@ -596,7 +625,7 @@ def seed3_machine(idx, q, qlen, next_valid, min_len, max_intv,
         ext = act & ~amb
         ok0, ok1, ok2 = _extend(idx, ik[:, 0], ik[:, 1], ik[:, 2], False)
         cc = jnp.clip(3 - qi, 0, 3)
-        o = jnp.stack([ok0[bidx, cc], ok1[bidx, cc], ok2[bidx, cc]], axis=-1)
+        o = _pick3(ok0, ok1, ok2, cc)
         hit = ext & (o[:, 2] < max_intv) & ((i - x) >= min_len)
         write = hit & (o[:, 2] > 0)
         row = jnp.concatenate(
