@@ -6,9 +6,11 @@ one batched occ4 pair per global step serves whatever micro-op each lane is
 on.  No lock-step restarts: a lane never waits for the slowest lane's call.
 
 Buffers are packed ([B, cap, 4] interval stacks, [B, cap_s, 5] seed store)
-and every per-lane access is a one-hot select/contraction — batched
-gather/scatter on loop-carried buffers is ~10x slower on this backend
-(PERF.md); per-step cost is ~230us fixed + ~0.1us/lane of buffer streams.
+and every per-lane access is a one-hot select/contraction: on this backend
+a dynamic gather costs ~40us/step regardless of operand size and each
+separate reduction is a ~10us kernel, while elementwise chains fuse for
+free — so the body avoids gathers entirely and batches its one-hot picks
+into single stacked reduces (PERF.md step-cost model).
 
 Emission order within a lane differs from the reference's collection order,
 but the final stable sort by (start, end) makes the result identical: tied
