@@ -144,7 +144,9 @@ def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
         # demux packed lanes back to per-read rows (rows are sorted by
         # start within a lane, so a stable sort by read id keeps order)
         sn_l = sn.astype(np.int64)
-        lmask = np.arange(cs)[None, :] < sn_l[:, None]
+        # the seed arrays may come back narrower than cs (D2H width diet
+        # slices to a bucketed max(sn)); mask by the actual width
+        lmask = np.arange(s0.shape[1])[None, :] < sn_l[:, None]
         lane_id = np.broadcast_to(np.arange(B2)[:, None], lmask.shape)[lmask]
         start_p = ss[lmask].astype(np.int64)
         rslot = start_p // (L + 1)

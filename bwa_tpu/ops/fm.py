@@ -134,6 +134,21 @@ def _occ1(idx, k, c):
     return out
 
 
+@jax.jit
+def _next_valid_device(q, qlen):
+    """Per-position next non-ambiguous index table nv[b, p] = min over
+    p' >= p of (p' if q[b,p'] < 4 else L), capped at qlen — the device
+    replacement for the host-built table (a suffix cummin), so the only
+    per-bucket H2D transfer is q itself."""
+    B, L = q.shape
+    i32 = jnp.int32
+    pos = jnp.arange(L, dtype=i32)[None, :]
+    val = jnp.where(q < 4, pos, jnp.int32(L))
+    suf = lax.cummin(val[:, ::-1], axis=1)[:, ::-1]
+    nv = jnp.concatenate([suf, jnp.full((B, 1), L, i32)], axis=1)
+    return jnp.minimum(nv, qlen[:, None])
+
+
 @partial(jax.jit, static_argnames=())
 def sa_batch(idx, k):
     """bwt_sa (bwt.c:86-96) over a vector of SA rows k; returns positions."""
@@ -659,19 +674,14 @@ class BatchedFMEngine:
 
         from bwa_tpu.ops import fm_machine
 
-        # next non-ambiguous position table (host, vectorized)
-        nv = np.full((B, L + 1), 0, dtype=np.int32)
-        isamb = q_pad >= 4
-        nxt = np.full(B, L, dtype=np.int32)
-        nv[:, L] = np.minimum(L, qlen)
-        for p in range(L - 1, -1, -1):
-            nxt = np.where(~isamb[:, p], p, nxt)
-            nv[:, p] = nxt
-        nv = np.minimum(nv, qlen[:, None]).astype(np.int32)
-
+        # (a 2-bit pack of q + device unpack was tried for the H2D side
+        # and measured neutral — the uint8 upload is not the bottleneck)
         qd = jnp.asarray(q_pad)
         qld = jnp.asarray(qlen.astype(np.int32))
-        nvd = jnp.asarray(nv)
+        # next non-ambiguous position table, built ON DEVICE from q: the
+        # host version is a 4*B*(L+1)-byte H2D transfer (~95 ms/bucket
+        # over the tunnel), the device one is a suffix cummin
+        nvd = _next_valid_device(qd, qld)
         i32 = jnp.int32
         seeds = jnp.zeros((B, cap_s, 5), cdt)
         seed_n = jnp.zeros(B, i32)
@@ -722,13 +732,7 @@ class BatchedFMEngine:
                 self.last_steps = (int(jax.device_get(st1)),)
                 seeds = fm_machine.sort_seeds(seeds, seed_n,
                                               key64=bool(L >= 32768))
-                sd = np.asarray(jax.device_get(seeds))
-                sn = np.asarray(jax.device_get(seed_n))
-                ovf = np.asarray(jax.device_get(ovf))
-                sn = np.where(ovf, cap_s + 1, sn)
-                return (sd[:, :, 0], sd[:, :, 1], sd[:, :, 2],
-                        sd[:, :, 3].astype(np.int32),
-                        sd[:, :, 4].astype(np.int32), sn)
+                return self._fetch_seeds(seeds, seed_n, ovf, cap_s)
             kw = dict(cap=stack_cap, cap_s=cap_s, use_p3=use_p3)
             consts = (np.int32(opt.min_seed_len), np.int32(split_len),
                       cdt(opt.split_width), cdt(opt.max_mem_intv))
@@ -804,9 +808,24 @@ class BatchedFMEngine:
             self.last_done = (np.zeros(B, np.int32),)
             self.last_steps = (total_steps,)
         seeds = fm_machine.sort_seeds(seeds, seed_n, key64=bool(L >= 32768))
-        sd = np.asarray(jax.device_get(seeds))
+        return self._fetch_seeds(seeds, seed_n, ovf, cap_s)
+
+    def _fetch_seeds(self, seeds, seed_n, ovf, cap_s: int):
+        """Seed D2H with a width diet: pull the tiny per-lane counts
+        first and slice the sorted [B, cap_s, 5] buffer to a bucketed
+        max(seed_n) before the big transfer (tunnel D2H is ~55 MB/s, so
+        the full buffer costs ~70 ms/bucket while typical seed counts
+        fill a third of it).  Rows past seed_n are pad (sorted last);
+        callers mask by seed_n, so the narrower width is transparent."""
         sn = np.asarray(jax.device_get(seed_n))
         ovf = np.asarray(jax.device_get(ovf))
+        m = int(sn.max(initial=0))
+        lvl = cap_s
+        for cand in (4, 8, 12, 16, 24, 32):
+            if m <= cand < cap_s:
+                lvl = cand
+                break
+        sd = np.asarray(jax.device_get(seeds[:, :lvl]))
         sn = np.where(ovf, cap_s + 1, sn)  # force the host-redo path
         return (sd[:, :, 0], sd[:, :, 1], sd[:, :, 2],
                 sd[:, :, 3].astype(np.int32), sd[:, :, 4].astype(np.int32), sn)
