@@ -202,7 +202,7 @@ class DeviceFMIndex:
         import jax.numpy as jnp
 
         cdt = self.coord_dtype
-        return dict(
+        t = dict(
             primary=jnp.asarray(self.primary, cdt),
             seq_len=jnp.asarray(self.seq_len, cdt),
             l_pac=jnp.asarray(self.l_pac, cdt),
@@ -213,3 +213,15 @@ class DeviceFMIndex:
             sa_intv=jnp.asarray(self.sa_intv, cdt),
             pac=self.pac,
         )
+        if self.coord_dtype == __import__("numpy").int32:
+            # fused [n_ckpt, 12] uint32 (ckpt || words) table: lets _occ4
+            # fetch a checkpoint + its text block in ONE gather — each
+            # dynamic gather inside the seeding while body costs ~40us
+            # per step on this backend (PERF.md).  int32 coords only
+            # (ckpt counts must fit uint32).
+            pad = jnp.zeros((self.ckpt.shape[0] - self.words.shape[0], 8),
+                            jnp.uint32)
+            t["occtab"] = jnp.concatenate(
+                [self.ckpt.astype(jnp.uint32),
+                 jnp.concatenate([self.words, pad], axis=0)], axis=1)
+        return t
