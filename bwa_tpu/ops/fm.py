@@ -142,6 +142,16 @@ def _occ1(idx, k, c):
 
 
 @jax.jit
+def _pack_meta(seed_n, ovf, done_step, steps):
+    """Stack the machine's small outputs into one [4, B] int32 so the
+    host pulls them in a single D2H round-trip."""
+    i32 = jnp.int32
+    return jnp.stack([seed_n.astype(i32), ovf.astype(i32),
+                      done_step.astype(i32),
+                      jnp.broadcast_to(steps.astype(i32), seed_n.shape)])
+
+
+@jax.jit
 def _next_valid_device(q, qlen):
     """Per-position next non-ambiguous index table nv[b, p] = min over
     p' >= p of (p' if q[b,p'] < 4 else L), capped at qlen — the device
@@ -735,11 +745,17 @@ class BatchedFMEngine:
                     np.int32(split_len), cdt(opt.split_width),
                     cdt(opt.max_mem_intv), cap=stack_cap, cap_s=cap_s,
                     use_p3=use_p3)
-                self.last_done = (np.asarray(jax.device_get(ds1)),)
-                self.last_steps = (int(jax.device_get(st1)),)
+                # one packed D2H for all the small outputs: each separate
+                # device_get is a ~5-9ms tunnel round-trip
+                meta = np.asarray(jax.device_get(_pack_meta(
+                    seed_n, ovf, ds1, st1)))
+                sn_h = meta[0]
+                ovf_h = meta[1] != 0
+                self.last_done = (meta[2],)
+                self.last_steps = (int(meta[3, 0]),)
                 seeds = fm_machine.sort_seeds(seeds, seed_n,
                                               key64=bool(L >= 32768))
-                return self._fetch_seeds(seeds, seed_n, ovf, cap_s)
+                return self._fetch_seeds(seeds, sn_h, ovf_h, cap_s)
             kw = dict(cap=stack_cap, cap_s=cap_s, use_p3=use_p3)
             consts = (np.int32(opt.min_seed_len), np.int32(split_len),
                       cdt(opt.split_width), cdt(opt.max_mem_intv))
@@ -824,7 +840,7 @@ class BatchedFMEngine:
         the full buffer costs ~70 ms/bucket while typical seed counts
         fill a third of it).  Rows past seed_n are pad (sorted last);
         callers mask by seed_n, so the narrower width is transparent."""
-        sn = np.asarray(jax.device_get(seed_n))
+        sn = np.asarray(jax.device_get(seed_n))  # no-op if already host
         ovf = np.asarray(jax.device_get(ovf))
         m = int(sn.max(initial=0))
         lvl = cap_s
