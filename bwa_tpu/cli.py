@@ -229,7 +229,6 @@ def main_fastmap(argv: list[str]) -> int:
     from bwa_tpu.engine import make_engine
     from bwa_tpu.index.fmindex import FMIndex
     from bwa_tpu.io.fastq import SeqReader
-    from bwa_tpu.mem.fastmap import fastmap_lines
 
     min_iwidth, min_len, print_seq, min_intv, max_intv = 20, 17, False, 1, 0
     opts, args = getopt_mod.getopt(argv, "w:l:pi:I:L:")
@@ -243,12 +242,18 @@ def main_fastmap(argv: list[str]) -> int:
         print("Usage: bwa-tpu fastmap [options] <idxbase> <in.fq>",
               file=sys.stderr)
         return 1
+    from bwa_tpu.io.fastq import read_batch
+    from bwa_tpu.mem.fastmap import fastmap_batch
+
     fm = FMIndex.load(args[0])
     engine = make_engine(fm)
-    for read in SeqReader(args[1]):
-        for line in fastmap_lines(fm, engine, read.name, read.seq,
-                                  min_iwidth, min_len, print_seq,
-                                  min_intv, max_intv):
+    ks = SeqReader(args[1])
+    while True:  # chunked like the reference's bseq_read loop
+        reads = read_batch(ks, None, 10_000_000)
+        if not reads:
+            break
+        for line in fastmap_batch(fm, engine, reads, min_iwidth, min_len,
+                                  print_seq, min_intv, max_intv):
             sys.stdout.write(line + "\n")
     return 0
 

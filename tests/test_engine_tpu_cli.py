@@ -1,0 +1,42 @@
+"""CLI-level oracle diff with the batched (tpu) engine pinned.
+
+The rest of the suite drives the CLI with the host engine (the CPU
+default of engine.make_engine's auto mode); this closes the coverage
+hole for the device-engine wiring — collect_seeds, the seed demux, the
+width-sliced D2H and the batched fastmap path all sit between the CLI
+and the oracle here."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+DATA = Path("/tmp/bwa_tpu_testdata")
+
+
+def _run_pair(oracle_bwa, args, env=None):
+    e = dict(os.environ)
+    e.update(env or {})
+    ro = subprocess.run([str(oracle_bwa), *args], capture_output=True)
+    rt = subprocess.run([sys.executable, "-m", "bwa_tpu.cli", *args],
+                        capture_output=True, cwd=REPO, env=e)
+    strip = lambda b: [l for l in b.splitlines() if not l.startswith(b"@")]
+    assert strip(rt.stdout) == strip(ro.stdout), (args, rt.stderr[-300:])
+
+
+def test_mem_fastmap_tpu_engine(oracle_bwa, small_genome):
+    from datagen import random_genome, simulate_reads, write_fastq
+
+    fq = DATA / "tpu_engine_se.fq"
+    if not fq.exists():
+        contigs = random_genome(200_000, seed=7, n_contigs=2)
+        reads = simulate_reads(contigs, 200, read_len=120, seed=91,
+                               err_rate=0.02, indel_rate=0.004)
+        write_fastq(fq, reads)
+    # drop the axon plugin from PYTHONPATH so its sitecustomize cannot
+    # claim the backend — the batched engine must run on host CPU here
+    env = {"BWA_TPU_ENGINE": "tpu", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": str(REPO)}
+    _run_pair(oracle_bwa, ["mem", str(small_genome), str(fq)], env)
+    _run_pair(oracle_bwa, ["fastmap", str(small_genome), str(fq)], env)
