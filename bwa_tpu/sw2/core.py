@@ -89,7 +89,14 @@ class Sw2Index:
             if n1 < 0:
                 raise RuntimeError(f"bsw2_core_run failed rc={n1}")
             break
-        b = HitSet([_hit_from_row(r) for r in out_b])
+        # drop never-written slots vectorized: resolve_duphits skips
+        # exactly the (G==0, k==0, l==0, len==0) rows (bwtsw2_core.c:289
+        # continue + the G>0 branch guard) and every caller feeds b to
+        # resolve_duphits first, so pre-filtering them is observationally
+        # identical — and avoids ~2*l Hit objects per read
+        live = ~((out_b[:, 5] == 0) & (out_b[:, 0] == 0)
+                 & (out_b[:, 1] == 0) & (out_b[:, 4] == 0))
+        b = HitSet([_hit_from_row(r) for r in out_b[live]])
         b1 = HitSet([_hit_from_row(out_b1[i]) for i in range(int(n1))])
         return b, b1
 
@@ -105,9 +112,9 @@ class Sw2Index:
 
 
 def _hit_from_row(r) -> Hit:
-    return Hit(k=int(r[0]), l=int(r[1]), flag=int(r[2]), n_seeds=int(r[3]),
-               len=int(r[4]), G=int(r[5]), G2=int(r[6]), beg=int(r[7]),
-               end=int(r[8]), is_rev=int(r[9]))
+    k, l, flag, n_seeds, ln, G, G2, beg, end, is_rev = r.tolist()
+    return Hit(k=k, l=l, flag=flag, n_seeds=n_seeds, len=ln, G=G, G2=G2,
+               beg=beg, end=end, is_rev=is_rev)
 
 
 def resolve_duphits(bnt, idx: Sw2Index | None, b: HitSet, IS: int) -> int:

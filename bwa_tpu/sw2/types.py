@@ -25,11 +25,22 @@ assert len(NT_COMP_TABLE) == 256
 
 
 def fill_scmat(a: int, b: int) -> np.ndarray:
-    """bwa_fill_scmat (bwa.c:117-125): 5x5 with N rows/cols at -1."""
+    """bwa_fill_scmat (bwa.c:117-125): 5x5 with N rows/cols at -1.
+    Memoized (it is rebuilt on every extension otherwise) and returned
+    read-only so accidental mutation fails loudly."""
+    return _fill_scmat_cached(a, b)
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=None)
+def _fill_scmat_cached(a: int, b: int) -> np.ndarray:
     mat = np.full((5, 5), -1, dtype=np.int8)
     for i in range(4):
         for j in range(4):
             mat[i, j] = a if i == j else -b
+    mat.setflags(write=False)
     return mat
 
 
