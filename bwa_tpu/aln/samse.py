@@ -168,59 +168,62 @@ def refine_gapped_core(fm, length: int, seq: np.ndarray, ref_shift: int,
 
 
 def cal_md1(n_cigar_cigar, length, pos, seq, fm):
-    """bwa_cal_md1 (bwase.c:201-249); returns (md, nm)."""
+    """bwa_cal_md1 (bwase.c:201-249); returns (md, nm).
+
+    M segments are scanned vectorized (packed-pac bit extraction over
+    the segment + one mismatch mask); only actual mismatches loop in
+    Python.  Reference codes are always 0..3, so the original c > 3
+    branch can never fire and the mask reduces to (ref != read) | (read
+    > 3) — identical output."""
     pac = fm.pac
     l_pac = fm.l_pac
-
-    def pac_at(x):
-        return (pac[x >> 2] >> ((~x & 3) << 1)) & 3
+    sq = np.asarray(seq, dtype=np.uint8)
 
     md = []
     nm = 0
     x, y, u = pos, 0, 0
-    cigar = n_cigar_cigar
-    if cigar:
-        for op, ln in cigar:
-            if op == 0:  # M
-                for z in range(ln):
-                    if x + z >= l_pac:
-                        break
-                    c = pac_at(x + z)
-                    if c > 3 or seq[y + z] > 3 or c != seq[y + z]:
-                        md.append(str(u))
-                        md.append("ACGTN"[c])
-                        nm += 1
-                        u = 0
-                    else:
-                        u += 1
-                x += ln
-                y += ln
-            elif op in (1, 3):  # I or S
-                y += ln
-                if op == 1:
-                    nm += ln
-            elif op == 2:  # D
-                md.append(str(u))
-                md.append("^")
-                for z in range(ln):
-                    if x + z >= l_pac:
-                        break
-                    md.append("ACGT"[pac_at(x + z)])
-                u = 0
-                x += ln
+    cigar = n_cigar_cigar if n_cigar_cigar else [(0, length)]
+
+    def pac_at(t):
+        return (pac[t >> 2] >> ((~t & 3) << 1)) & 3
+
+    for op, ln in cigar:
+        if op == 0:  # M
+            upto = max(0, min(ln, l_pac - x))
+            if upto:
+                idx = np.arange(x, x + upto, dtype=np.int64)
+                refc = (pac[idx >> 2] >> (((~idx).astype(np.int64) & 3)
+                                          << 1).astype(np.uint8)) & 3
+                s = sq[y:y + upto]
+                mism = np.flatnonzero((refc != s) | (s > 3))
+                prev = -1
+                for z in mism.tolist():
+                    md.append(str(z - prev - 1 + (u if prev < 0 else 0)))
+                    md.append("ACGTN"[int(refc[z])])
+                    prev = z
+                nm += len(mism)
+                if len(mism):
+                    u = upto - 1 - int(mism[-1])
+                else:
+                    u += upto
+            x += ln
+            y += ln
+        elif op in (1, 3):  # I or S
+            y += ln
+            if op == 1:
                 nm += ln
-    else:
-        for z in range(length):
-            if x + z >= l_pac:
-                break
-            c = pac_at(x + z)
-            if c > 3 or seq[z] > 3 or c != seq[z]:
-                md.append(str(u))
-                md.append("ACGTN"[c])
-                nm += 1
-                u = 0
-            else:
-                u += 1
+        elif op == 2:  # D
+            md.append(str(u))
+            md.append("^")
+            upto = max(0, min(ln, l_pac - x))
+            if upto:
+                idx = np.arange(x, x + upto, dtype=np.int64)
+                refc = (pac[idx >> 2] >> (((~idx).astype(np.int64) & 3)
+                                          << 1).astype(np.uint8)) & 3
+                md.append("".join("ACGT"[c] for c in refc.tolist()))
+            u = 0
+            x += ln
+            nm += ln
     md.append(str(u))
     return "".join(md), nm
 
