@@ -626,3 +626,204 @@ void fm_sa_batch(const int64_t *g_ckpt, const uint32_t *g_words,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// bsw2_resolve_duphits (bwtsw2_core.c:273-347), native.
+//
+// Mirrors sw2/core.py resolve_duphits exactly: SA expansion of narrow
+// intervals, the ks_introsort permutation with __hitG_lt
+// (bwtsw2_core.c:42), the float32 query-overlap ratios vs the float64
+// target-overlap ratios (lines 325-328), and the G2 bubbling.  The
+// introsort below replicates ksort.h:176-226 the same way
+// mem/ksort.py does — tie order is observable in SAM output.
+// ===========================================================================
+
+namespace {
+
+inline bool hitG_lt(const Hit &a, const Hit &b) {
+  return a.G + (a.n_seeds << 2) > b.G + (b.n_seeds << 2);
+}
+
+void hit_insertsort(Hit *a, int s, int t) {  // [s, t)
+  for (int i = s + 1; i < t; ++i)
+    for (int j = i; j > s && hitG_lt(a[j], a[j - 1]); --j)
+      std::swap(a[j], a[j - 1]);
+}
+
+void hit_combsort(Hit *a, int s, int n) {
+  const double shrink = 1.2473309501039786540366528676643;
+  int gap = n;
+  for (;;) {
+    if (gap > 2) {
+      gap = (int)(gap / shrink);
+      if (gap == 9 || gap == 10) gap = 11;
+    }
+    bool do_swap = false;
+    for (int i = s; i < s + n - gap; ++i) {
+      int j = i + gap;
+      if (hitG_lt(a[j], a[i])) {
+        std::swap(a[i], a[j]);
+        do_swap = true;
+      }
+    }
+    if (!(do_swap || gap > 2)) break;
+  }
+  if (gap != 1) hit_insertsort(a, s, s + n);
+}
+
+void hit_introsort(Hit *a, int n) {
+  if (n < 1) return;
+  if (n == 2) {
+    if (hitG_lt(a[1], a[0])) std::swap(a[0], a[1]);
+    return;
+  }
+  int d = 2;
+  while ((1 << d) < n) ++d;
+  struct Frame { int s, t, d; };
+  std::vector<Frame> stk;
+  int s = 0, t = n - 1;
+  d <<= 1;
+  for (;;) {
+    if (s < t) {
+      if (--d == 0) {
+        hit_combsort(a, s, t - s + 1);
+        t = s;
+        continue;
+      }
+      int i = s, j = t;
+      int k = i + ((j - i) >> 1) + 1;
+      if (hitG_lt(a[k], a[i])) {
+        if (hitG_lt(a[k], a[j])) k = j;
+      } else {
+        k = hitG_lt(a[j], a[i]) ? i : j;
+      }
+      Hit rp = a[k];
+      if (k != t) std::swap(a[k], a[t]);
+      for (;;) {
+        ++i;
+        while (hitG_lt(a[i], rp)) ++i;
+        --j;
+        while (i <= j && hitG_lt(rp, a[j])) --j;
+        if (j <= i) break;
+        std::swap(a[i], a[j]);
+      }
+      std::swap(a[i], a[t]);
+      if (i - s > t - i) {
+        if (i - s > 16) stk.push_back({s, i - 1, d});
+        s = (t - i > 16) ? i + 1 : t;
+      } else {
+        if (t - i > 16) stk.push_back({i + 1, t, d});
+        t = (i - s > 16) ? i - 1 : s;
+      }
+    } else {
+      if (stk.empty()) {
+        hit_insertsort(a, 0, n);
+        return;
+      }
+      Frame f = stk.back();
+      stk.pop_back();
+      s = f.s;
+      t = f.t;
+      d = f.d;
+    }
+  }
+}
+
+inline int64_t sa_one(const GenomeFM &g, const int64_t *ssa, int32_t sa_intv,
+                      int64_t k) {
+  int64_t mask = sa_intv - 1, s = 0;
+  while (k & mask) {
+    ++s;
+    k = g_inv_psi(g, k);
+  }
+  return s + ssa[k / sa_intv];
+}
+
+}  // namespace
+
+extern "C" {
+
+// rows_in/rows_out: 10x int64 Hit records (k,l,flag,n_seeds,len,G,G2,
+// beg,end,is_rev).  Returns the resolved count, or -1 if rows_out
+// (capacity cap_out records) is too small for the SA expansion.
+int64_t bsw2_resolve_duphits_rows(
+    const int64_t *g_ckpt, const uint32_t *g_words, int64_t g_seq_len,
+    int64_t g_primary, const int64_t *g_L2, const int64_t *ssa,
+    int32_t sa_intv, const int64_t *rows_in, int64_t n_in, int32_t IS,
+    int64_t *rows_out, int64_t cap_out) {
+  GenomeFM g{g_ckpt, g_words, g_seq_len, g_primary, g_L2};
+  const int64_t l_pac = g_seq_len >> 1;
+  std::vector<Hit> hits;
+  hits.reserve((size_t)n_in);
+  for (int64_t i = 0; i < n_in; ++i) {
+    const Hit *p = reinterpret_cast<const Hit *>(rows_in + 10 * i);
+    if (p->l - p->k + 1 <= IS) {  // not so repetitive: expand
+      if (p->G == 0 && p->k == 0 && p->l == 0 && p->len == 0) continue;
+      for (int64_t r = p->k; r <= p->l; ++r) {
+        Hit h = *p;
+        int64_t s = sa_one(g, ssa, sa_intv, r);
+        int64_t is_rev = s >= l_pac;
+        if (is_rev) s = (l_pac << 1) - 1 - s;
+        h.k = s - (is_rev ? p->len - 1 : 0);
+        h.l = 0;
+        h.is_rev = is_rev;
+        hits.push_back(h);
+      }
+    } else if (p->G > 0) {  // repetitive: one coordinate, flagged
+      Hit h = *p;
+      int64_t s = sa_one(g, ssa, sa_intv, p->k);
+      int64_t is_rev = s >= l_pac;
+      if (is_rev) s = (l_pac << 1) - 1 - s;
+      h.k = s - (is_rev ? p->len - 1 : 0);
+      h.l = 0;
+      h.flag |= 1;
+      h.is_rev = is_rev;
+      hits.push_back(h);
+    }
+  }
+  {  // squeeze empties (bwtsw2_core.c:312-316)
+    size_t w = 0;
+    for (size_t i = 0; i < hits.size(); ++i)
+      if (hits[i].G) hits[w++] = hits[i];
+    hits.resize(w);
+  }
+  hit_introsort(hits.data(), (int)hits.size());
+  const int n = (int)hits.size();
+  for (int i = 1; i < n; ++i) {
+    Hit *p = &hits[i];
+    for (int j = 0; j < i; ++j) {
+      Hit *q = &hits[j];
+      bool compatible = true;
+      if (p->is_rev != q->is_rev) continue;
+      if (p->l == 0 && q->l == 0) {
+        int64_t qol = std::min(p->end, q->end) - std::max(p->beg, q->beg);
+        if (qol < 0) qol = 0;
+        // query-overlap ratios compare in float32 (bwtsw2_core.c:325)
+        if ((float)qol / (float)(p->end - p->beg) > 0.90f ||
+            (float)qol / (float)(q->end - q->beg) > 0.90f) {
+          int64_t tol =
+              std::min(p->k + p->len, q->k + q->len) - std::max(p->k, q->k);
+          // ... but the target ratios in float64 (line 328)
+          if ((double)tol / (double)p->len > (double)0.90f ||
+              (double)tol / (double)q->len > (double)0.90f)
+            compatible = false;
+        }
+      }
+      if (!compatible) {
+        p->G = 0;
+        if (q->G2 < p->G2) q->G2 = p->G2;
+        break;
+      }
+    }
+  }
+  int64_t w = 0;
+  for (int i = 0; i < n; ++i) {
+    if (!hits[i].G) continue;
+    if (w >= cap_out) return -1;
+    std::memcpy(rows_out + 10 * w, &hits[i], sizeof(Hit));
+    ++w;
+  }
+  return w;
+}
+
+}  // extern "C"

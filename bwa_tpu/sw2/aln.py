@@ -10,6 +10,7 @@ deterministic (and tested) reference behaviour.
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import numpy as np
@@ -230,9 +231,12 @@ def flag_fr(b0: HitSet, b1: HitSet) -> None:
 def aln1_core(opt: Bsw2Opt, fm, idx: Sw2Index, length: int, seq2, rng) -> HitSet:
     """bsw2_aln1_core (bwtsw2_aux.c:248-295); seq2 = (codes, revcomp codes)."""
     bnt = fm.bnt
-    braw, b1raw = idx.core(seq2[0], opt)
-    resolve_duphits(bnt, idx, braw, opt.is_)
-    resolve_duphits(bnt, idx, b1raw, opt.is_)
+    if os.environ.get("BWA_TPU_SW2_RESOLVE") == "python":
+        braw, b1raw = idx.core(seq2[0], opt)
+        resolve_duphits(bnt, idx, braw, opt.is_)
+        resolve_duphits(bnt, idx, b1raw, opt.is_)
+    else:  # native SA expansion + dedup (sw2/core.py resolve is the spec)
+        braw, b1raw = idx.core_resolved(seq2[0], opt)
     # separate by strand; reverse-strand hits get read-space coordinates
     bb = [[HitSet(), HitSet()], [HitSet(), HitSet()]]
     for kk, src in enumerate((braw, b1raw)):

@@ -43,6 +43,12 @@ def _lib():
             _i64p, _u32p, ctypes.c_int64, ctypes.c_int64, _i64p,
             _i64p, ctypes.c_int32, _i64p, ctypes.c_int64, _i64p,
         ]
+        lib.bsw2_resolve_duphits_rows.restype = ctypes.c_int64
+        lib.bsw2_resolve_duphits_rows.argtypes = [
+            _i64p, _u32p, ctypes.c_int64, ctypes.c_int64, _i64p,
+            _i64p, ctypes.c_int32, _i64p, ctypes.c_int64, ctypes.c_int32,
+            _i64p, ctypes.c_int64,
+        ]
         _sigs_done = True
     return lib
 
@@ -99,6 +105,49 @@ class Sw2Index:
         b = HitSet([_hit_from_row(r) for r in out_b[live]])
         b1 = HitSet([_hit_from_row(out_b1[i]) for i in range(int(n1))])
         return b, b1
+
+    def core_resolved(self, read_codes: np.ndarray, opt) -> tuple[HitSet,
+                                                                  HitSet]:
+        """core() + native bsw2_resolve_duphits on both hit sets (the
+        SA expansion, exact introsort and float32/float64 overlap tests
+        run in C++ — sw2/core.py resolve_duphits is the spec)."""
+        lib = _lib()
+        q = np.ascontiguousarray(read_codes, dtype=np.uint8)
+        l = int(q.shape[0])
+        out_b = np.zeros((2 * l, 10), dtype=np.int64)
+        cap = max(4 * l, 256)
+        while True:
+            out_b1 = np.empty((cap, 10), dtype=np.int64)
+            n1 = lib.bsw2_core_run(
+                *self._fm_args(), q.ctypes.data_as(_u8p), l,
+                opt.a, opt.b, opt.q, opt.r, opt.t, opt.z, opt.is_, opt.bw,
+                out_b.ctypes.data_as(_i64p), out_b1.ctypes.data_as(_i64p),
+                cap)
+            if n1 == -1:
+                out_b[:] = 0
+                cap *= 4
+                continue
+            if n1 < 0:
+                raise RuntimeError(f"bsw2_core_run failed rc={n1}")
+            break
+        return (self._resolve_rows(out_b, opt.is_),
+                self._resolve_rows(out_b1[:int(n1)], opt.is_))
+
+    def _resolve_rows(self, rows: np.ndarray, IS: int) -> HitSet:
+        lib = _lib()
+        rows = np.ascontiguousarray(rows, dtype=np.int64)
+        cap = max(4 * rows.shape[0], 256)
+        while True:
+            out = np.empty((cap, 10), dtype=np.int64)
+            n = lib.bsw2_resolve_duphits_rows(
+                *self._fm_args(), self._ssa_p, self._sa_intv,
+                rows.ctypes.data_as(_i64p), ctypes.c_int64(rows.shape[0]),
+                ctypes.c_int32(IS), out.ctypes.data_as(_i64p),
+                ctypes.c_int64(cap))
+            if n == -1:
+                cap *= 4
+                continue
+            return HitSet([_hit_from_row(out[i]) for i in range(int(n))])
 
     def sa_batch(self, ks) -> np.ndarray:
         ks = np.ascontiguousarray(ks, dtype=np.int64)
