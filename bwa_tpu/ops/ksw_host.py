@@ -19,23 +19,41 @@ def _u8(a) -> np.ndarray:
     return np.ascontiguousarray(a, dtype=np.uint8)
 
 
+# per-call scratch for the extend outputs (single-threaded pipeline);
+# the five pointers are prebuilt once instead of five casts per call
+_EXT_OUTS = np.zeros(5, dtype=np.int32)
+_EXT_PTRS = [_EXT_OUTS[i:].ctypes.data_as(_i32p) for i in range(5)]
+_MAT_CACHE: dict[bytes, np.ndarray] = {}
+
+
+def _mat_i8(mat) -> np.ndarray:
+    """Contiguous int8 copy of a score matrix, cached by content (the
+    matrices are 25 bytes; hashing is cheaper than the per-call
+    ascontiguousarray + reshape churn)."""
+    key = np.asarray(mat, dtype=np.int8).tobytes()
+    m = _MAT_CACHE.get(key)
+    if m is None:
+        m = np.frombuffer(key, dtype=np.int8)
+        _MAT_CACHE[key] = m
+    return m
+
+
 def ksw_extend2(query, target, mat, o_del, e_del, o_ins, e_ins, w,
                 end_bonus, zdrop, h0):
     """Banded extension (ksw.c:416-515).
     Returns (score, qle, tle, gtle, gscore, max_off)."""
     q = _u8(query)
     t = _u8(target)
-    m = np.ascontiguousarray(mat, dtype=np.int8).reshape(-1)
-    outs = np.zeros(5, dtype=np.int32)
+    m = _mat_i8(mat)
     lib = get_lib()
     score = lib.bt_ksw_extend2(
         len(q), q.ctypes.data_as(_u8p), len(t), t.ctypes.data_as(_u8p),
         5, m.ctypes.data_as(_i8p), o_del, e_del, o_ins, e_ins,
         w, end_bonus, zdrop, h0,
-        outs[0:].ctypes.data_as(_i32p), outs[1:].ctypes.data_as(_i32p),
-        outs[2:].ctypes.data_as(_i32p), outs[3:].ctypes.data_as(_i32p),
-        outs[4:].ctypes.data_as(_i32p))
-    return int(score), int(outs[0]), int(outs[1]), int(outs[2]), int(outs[3]), int(outs[4])
+        _EXT_PTRS[0], _EXT_PTRS[1], _EXT_PTRS[2], _EXT_PTRS[3],
+        _EXT_PTRS[4])
+    o = _EXT_OUTS.tolist()
+    return int(score), o[0], o[1], o[2], o[3], o[4]
 
 
 def ksw_global2(query, target, mat, o_del, e_del, o_ins, e_ins, w,

@@ -136,7 +136,7 @@ class Sw2Index:
     def _resolve_rows(self, rows: np.ndarray, IS: int) -> HitSet:
         lib = _lib()
         rows = np.ascontiguousarray(rows, dtype=np.int64)
-        cap = max(4 * rows.shape[0], 256)
+        cap = 256  # resolved sets are tiny; the -1 retry covers the rest
         while True:
             out = np.empty((cap, 10), dtype=np.int64)
             n = lib.bsw2_resolve_duphits_rows(
