@@ -1,9 +1,17 @@
 #!/usr/bin/env python
 """End-to-end benchmark: `mem` SE reads/s vs the locally compiled reference.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Config mirrors BASELINE.md row 1 (E. coli-scale SE 150bp); the genome and
 reads are synthesized deterministically and cached in /tmp/bwa_tpu_bench.
+
+Statistical protocol: the oracle and our pipeline are timed in N_REPS
+interleaved rounds (oracle, ours, oracle, ours, ...) on the same warm page
+cache / warm device programs, and the best time of each side is compared
+(min-of-reps is the noise-robust statistic on this shared box).  The run
+also byte-diffs the REAL-DEVICE SAM against the oracle's output (modulo
+the @PG line) so device parity is a checked invariant of every bench run,
+not a claim.
 """
 
 import json
@@ -22,6 +30,7 @@ ORACLE = Path("/tmp/bwa_oracle/src/bwa")
 GENOME_BP = int(os.environ.get("BWA_TPU_BENCH_GENOME", 2_000_000))
 N_READS = int(os.environ.get("BWA_TPU_BENCH_READS", 8192))
 READ_LEN = 150
+N_REPS = int(os.environ.get("BWA_TPU_BENCH_REPS", 5))
 
 
 def _ensure_oracle():
@@ -50,68 +59,105 @@ def _ensure_data():
         write_fasta(fa, contigs)
         reads = simulate_reads(contigs, N_READS, read_len=READ_LEN, seed=103)
         write_fastq(fq, reads)
-    if (not (BENCH_DIR / "bench.fa.bwt").exists()
-            or not (BENCH_DIR / "bench.fa.sad.npy").exists()):
+    if (not (fa.parent / (fa.name + ".bwt")).exists()
+            or not (fa.parent / (fa.name + ".sad.npy")).exists()):
         from bwa_tpu.index.build import index_build
 
         index_build(fa)
     return fa, fq
 
 
-def _time_oracle(fa, fq):
+def _run_oracle(fa, fq):
     t0 = time.perf_counter()
-    subprocess.run([str(ORACLE), "mem", "-t1", str(fa), str(fq)],
-                   check=True, capture_output=True)
-    return time.perf_counter() - t0
+    r = subprocess.run([str(ORACLE), "mem", "-t1", str(fa), str(fq)],
+                       check=True, capture_output=True)
+    return time.perf_counter() - t0, r.stdout
 
 
-def _time_ours(fa, fq):
-    from bwa_tpu.engine import make_engine
-    from bwa_tpu.index.fmindex import FMIndex
-    from bwa_tpu.io.fastq import SeqReader, read_batch
-    from bwa_tpu.mem.pipeline import process_seqs
-    from bwa_tpu.options import MemOptions
+class Ours:
+    """Holds the warm engine; one .run() per timed rep."""
 
-    engine_kind = os.environ.get("BWA_TPU_ENGINE", "tpu")
-    fm = FMIndex.load(fa)
-    try:
-        engine = make_engine(fm, engine_kind)
-    except Exception:
-        engine = make_engine(fm, "host")
-    opt = MemOptions()
-    reads = read_batch(SeqReader(fq), None, 1 << 62)
-    # warm-up pass: compile (or load from the persistent jit cache) every
-    # program at the measurement shapes; the timed run is steady-state
-    process_seqs(opt, engine, fm, reads)
-    dt = 1e30
-    for _ in range(3):  # best-of-3 (the tunnel-shared chip is noisy)
-        for r in reads:
+    def __init__(self, fa, fq):
+        from bwa_tpu.engine import make_engine
+        from bwa_tpu.index.fmindex import FMIndex
+        from bwa_tpu.io.fastq import SeqReader, read_batch
+        from bwa_tpu.options import MemOptions
+
+        engine_kind = os.environ.get("BWA_TPU_ENGINE", "tpu")
+        self.fm = FMIndex.load(fa)
+        try:
+            self.engine = make_engine(self.fm, engine_kind)
+        except Exception:
+            self.engine = make_engine(self.fm, "host")
+        self.opt = MemOptions()
+        self.reads = read_batch(SeqReader(fq), None, 1 << 62)
+
+    def run(self):
+        from bwa_tpu.mem.pipeline import process_seqs
+
+        for r in self.reads:
             r.sam = ""
         t0 = time.perf_counter()
-        process_seqs(opt, engine, fm, reads)
-        dt = min(dt, time.perf_counter() - t0)
-    n_out = sum(1 for r in reads if r.sam)
-    assert n_out == len(reads)
-    return dt, len(reads)
+        process_seqs(self.opt, self.engine, self.fm, self.reads)
+        dt = time.perf_counter() - t0
+        n_out = sum(1 for r in self.reads if r.sam)
+        assert n_out == len(self.reads)
+        return dt
+
+    def sam_bytes(self) -> bytes:
+        """Header (modulo @PG) + alignment records, as the CLI would emit."""
+        from bwa_tpu.cli import _hdr_lines
+
+        hdr = _hdr_lines(self.fm.bnt, None, "@PG\tID:bwa")  # @PG stripped in diff
+        body = "".join(r.sam for r in self.reads)
+        return (hdr + body).encode()
+
+
+def _strip_pg(sam: bytes) -> bytes:
+    return b"\n".join(l for l in sam.split(b"\n")
+                      if not l.startswith(b"@PG")) + b""
 
 
 def main():
     have_oracle = _ensure_oracle()
     fa, fq = _ensure_data()
-    baseline = None
+    ours = Ours(fa, fq)
+
+    # warm-up + REAL-DEVICE parity gate: compile/load every program at the
+    # measurement shapes and byte-diff the SAM it produced vs the oracle
+    ours.run()
+    byte_identical = None
+    oracle_sam = None
     if have_oracle:
-        _time_oracle(fa, fq)  # warm page cache
-        baseline_dt = min(_time_oracle(fa, fq) for _ in range(2))
-        baseline = N_READS / baseline_dt
-    dt, n = _time_ours(fa, fq)
-    ours = n / dt
-    print(f"[bench] ours {dt:.2f}s for {n} reads; baseline "
-          f"{(n / baseline if baseline else 0):.2f}s", file=sys.stderr)
+        _, oracle_sam = _run_oracle(fa, fq)
+        byte_identical = (_strip_pg(oracle_sam)
+                          == _strip_pg(ours.sam_bytes()))
+        if not byte_identical:
+            print("[bench] WARNING: device SAM differs from oracle!",
+                  file=sys.stderr)
+
+    # interleaved timing reps
+    ours_ts, base_ts = [], []
+    for rep in range(N_REPS):
+        if have_oracle:
+            dt, _ = _run_oracle(fa, fq)
+            base_ts.append(dt)
+        ours_ts.append(ours.run())
+    dt = min(ours_ts)
+    value = N_READS / dt
+    baseline = (N_READS / min(base_ts)) if base_ts else None
+    print(f"[bench] ours best {dt:.3f}s of {sorted(round(t, 3) for t in ours_ts)}; "
+          f"oracle best {min(base_ts) if base_ts else 0:.3f}s of "
+          f"{sorted(round(t, 3) for t in base_ts)}", file=sys.stderr)
     print(json.dumps({
         "metric": "mem_se_reads_per_sec",
-        "value": round(ours, 3),
+        "value": round(value, 3),
         "unit": "reads/s",
-        "vs_baseline": round(ours / baseline, 5) if baseline else None,
+        "vs_baseline": round(value / baseline, 5) if baseline else None,
+        "byte_identical": byte_identical,
+        "reps": N_REPS,
+        "ours_s": [round(t, 4) for t in ours_ts],
+        "oracle_s": [round(t, 4) for t in base_ts],
     }))
 
 
