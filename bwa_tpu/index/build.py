@@ -15,12 +15,19 @@ import logging
 import numpy as np
 
 from bwa_tpu.index.pack import fasta2bnt, write_pac, write_ann_amb
-from bwa_tpu.native.build import suffix_array
+from bwa_tpu.native.build import suffix_array, suffix_array_rows
 
 log = logging.getLogger(__name__)
 
 OCC_INTERVAL = 128  # bases per occ checkpoint (bwt.h:37-39)
 SA_INTV = 32        # suffix-array sampling interval (bwtindex.c:316)
+
+# numpy working-block for the streaming derivation passes (multiple of
+# 128 and 16); bounds every temporary so GRCh38 (6.2e9 chars) builds in
+# O(n) + one 8(n+1)-byte suffix array instead of the reference's
+# bounded-memory blockwise BWT construction (bwt_gen.c:1431) — with
+# 125 GB of host RAM the full 64-bit SA is the faster design.
+_BLOCK = 1 << 26
 
 
 def bwt_from_sa(code2: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int]:
@@ -40,53 +47,95 @@ def bwt_from_sa(code2: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int]:
     return chars.astype(np.uint8), primary
 
 
+def bwt_from_rows(code2: np.ndarray, rows: np.ndarray) -> tuple[np.ndarray, int]:
+    """bwt_from_sa on the (n+1)-row model directly (rows[0] == n from
+    suffix_array_rows), blocked so temporaries stay O(_BLOCK) — the full
+    boolean mask + fancy-index of bwt_from_sa would cost 3 extra
+    8n-byte arrays at GRCh38 scale."""
+    n = code2.shape[0]
+    bwt_str = np.empty(n, dtype=np.uint8)
+    primary = -1
+    out = 0
+    for lo in range(0, n + 1, _BLOCK):
+        chunk = rows[lo:lo + _BLOCK]
+        z = np.nonzero(chunk == 0)[0]
+        if z.size:
+            primary = lo + int(z[0])
+        keep = chunk[chunk != 0]
+        vals = code2[keep - 1]
+        bwt_str[out:out + vals.shape[0]] = vals
+        out += vals.shape[0]
+    assert out == n and primary >= 0
+    return bwt_str, primary
+
+
 def pack_bwt_words(bwt_str: np.ndarray) -> np.ndarray:
     """Pack the BWT string 16 bases/uint32, base i at bits (15-(i&15))*2
-    (bwtindex.c:121-123)."""
+    (bwtindex.c:121-123).  Blocked: temporaries stay O(_BLOCK)."""
     n = bwt_str.shape[0]
     n_words = (n + 15) // 16
-    padded = np.zeros(n_words * 16, dtype=np.uint32)
-    padded[:n] = bwt_str
-    q = padded.reshape(-1, 16)
+    words = np.empty(n_words, dtype=np.uint32)
     shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
-    return (q << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+    for lo in range(0, max(n, 1), _BLOCK):
+        chunk = bwt_str[lo:lo + _BLOCK]
+        m = chunk.shape[0]
+        nw = (m + 15) // 16
+        padded = np.zeros(nw * 16, dtype=np.uint32)
+        padded[:m] = chunk
+        words[lo // 16: lo // 16 + nw] = (
+            padded.reshape(-1, 16) << shifts[None, :]
+        ).sum(axis=1, dtype=np.uint32)
+    return words
 
 
 def occ_checkpoints(bwt_str: np.ndarray) -> np.ndarray:
     """Cumulative base counts at every OCC_INTERVAL boundary, plus the final
     total: shape [n_ckpt, 4] uint64, n_ckpt = ceil(n/128)+1
-    (bwt_bwtupdate_core, bwtindex.c:150-172)."""
+    (bwt_bwtupdate_core, bwtindex.c:150-172).  Blocked running-sum pass."""
     n = bwt_str.shape[0]
     n_ckpt = (n + OCC_INTERVAL - 1) // OCC_INTERVAL + 1
-    onehot = np.zeros((n, 4), dtype=np.uint64)
-    onehot[np.arange(n), bwt_str] = 1
-    csum = np.zeros((n + 1, 4), dtype=np.uint64)
-    np.cumsum(onehot, axis=0, out=csum[1:])
-    idx = np.minimum(np.arange(n_ckpt, dtype=np.int64) * OCC_INTERVAL, n)
-    return csum[idx]
+    ckpt = np.empty((n_ckpt, 4), dtype=np.uint64)
+    run = np.zeros(4, dtype=np.uint64)
+    for lo in range(0, n, _BLOCK):
+        chunk = bwt_str[lo:lo + _BLOCK]
+        m = chunk.shape[0]
+        nb = (m + OCC_INTERVAL - 1) // OCC_INTERVAL
+        padded = np.full(nb * OCC_INTERVAL, 255, dtype=np.uint8)
+        padded[:m] = chunk
+        q = padded.reshape(nb, OCC_INTERVAL)
+        per = np.empty((nb, 4), dtype=np.uint64)
+        for c in range(4):
+            per[:, c] = (q == c).sum(axis=1)
+        j0 = lo // OCC_INTERVAL
+        ckpt[j0] = run
+        if nb > 1:
+            ckpt[j0 + 1: j0 + nb] = run + np.cumsum(per[:-1], axis=0)
+        run = run + per.sum(axis=0)
+    ckpt[-1] = run
+    return ckpt
 
 
 def interleave_bwt(bwt_words: np.ndarray, ckpt: np.ndarray, n: int) -> np.ndarray:
     """On-disk interleaved uint32 stream: per 128-base block, 4 uint64
     counts (8 words) then up to 8 bwt words; trailing checkpoint at the end
-    (layout macros bwt.h:73-80)."""
+    (layout macros bwt.h:73-80).  Vectorized: only the FINAL block may hold
+    fewer than 8 words, so the stream is a flat prefix of the [ckpt||words]
+    row matrix plus the trailing checkpoint."""
     n_words = bwt_words.shape[0]
     n_ckpt = ckpt.shape[0]
-    total = n_words + n_ckpt * 8
-    out = np.empty(total, dtype=np.uint32)
+    n_blocks = n_ckpt - 1
     ckpt32 = ckpt.astype(np.uint64).view(np.uint32).reshape(n_ckpt, 8)
-    pos = 0
-    wpos = 0
-    for j in range(n_ckpt - 1):
-        out[pos:pos + 8] = ckpt32[j]
-        pos += 8
-        take = min(8, n_words - wpos)
-        out[pos:pos + take] = bwt_words[wpos:wpos + take]
-        pos += take
-        wpos += take
-    out[pos:pos + 8] = ckpt32[-1]
-    pos += 8
-    assert pos == total and wpos == n_words
+    if n_blocks == 0:
+        return ckpt32[-1].copy()
+    rows = np.zeros((n_blocks, 16), dtype=np.uint32)
+    rows[:, :8] = ckpt32[:-1]
+    wpad = np.zeros(n_blocks * 8, dtype=np.uint32)
+    wpad[:n_words] = bwt_words
+    rows[:, 8:] = wpad.reshape(n_blocks, 8)
+    body = n_words + n_blocks * 8
+    out = np.empty(body + 8, dtype=np.uint32)
+    out[:body] = rows.reshape(-1)[:body]
+    out[body:] = ckpt32[-1]
     return out
 
 
@@ -118,25 +167,27 @@ def index_build(fasta_path, prefix=None) -> str:
 
     # doubled text: forward + reverse complement (bntseq.c:306-312)
     code2 = np.concatenate([fwd, (3 - fwd)[::-1]])
+    del fwd
     n = code2.shape[0]
     log.info("building suffix array over %d bases (SA-IS)", n)
-    sa = suffix_array(code2)
+    rows_sa = suffix_array_rows(code2)  # (n+1)-row model, rows_sa[0] == n
 
     log.info("deriving BWT + occ checkpoints")
-    bwt_str, primary = bwt_from_sa(code2, sa)
     counts = np.bincount(code2, minlength=4).astype(np.uint64)
     L2 = np.zeros(5, dtype=np.uint64)
     np.cumsum(counts, out=L2[1:])
+    bwt_str, primary = bwt_from_rows(code2, rows_sa)
+    del code2
     words = pack_bwt_words(bwt_str)
     ckpt = occ_checkpoints(bwt_str)
+    del bwt_str
     interleaved = interleave_bwt(words, ckpt, n)
+    del words, ckpt
     write_bwt_file(prefix + ".bwt", primary, L2, interleaved)
+    del interleaved
 
     # sampled SA: value of row j*32 in the (n+1)-row model
     n_sa = (n + SA_INTV) // SA_INTV
-    rows_sa = np.empty(n + 1, dtype=np.int64)
-    rows_sa[0] = n
-    rows_sa[1:] = sa
     samples = rows_sa[np.arange(n_sa, dtype=np.int64) * SA_INTV]
     write_sa_file(prefix + ".sa", primary, L2, SA_INTV, n, samples)
     write_sad_sidecar(prefix, rows_sa, n)
@@ -164,7 +215,9 @@ def write_sad_sidecar(prefix: str, rows_sa: np.ndarray, n: int) -> None:
 
 def read_bwt_file(path):
     """Parse a .bwt file -> (primary, L2[5], seq_len, ckpt[n_ckpt,4] uint64,
-    words[n_blocks,8] uint32 zero-padded)."""
+    words[n_blocks,8] uint32 zero-padded).  Vectorized inverse of
+    interleave_bwt: the stream is a flat prefix of [ckpt||words] 16-word
+    rows (only the final block is short) plus the trailing checkpoint."""
     raw = np.fromfile(path, dtype=np.uint8)
     head = raw[:40].view(np.uint64)
     primary = int(head[0])
@@ -178,16 +231,14 @@ def read_bwt_file(path):
     n_blocks = n_ckpt - 1
     ckpt = np.empty((n_ckpt, 4), dtype=np.uint64)
     words = np.zeros((max(n_blocks, 1), 8), dtype=np.uint32)
-    pos = 0
-    wpos = 0
-    for j in range(n_blocks):
-        ckpt[j] = data[pos:pos + 8].view(np.uint64)
-        pos += 8
-        take = min(8, n_words - wpos)
-        words[j, :take] = data[pos:pos + take]
-        pos += take
-        wpos += take
-    ckpt[-1] = data[pos:pos + 8].view(np.uint64)
+    body = n_words + n_blocks * 8
+    if n_blocks:
+        rows = np.zeros(n_blocks * 16, dtype=np.uint32)
+        rows[:body] = data[:body]
+        rows = rows.reshape(n_blocks, 16)
+        ckpt[:-1] = np.ascontiguousarray(rows[:, :8]).view(np.uint64)
+        words[:] = rows[:, 8:]
+    ckpt[-1] = data[body:body + 8].view(np.uint64)
     return primary, L2, seq_len, ckpt, words
 
 

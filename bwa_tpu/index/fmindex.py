@@ -139,6 +139,22 @@ class FMIndex:
                 return np.load(p, mmap_mode="r")
         return None
 
+    def sa_lookup(self, ranks: np.ndarray) -> np.ndarray:
+        """Batched SA rank -> position (bwt_sa, bwt.c:86-96 semantics,
+        incl. the rank-0 -1 poison).  Dense sidecar when present (small
+        genomes: one fancy-index); otherwise the native C++ inverse-Psi
+        walker (bsw2.cpp fm_sa_batch) — the GRCh38-scale path, where the
+        dense rank table would be 50 GB."""
+        ranks = np.asarray(ranks, dtype=np.int64)
+        sad = self.sad
+        if sad is not None:
+            return np.asarray(sad[ranks], dtype=np.int64)
+        if not hasattr(self, "_sw2idx"):
+            from bwa_tpu.sw2.core import Sw2Index
+
+            self._sw2idx = Sw2Index(self)
+        return self._sw2idx.sa_batch(ranks)
+
     @cached_property
     def pac_codes(self) -> np.ndarray:
         """Unpacked forward reference codes (uint8, 0..3)."""
@@ -213,15 +229,52 @@ class DeviceFMIndex:
             sa_intv=jnp.asarray(self.sa_intv, cdt),
             pac=self.pac,
         )
-        if self.coord_dtype == __import__("numpy").int32:
-            # fused [n_ckpt, 12] uint32 (ckpt || words) table: lets _occ4
-            # fetch a checkpoint + its text block in ONE gather — each
-            # dynamic gather inside the seeding while body costs ~40us
-            # per step on this backend (PERF.md).  int32 coords only
-            # (ckpt counts must fit uint32).
-            pad = jnp.zeros((self.ckpt.shape[0] - self.words.shape[0], 8),
-                            jnp.uint32)
-            t["occtab"] = jnp.concatenate(
-                [self.ckpt.astype(jnp.uint32),
-                 jnp.concatenate([self.words, pad], axis=0)], axis=1)
+        occtab = self.occtab()
+        if occtab is not None:
+            t["occtab"] = occtab
         return t
+
+    def occ_retile(self) -> int:
+        """Device occ re-tile factor R: each occtab row covers R disk
+        blocks (R*128 bases).  Fewer, fatter rows cut the dominant cost of
+        the seeding while body at large genomes — the per-row gather from
+        a big HBM table is latency-bound (~constant per ROW, PERF.md
+        step-cost model), while the extra per-row popcount work is
+        elementwise and fuses for free.  Auto by table size: keep small
+        genomes at R=1 (their table gathers are already near the floor,
+        and XLA can keep a small table in VMEM)."""
+        import os
+
+        env = os.environ.get("BWA_TPU_OCC_R")
+        if env:
+            return int(env)
+        n_blocks = self.words.shape[0]
+        if n_blocks <= (1 << 16):  # <= ~8 Mbp doubled text
+            return 1
+        return 4  # measured best at 64 Mbp: R=1 2.17s, R=4 1.61s, R=8 1.97s
+
+    def occtab(self):
+        """Fused [n_rows, 4 + 8R] uint32 (counts || 2-bit text words)
+        device table: one gather per occ4 position fetches the checkpoint
+        AND the text block (each separate dynamic gather inside the
+        seeding while body costs ~40us/step — PERF.md).  Counts are
+        stored uint32 even when coords are int64: per-base counts stay
+        below 2^32 for any genome under ~8 Gbp, so GRCh38 (6.2e9 doubled)
+        fits; _occ4 widens back to the coord dtype after the gather."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        fm = self.fm
+        if int(fm.ckpt.max(initial=0)) >= 2**32:
+            return None
+        R = self.occ_retile()
+        n_blocks = fm.words.shape[0]
+        n_rows = (n_blocks + R - 1) // R
+        words = np.zeros((n_rows * R, 8), np.uint32)
+        words[:n_blocks] = fm.words
+        words = words.reshape(n_rows, 8 * R)
+        counts = fm.ckpt[: n_rows * R: R].astype(np.uint32)
+        if counts.shape[0] < n_rows:  # ckpt has n_blocks+1 rows; pad safe
+            counts = np.concatenate(
+                [counts, fm.ckpt[-1:].astype(np.uint32)])
+        return jnp.asarray(np.concatenate([counts, words], axis=1))

@@ -90,8 +90,9 @@ def collect_intv_batch(opt, engine, codes_list, cap_s: int = 96) -> list[list[tu
 
 def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
     """Device seeding straight to the flat arrays finalize_se_arrays
-    consumes — no per-seed Python objects on the hot path.  Requires the
-    dense SA sidecar (fm.sad).  Returns (iv_off, iv_x2, iv_start, iv_end,
+    consumes — no per-seed Python objects on the hot path.  SA lookups go
+    through fm.sa_lookup (dense sidecar on small genomes, native batch
+    walker at scale).  Returns (iv_off, iv_x2, iv_start, iv_end,
     rbegs, rb_off) or None when a bucket needs the exactness fallback
     (seed-count/stack overflow) — the caller then uses the tuple path.
 
@@ -102,8 +103,7 @@ def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
     keeps ONE executable shape — PERF.md).  Seeds demux by start offset.
     """
     B = len(codes_list)
-    sad = fm.sad
-    if B == 0 or sad is None:
+    if B == 0:
         return None
     max_occ = opt.max_occ
     iv_off = [np.zeros(1, np.int32)]
@@ -169,7 +169,7 @@ def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
         within = np.arange(tot, dtype=np.int64) - np.repeat(csum - counts,
                                                             counts)
         ranks = k0[grp] + step[grp] * within
-        rbegs.append(np.asarray(sad[ranks], dtype=np.int64))
+        rbegs.append(fm.sa_lookup(ranks))
         iv_x2.append(x2)
         iv_start.append(start)
         iv_end.append(end)

@@ -72,6 +72,16 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.sais_u8_full_i32.restype = ctypes.c_int
+        lib.sais_u8_full_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sais_u8_full_i64.restype = ctypes.c_int
+        lib.sais_u8_full_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
 
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i8p = ctypes.POINTER(ctypes.c_int8)
@@ -112,6 +122,34 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
     else:
         sa = np.empty(n, dtype=np.int64)
         rc = lib.sais_u8_i64(
+            text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            np.int64(n),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    if rc != 0:
+        raise RuntimeError(f"sais failed with rc={rc}")
+    return sa
+
+
+def suffix_array_rows(text: np.ndarray) -> np.ndarray:
+    """Suffix array INCLUDING the sentinel row: returns sa_full of n+1
+    entries with sa_full[0] == n (the empty suffix) and sa_full[1:] the
+    plain suffix order.  This is exactly the (n+1)-row model the BWT
+    derivation wants (index/build.py bwt_from_sa), constructed in place —
+    no second 8n-byte buffer, which matters at GRCh38 scale (50 GB)."""
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    n = text.shape[0]
+    lib = get_lib()
+    if n < 2**31:
+        sa = np.empty(n + 1, dtype=np.int32)
+        rc = lib.sais_u8_full_i32(
+            text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            np.int32(n),
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    else:
+        sa = np.empty(n + 1, dtype=np.int64)
+        rc = lib.sais_u8_full_i64(
             text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             np.int64(n),
             sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

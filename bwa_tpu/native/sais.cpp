@@ -141,6 +141,21 @@ int sais_u8(const uint8_t *text, I n, I *sa_out) {
   return 0;
 }
 
+// Big-text variant: construct directly into a caller-provided buffer of
+// n+1 entries (SA'[0] = n is the sentinel row; callers slice it off as a
+// view).  Avoids the extra n-entry allocation + copy of sais_u8 — at
+// GRCh38 scale (6.2e9 chars, int64) that second buffer is 50 GB.
+template <typename I>
+int sais_u8_full(const uint8_t *text, I n, I *sa_full) {
+  if (n < 0) return -1;
+  if (n == 0) { sa_full[0] = 0; return 0; }
+  std::vector<uint8_t> T((size_t)n + 1);
+  for (I i = 0; i < n; ++i) T[i] = (uint8_t)(text[i] + 1);  // requires text < 255
+  T[n] = 0;
+  sais_rec<I, uint8_t>(T.data(), sa_full, n + 1, 257);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -151,6 +166,14 @@ int sais_u8_i32(const uint8_t *text, int32_t n, int32_t *sa_out) {
 
 int sais_u8_i64(const uint8_t *text, int64_t n, int64_t *sa_out) {
   return sais_u8<int64_t>(text, n, sa_out);
+}
+
+int sais_u8_full_i32(const uint8_t *text, int32_t n, int32_t *sa_full) {
+  return sais_u8_full<int32_t>(text, n, sa_full);
+}
+
+int sais_u8_full_i64(const uint8_t *text, int64_t n, int64_t *sa_full) {
+  return sais_u8_full<int64_t>(text, n, sa_full);
 }
 
 }  // extern "C"

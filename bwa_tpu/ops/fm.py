@@ -45,19 +45,26 @@ def _occ4(idx, k):
     cdt = idx["ckpt"].dtype
     kk = k - (k >= idx["primary"]).astype(cdt)
     kk_safe = jnp.clip(kk, 0, idx["seq_len"] - 1)
-    j = (kk_safe >> 7).astype(jnp.int32)
     if "occtab" in idx:
-        # fused table: checkpoint + text block in ONE gather (~40us/step
-        # saved per occ4 call inside the seeding while loop — PERF.md)
-        row = idx["occtab"][j]                  # [N, 12] uint32
+        # fused table: checkpoint + text block(s) in ONE gather (~40us/step
+        # saved per occ4 call inside the seeding while loop — PERF.md).
+        # The table may be re-tiled R disk blocks per row (fewer, fatter
+        # rows: the per-ROW gather latency dominates at big genomes while
+        # the extra popcount columns fuse for free).
+        nw = idx["occtab"].shape[1] - 4          # 8R words per row
+        rbits = (nw // 8).bit_length() - 1       # log2(R)
+        j = (kk_safe >> (7 + rbits)).astype(jnp.int32)
+        row = idx["occtab"][j]                  # [N, 4 + 8R] uint32
         base = row[:, :4].astype(cdt)
-        blk = row[:, 4:12]
+        blk = row[:, 4:]
     else:
+        nw = 8
+        j = (kk_safe >> 7).astype(jnp.int32)
         base = idx["ckpt"][j]                   # [N, 4]
         blk = idx["words"][j]                   # [N, 8] uint32
-    kw = ((kk_safe >> 4) & 7).astype(jnp.int32)  # word containing kk
+    kw = ((kk_safe >> 4) & (nw - 1)).astype(jnp.int32)  # word containing kk
     kb = (kk_safe & 15).astype(jnp.int32)
-    widx = jnp.arange(8, dtype=jnp.int32)
+    widx = jnp.arange(nw, dtype=jnp.int32)
     nkeep = jnp.clip((kw[:, None] - widx[None, :]) * 16 + kb[:, None] + 1, 0, 16)
     shift = ((16 - nkeep) << 1).astype(jnp.uint32)
     mask = jnp.where(nkeep > 0,
@@ -657,17 +664,11 @@ class BatchedFMEngine:
     def sa_many(self, ks: np.ndarray) -> np.ndarray:
         if len(ks) == 0:
             return np.zeros(0, dtype=np.int64)
-        sad = self.fm.sad
-        if sad is not None:  # dense sidecar: one host fancy-index
-            return np.asarray(sad[np.asarray(ks, dtype=np.int64)],
-                              dtype=np.int64)
-        # pad to the next power of two: each distinct shape recompiles
-        n = len(ks)
-        cap = 1 << max(8, (n - 1).bit_length())
-        kp = np.ones(cap, dtype=self.fm.coord_dtype)
-        kp[:n] = ks
-        k = jnp.asarray(kp)
-        return np.asarray(jax.device_get(sa_batch(self.idx, k)))[:n]
+        # dense sidecar (small genomes) or native C++ walker (GRCh38
+        # scale); the device sa_batch program stays available as a
+        # cross-checked alternative (tests/test_fm_device.py) but the
+        # host path avoids a program swap against the seeding machine
+        return self.fm.sa_lookup(ks)
 
     def collect_seeds(self, q_pad: np.ndarray, qlen: np.ndarray, opt,
                       cap_s: int, fused: bool = False):
