@@ -15,7 +15,8 @@ import logging
 import numpy as np
 
 from bwa_tpu.index.pack import fasta2bnt, write_pac, write_ann_amb
-from bwa_tpu.native.build import suffix_array, suffix_array_rows
+from bwa_tpu.native.build import (bwt_chars, revcomp_concat, suffix_array,
+                                  suffix_array_rows)
 
 log = logging.getLogger(__name__)
 
@@ -166,7 +167,7 @@ def index_build(fasta_path, prefix=None) -> str:
     write_ann_amb(prefix, bnt)
 
     # doubled text: forward + reverse complement (bntseq.c:306-312)
-    code2 = np.concatenate([fwd, (3 - fwd)[::-1]])
+    code2 = revcomp_concat(fwd)
     del fwd
     n = code2.shape[0]
     log.info("building suffix array over %d bases (SA-IS)", n)
@@ -176,7 +177,7 @@ def index_build(fasta_path, prefix=None) -> str:
     counts = np.bincount(code2, minlength=4).astype(np.uint64)
     L2 = np.zeros(5, dtype=np.uint64)
     np.cumsum(counts, out=L2[1:])
-    bwt_str, primary = bwt_from_rows(code2, rows_sa)
+    bwt_str, primary = bwt_chars(code2, rows_sa)
     del code2
     words = pack_bwt_words(bwt_str)
     ckpt = occ_checkpoints(bwt_str)

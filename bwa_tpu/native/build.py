@@ -82,6 +82,21 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.revcomp_concat.restype = None
+        lib.revcomp_concat.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.bwt_chars_i32.restype = ctypes.c_int64
+        lib.bwt_chars_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.bwt_chars_i64.restype = ctypes.c_int64
+        lib.bwt_chars_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ]
 
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i8p = ctypes.POINTER(ctypes.c_int8)
@@ -129,6 +144,40 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"sais failed with rc={rc}")
     return sa
+
+
+def revcomp_concat(fwd: np.ndarray) -> np.ndarray:
+    """Doubled text fwd + revcomp(fwd) (bntseq.c:306-312) at memory speed
+    (numpy's negative-stride byte copy runs at a few MB/s)."""
+    fwd = np.ascontiguousarray(fwd, dtype=np.uint8)
+    n = fwd.shape[0]
+    out = np.empty(2 * n, dtype=np.uint8)
+    get_lib().revcomp_concat(
+        fwd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), np.int64(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def bwt_chars(code2: np.ndarray, rows: np.ndarray) -> tuple[np.ndarray, int]:
+    """BWT string + primary from the (n+1)-row model (native gather; the
+    numpy fancy-index runs ~4M random gathers/s, ~30 min at GRCh38)."""
+    n = code2.shape[0]
+    assert rows.shape[0] == n + 1
+    out = np.empty(n, dtype=np.uint8)
+    lib = get_lib()
+    c2 = code2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    ob = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if rows.dtype == np.int32:
+        primary = lib.bwt_chars_i32(
+            c2, rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            np.int32(n), ob)
+    else:
+        primary = lib.bwt_chars_i64(
+            c2, rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            np.int64(n), ob)
+    if primary < 0:
+        raise RuntimeError("bwt_chars: inconsistent row model")
+    return out, int(primary)
 
 
 def suffix_array_rows(text: np.ndarray) -> np.ndarray:

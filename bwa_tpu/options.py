@@ -81,7 +81,22 @@ class MemOptions:
     # (the reference's opt0, fastmap.c:143,158)
     _explicit: set = field(default_factory=set)
 
+    # mem_opt_t stores these as C float (bwamem.h:68-77), so every value
+    # rounds through float32 before any double arithmetic.  Observable:
+    # XA_drop_ratio 0.80 -> 0.800000011920929 makes 150*ratio exceed 120
+    # (a score-120 hit is then EXCLUDED from XA, while double 0.8*150
+    # rounds to exactly 120.0 and would include it); same hazard for
+    # mask_level_redun 0.95.
+    _F32_FIELDS = ("split_factor", "mask_level", "drop_ratio",
+                   "XA_drop_ratio", "mask_level_redun", "mapQ_coef_len")
+
+    def __post_init__(self):
+        for name in self._F32_FIELDS:
+            object.__setattr__(self, name, float(np.float32(getattr(self, name))))
+
     def set(self, name: str, value) -> None:
+        if name in self._F32_FIELDS:
+            value = float(np.float32(value))
         setattr(self, name, value)
         self._explicit.add(name)
 

@@ -87,3 +87,41 @@ def test_mem_longread_presets(oracle_bwa, small_genome, long_reads):
 
 def test_mem_longread_default(oracle_bwa, small_genome, long_reads):
     _assert_same(oracle_bwa, [str(small_genome), str(long_reads)])
+
+
+@pytest.fixture(scope="module")
+def multi_alt_genome(oracle_bwa):
+    """TWO ALT contigs duplicating the same primary window: a read hitting
+    the window gets hits on all three, exercising the XA drop-ratio path
+    where the score product straddles an integer (the reference stores
+    XA_drop_ratio as C float, bwamem.h:76 -- 150*(float)0.8 > 120, so a
+    score-120 XA candidate is EXCLUDED; double 0.8 would include it)."""
+    from datagen import random_genome, simulate_reads, write_fasta, write_fastq
+
+    fa = DATA / "alt2_ref.fa"
+    fq = DATA / "alt2_reads.fq"
+    if not fa.exists():
+        rng = np.random.default_rng(41)
+        (n0, s0), = random_genome(120_000, seed=43, n_contigs=1)
+        bases = b"ACGT"
+        contigs = [("chr_pri", s0)]
+        for ai, div in ((1, 0.02), (2, 0.04)):
+            win = bytearray(s0[40_000:80_000])
+            idx = rng.random(len(win)) < div
+            for i in np.nonzero(idx)[0]:
+                win[i] = bases[rng.integers(0, 4)]
+            contigs.append((f"chr_alt{ai}", bytes(win)))
+        write_fasta(fa, contigs)
+        (fa.parent / (fa.name + ".alt")).write_text(
+            "chr_alt1\t0\t*\t0\t0\n" "chr_alt2\t0\t*\t0\t0\n")
+        subprocess.run([str(oracle_bwa), "index", str(fa)], check=True,
+                       capture_output=True)
+        reads = simulate_reads(contigs, 400, read_len=150, seed=47,
+                               err_rate=0.02)
+        write_fastq(fq, reads)
+    return fa, fq
+
+
+def test_mem_multi_alt_xa(oracle_bwa, multi_alt_genome):
+    fa, fq = multi_alt_genome
+    _assert_same(oracle_bwa, [str(fa), str(fq)])
