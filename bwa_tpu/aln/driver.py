@@ -32,11 +32,10 @@ def _aln_batch_native(fm, seqs, opt: GapOpt):
         i64p = ctypes.POINTER(ctypes.c_int64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        u32p = ctypes.POINTER(ctypes.c_uint32)
         c = ctypes.c_int32
         lib.bt_aln_batch.restype = ctypes.c_int64
         lib.bt_aln_batch.argtypes = [
-            i64p, u32p, ctypes.c_int64, ctypes.c_int64, i64p,
+            u8p, ctypes.c_int64, ctypes.c_int64, i64p,
             u8p, i64p, c, i32p, i32p, i32p,
             c, c, c, c, c, c, c, c, c, c,
             i32p, i64p, ctypes.c_int64]
@@ -44,6 +43,7 @@ def _aln_batch_native(fm, seqs, opt: GapOpt):
     if not hasattr(fm, "_sw2idx"):
         fm._sw2idx = Sw2Index(fm)
     idx = fm._sw2idx
+    inter = fm.occ_inter
     n = len(seqs)
     seq_off = np.zeros(n + 1, np.int64)
     for i, p in enumerate(seqs):
@@ -73,8 +73,7 @@ def _aln_batch_native(fm, seqs, opt: GapOpt):
     while True:
         rec = np.zeros(cap, np.int64)
         tot = lib.bt_aln_batch(
-            idx.ckpt64.ctypes.data_as(i64p),
-            idx.words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            inter.ctypes.data_as(u8p),
             ctypes.c_int64(fm.seq_len), ctypes.c_int64(fm.primary),
             idx.L2.ctypes.data_as(i64p),
             flat.ctypes.data_as(u8p), seq_off.ctypes.data_as(i64p), n,
@@ -143,22 +142,150 @@ def aln_core(prefix, fn_fa, opt: GapOpt, out_fp) -> None:
               file=sys.stderr)
 
 
+def _samse_batch_native(fm, seqs, sai_rest: memoryview, opt, n_occ,
+                        rg_id, rng: Rand48) -> tuple[str, int]:
+    """Whole samse finalize for one batch in C++ (native/btsam.cpp):
+    drand48 sampling, SA walks, ksw_global refinement, MD/NM, SAM text.
+    Returns (sam_text, sai_bytes_consumed); the shared drand48 state
+    advances exactly as the Python spec would."""
+    import ctypes
+
+    from bwa_tpu.native.build import get_lib
+    from bwa_tpu.sw2.core import Sw2Index
+
+    lib = get_lib()
+    if not hasattr(fm, "_sw2idx"):
+        fm._sw2idx = Sw2Index(fm)
+    idx = fm._sw2idx
+    bns = fm.bnt
+    if not hasattr(fm, "_bt_ref"):
+        amb_off = np.array([h.offset for h in bns.holes], np.int64)
+        amb_len = np.array([h.length for h in bns.holes], np.int32)
+        ctg_off = np.array([c.offset for c in bns.contigs], np.int64)
+        ctg_len = np.array([c.length for c in bns.contigs], np.int32)
+        name_parts = []
+        name_off = np.zeros(len(bns.contigs), np.int32)
+        pos = 0
+        for i, c in enumerate(bns.contigs):
+            name_off[i] = pos
+            nb = c.name.encode() + b"\x00"
+            name_parts.append(nb)
+            pos += len(nb)
+        fm._bt_ref = (np.ascontiguousarray(fm.pac, np.uint8), ctg_off,
+                      ctg_len, name_off, b"".join(name_parts), amb_off,
+                      amb_len)
+    pac, ctg_off, ctg_len, name_off, names_blob, amb_off, amb_len = fm._bt_ref
+
+    n = len(seqs)
+    codes_off = np.zeros(n + 1, np.int64)
+    qual_off = np.zeros(n + 1, np.int64)
+    rname_off = np.zeros(n + 1, np.int64)
+    bc_off = np.zeros(n, np.int32)
+    lens = np.zeros(n, np.int32)
+    full_lens = np.zeros(n, np.int32)
+    clip_lens = np.zeros(n, np.int32)
+    has_qual = all(p.qual is not None for p in seqs)
+    codes_parts, qual_parts, name_parts, bc_parts = [], [], [], []
+    bpos = 0
+    for i, p in enumerate(seqs):
+        codes_off[i + 1] = codes_off[i] + p.full_len
+        codes_parts.append(np.asarray(p.full_codes[:p.full_len], np.uint8))
+        if has_qual:
+            qual_off[i + 1] = qual_off[i] + len(p.qual)
+            qual_parts.append(bytes(p.qual))
+        nb = p.name.encode() + b"\x00"
+        rname_off[i + 1] = rname_off[i] + len(nb)
+        name_parts.append(nb)
+        bc_off[i] = bpos
+        bb = p.bc.encode() + b"\x00"
+        bc_parts.append(bb)
+        bpos += len(bb)
+        lens[i] = p.len
+        full_lens[i] = p.full_len
+        clip_lens[i] = p.clip_len
+    codes_flat = (np.concatenate(codes_parts) if codes_parts
+                  else np.zeros(0, np.uint8))
+    codes_flat = np.ascontiguousarray(codes_flat, np.uint8)
+    qual_flat = np.frombuffer(b"".join(qual_parts), np.uint8) if has_qual \
+        else np.zeros(0, np.uint8)
+    qual_flat = np.ascontiguousarray(qual_flat)
+    rnames = b"".join(name_parts)
+    bc_blob = b"".join(bc_parts)
+    sai_arr = np.frombuffer(sai_rest, np.uint8)
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rng_state = np.array([rng.x], np.uint64)
+    used = np.zeros(1, np.int64)
+    cap = max(1 << 20, 300 * n)
+    while True:
+        out_buf = np.zeros(cap, np.uint8)
+        rng_state[0] = rng.x  # restore on retry: the call mutates it
+        r = lib.bt_samse_batch(
+            idx.ckpt64.ctypes.data_as(i64p),
+            idx.words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(fm.seq_len), ctypes.c_int64(fm.primary),
+            idx.L2.ctypes.data_as(i64p), idx.ssa64.ctypes.data_as(i64p),
+            np.int32(fm.sa_intv),
+            pac.ctypes.data_as(u8p), ctypes.c_int64(fm.l_pac),
+            ctg_off.ctypes.data_as(i64p), ctg_len.ctypes.data_as(i32p),
+            name_off.ctypes.data_as(i32p), names_blob, np.int32(len(ctg_off)),
+            amb_off.ctypes.data_as(i64p), amb_len.ctypes.data_as(i32p),
+            np.int32(len(amb_off)),
+            np.int32(n), codes_flat.ctypes.data_as(u8p),
+            codes_off.ctypes.data_as(i64p), lens.ctypes.data_as(i32p),
+            full_lens.ctypes.data_as(i32p), clip_lens.ctypes.data_as(i32p),
+            qual_flat.ctypes.data_as(u8p),
+            qual_off.ctypes.data_as(i64p) if has_qual else None,
+            rnames, rname_off.ctypes.data_as(i64p), bc_blob,
+            bc_off.ctypes.data_as(i32p),
+            sai_arr.ctypes.data_as(u8p), ctypes.c_int64(sai_arr.shape[0]),
+            np.int32(opt.mode), np.int32(opt.max_top2), np.int32(n_occ),
+            np.int32(opt.max_diff), ctypes.c_double(opt.fnr),
+            rg_id.encode() if rg_id else None,
+            rng_state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            out_buf.ctypes.data_as(u8p), ctypes.c_int64(cap),
+            used.ctypes.data_as(i64p))
+        if r >= 0:
+            break
+        if r == -1:
+            raise RuntimeError("bt_samse_batch: truncated .sai")
+        cap = int(-r)
+    rng.x = int(rng_state[0])
+    return out_buf[: int(r)].tobytes().decode(), int(used[0])
+
+
 def samse_core(prefix, fn_sa, fn_fa, n_occ, rg_id, rg_line, out) -> None:
     """bwa samse (bwase.c:507-577)."""
+    import os
+
     from bwa_tpu.cli import _hdr_lines
     from bwa_tpu.engine import make_engine
     from bwa_tpu import __version__
 
     se.initialize()
     fm = FMIndex.load(prefix)
-    engine = make_engine(fm, "host")
     rng = Rand48(fm.bnt.seed)
+    use_native = os.environ.get("BWA_TPU_SAMSE", "native") == "native"
     with open(fn_sa, "rb") as fp_sa:
         sai = SaiReader(fp_sa)
         opt = sai.opt
         pg = f"@PG\tID:bwa\tPN:bwa-tpu\tVN:{__version__}\tCL:bwa-tpu samse"
         out.write(_hdr_lines(fm.bnt, rg_line, pg))
         reader = open_reads(opt.mode, fn_fa)
+        if use_native:
+            sai_rest = memoryview(fp_sa.read())
+            while True:
+                seqs = read_bt_seqs(reader, CHUNK, opt.mode, opt.trim_qual)
+                if not seqs:
+                    break
+                sam, used = _samse_batch_native(fm, seqs, sai_rest, opt,
+                                                n_occ, rg_id, rng)
+                sai_rest = sai_rest[used:]
+                out.write(sam)
+            return
+        engine = make_engine(fm, "host")
         while True:
             seqs = read_bt_seqs(reader, CHUNK, opt.mode, opt.trim_qual)
             if not seqs:

@@ -303,19 +303,29 @@ def _pos_5(p: BtSeq) -> int:
     return -1
 
 
+_FWD_TAB = np.frombuffer(b"ACGTN", dtype=np.uint8)
+_REV_TAB = np.frombuffer(b"TGCAN", dtype=np.uint8)
+
+
 def print_seq_txt(p: BtSeq) -> str:
     """bwa_print_seq (bwase.c:366-384): full_len bases of the ORIGINAL
     read (the reference's in-place reversals restore the full array by
-    print time, including the trimmed tail)."""
+    print time, including the trimmed tail).  One numpy table lookup —
+    the per-base join was the hottest line of the samse profile."""
+    codes = np.asarray(p.full_codes[:p.full_len], dtype=np.uint8)
+    codes = np.minimum(codes, 4)
     if p.strand == 0:
-        return "".join("ACGTN"[c] for c in p.full_codes[:p.full_len])
-    return "".join("TGCAN"[c] for c in p.full_codes[:p.full_len][::-1])
+        return _FWD_TAB[codes].tobytes().decode()
+    return _REV_TAB[codes[::-1]].tobytes().decode()
 
 
 def print_sam1(fm, p: BtSeq, mate: BtSeq | None, mode: int, max_top2: int,
                rg_id: str | None, out) -> None:
-    """bwa_print_sam1 (bwase.c:386-499)."""
+    """bwa_print_sam1 (bwase.c:386-499).  Text parts accumulate in a list
+    and flush as ONE stream write (the profile showed 100k+ tiny writes)."""
     bns = fm.bnt
+    parts = []
+    _w = parts.append
     if p.type != BWA_TYPE_NO_MATCH or (mate and mate.type != BWA_TYPE_NO_MATCH):
         flag = p.extra_flag
         if p.type == BWA_TYPE_NO_MATCH:
@@ -338,95 +348,98 @@ def print_sam1(fm, p: BtSeq, mate: BtSeq | None, mode: int, max_top2: int,
                     flag |= SAM_FMR
             else:
                 flag |= SAM_FMU
-        out.write(f"{p.name}\t{flag}\t{bns.contigs[seqid].name}\t")
-        out.write(f"{p.pos - bns.contigs[seqid].offset + 1}\t{p.mapQ}\t")
+        _w(f"{p.name}\t{flag}\t{bns.contigs[seqid].name}\t")
+        _w(f"{p.pos - bns.contigs[seqid].offset + 1}\t{p.mapQ}\t")
         if p.cigar:
-            out.write("".join(f"{ln}{'MIDS'[op]}" for op, ln in p.cigar))
+            _w("".join(f"{ln}{'MIDS'[op]}" for op, ln in p.cigar))
         elif p.type == BWA_TYPE_NO_MATCH:
-            out.write("*")
+            _w("*")
         else:
-            out.write(f"{p.len}M")
+            _w(f"{p.len}M")
         am = 0
         if mate and mate.type != BWA_TYPE_NO_MATCH:
             am = min(mate.seQ, p.seQ)
             m_seqid = bns.pos2rid(mate.pos)
-            out.write("\t=\t" if seqid == m_seqid
+            _w("\t=\t" if seqid == m_seqid
                       else f"\t{bns.contigs[m_seqid].name}\t")
             isize = _pos_5(mate) - _pos_5(p) if seqid == m_seqid else 0
             if p.type == BWA_TYPE_NO_MATCH:
                 isize = 0
-            out.write(f"{mate.pos - bns.contigs[m_seqid].offset + 1}\t{isize}\t")
+            _w(f"{mate.pos - bns.contigs[m_seqid].offset + 1}\t{isize}\t")
         elif mate:
-            out.write(f"\t=\t{p.pos - bns.contigs[seqid].offset + 1}\t0\t")
+            _w(f"\t=\t{p.pos - bns.contigs[seqid].offset + 1}\t0\t")
         else:
-            out.write("\t*\t0\t0\t")
-        out.write(print_seq_txt(p))
-        out.write("\t")
+            _w("\t*\t0\t0\t")
+        _w(print_seq_txt(p))
+        _w("\t")
         if p.qual is not None:
             if p.strand:
                 q = p.qual[:p.len][::-1] + p.qual[p.len:]
                 p.qual = bytearray(q)
-            out.write(p.qual.decode())
+            _w(p.qual.decode())
         else:
-            out.write("*")
+            _w("*")
         if rg_id:
-            out.write(f"\tRG:Z:{rg_id}")
+            _w(f"\tRG:Z:{rg_id}")
         if p.bc:
-            out.write(f"\tBC:Z:{p.bc}")
+            _w(f"\tBC:Z:{p.bc}")
         if p.clip_len < p.full_len:
-            out.write(f"\tXC:i:{p.clip_len}")
+            _w(f"\tXC:i:{p.clip_len}")
         if p.type != BWA_TYPE_NO_MATCH:
             XT = "NURM"[p.type]
             if nn > 10:
                 XT = "N"
             nm_tag = "NM" if mode & BWA_MODE_COMPREAD else "CM"
-            out.write(f"\tXT:A:{XT}\t{nm_tag}:i:{p.nm}")
+            _w(f"\tXT:A:{XT}\t{nm_tag}:i:{p.nm}")
             if nn:
-                out.write(f"\tXN:i:{nn}")
+                _w(f"\tXN:i:{nn}")
             if mate:
-                out.write(f"\tSM:i:{p.seQ}\tAM:i:{am}")
+                _w(f"\tSM:i:{p.seQ}\tAM:i:{am}")
             if p.type != BWA_TYPE_MATESW:
-                out.write(f"\tX0:i:{p.c1}")
+                _w(f"\tX0:i:{p.c1}")
                 if p.c1 <= max_top2:
-                    out.write(f"\tX1:i:{p.c2}")
-            out.write(f"\tXM:i:{p.n_mm}\tXO:i:{p.n_gapo}\tXG:i:{p.n_gapo + p.n_gape}")
+                    _w(f"\tX1:i:{p.c2}")
+            _w(f"\tXM:i:{p.n_mm}\tXO:i:{p.n_gapo}\tXG:i:{p.n_gapo + p.n_gape}")
             if p.md:
-                out.write(f"\tMD:Z:{p.md}")
+                _w(f"\tMD:Z:{p.md}")
             if p.n_multi:
-                out.write("\tXA:Z:")
+                _w("\tXA:Z:")
                 for q in p.multi:
                     j = pos_end_multi(q, p.len) - q.pos
                     sq = bns.pos2rid(q.pos)
-                    out.write(f"{bns.contigs[sq].name},"
+                    _w(f"{bns.contigs[sq].name},"
                               f"{'-' if q.strand else '+'}"
                               f"{q.pos - bns.contigs[sq].offset + 1},")
                     if q.cigar:
-                        out.write("".join(f"{ln}{'MIDS'[op]}"
+                        _w("".join(f"{ln}{'MIDS'[op]}"
                                           for op, ln in q.cigar))
                     else:
-                        out.write(f"{p.len}M")
-                    out.write(f",{q.gap + q.mm};")
-        out.write("\n")
+                        _w(f"{p.len}M")
+                    _w(f",{q.gap + q.mm};")
+        _w("\n")
+        out.write("".join(parts))
+        return
     else:
         flag = p.extra_flag | SAM_FSU
         if mate and mate.type == BWA_TYPE_NO_MATCH:
             flag |= SAM_FMU
-        out.write(f"{p.name}\t{flag}\t*\t0\t0\t*\t*\t0\t0\t")
-        out.write(print_seq_txt(p))
-        out.write("\t")
+        _w(f"{p.name}\t{flag}\t*\t0\t0\t*\t*\t0\t0\t")
+        _w(print_seq_txt(p))
+        _w("\t")
         if p.qual is not None:
             if p.strand:
                 p.qual = bytearray(p.qual[:p.len][::-1] + p.qual[p.len:])
-            out.write(p.qual.decode())
+            _w(p.qual.decode())
         else:
-            out.write("*")
+            _w("*")
         if rg_id:
-            out.write(f"\tRG:Z:{rg_id}")
+            _w(f"\tRG:Z:{rg_id}")
         if p.bc:
-            out.write(f"\tBC:Z:{p.bc}")
+            _w(f"\tBC:Z:{p.bc}")
         if p.clip_len < p.full_len:
-            out.write(f"\tXC:i:{p.clip_len}")
-        out.write("\n")
+            _w(f"\tXC:i:{p.clip_len}")
+        _w("\n")
+    out.write("".join(parts))
 
 
 def cal_pac_pos(fm, engine, seqs: list[BtSeq], max_mm: int, fnr: float) -> None:

@@ -19,8 +19,6 @@ BARCODE_LOW_QUAL = 13
 @dataclass
 class BtSeq:
     name: str
-    seq: np.ndarray            # nt4 codes, REVERSED trimmed read (p->seq)
-    rseq: np.ndarray           # reverse(complement) per is_comp
     full_codes: np.ndarray     # original orientation, FULL length (for SEQ
                                # output: bwa_print_seq uses full_len bases)
     qual: bytearray | None     # original orientation ASCII quals
@@ -28,6 +26,13 @@ class BtSeq:
     full_len: int
     clip_len: int
     bc: str = ""
+    is_comp: bool = True       # mode & BWA_MODE_COMPREAD (for lazy rseq)
+    # seq/rseq are LAZY: the native samse path never touches them, and
+    # they were ~0.1s of per-read numpy work per 8k batch.  seq = nt4
+    # codes of the REVERSED trimmed read (p->seq); rseq =
+    # reverse(complement per is_comp).
+    _seq: np.ndarray | None = None
+    _rseq: np.ndarray | None = None
     # alignment state (filled by samse/sampe)
     strand: int = 0
     type: int = 0              # BWA_TYPE_*
@@ -50,6 +55,29 @@ class BtSeq:
     cigar: list | None = None  # [(op, len)] op in MIDS=0..3
     nm: int = 0
     md: str | None = None
+
+    @property
+    def seq(self) -> np.ndarray:
+        if self._seq is None:
+            self._seq = seq_reverse(
+                np.asarray(self.full_codes[:self.len], np.uint8), False)
+        return self._seq
+
+    @seq.setter
+    def seq(self, v) -> None:
+        self._seq = v
+
+    @property
+    def rseq(self) -> np.ndarray:
+        if self._rseq is None:
+            self._rseq = seq_reverse(
+                np.asarray(self.full_codes[:self.len], np.uint8),
+                self.is_comp)
+        return self._rseq
+
+    @rseq.setter
+    def rseq(self, v) -> None:
+        self._rseq = v
 
 
 def seq_reverse(arr: np.ndarray, is_comp: bool) -> np.ndarray:
@@ -120,13 +148,9 @@ def read_bam_seqs(reader, n_needed: int, is_comp: bool,
         full_len = length = rec.l_qseq
         if trim_qual >= 1:
             length = trim_read(trim_qual, qual, length)
-        fwd = codes[:length]
-        out.append(BtSeq(name=rec.name,
-                         seq=seq_reverse(fwd, False),
-                         rseq=seq_reverse(fwd, is_comp),
-                         full_codes=codes,
+        out.append(BtSeq(name=rec.name, full_codes=codes,
                          qual=qual, len=length, full_len=full_len,
-                         clip_len=length))
+                         clip_len=length, is_comp=is_comp))
         if len(out) == n_needed:
             break
     return out
@@ -169,13 +193,9 @@ def read_bt_seqs(reader, n_needed: int, mode: int,
         length = full_len
         if qual and trim_qual >= 1:
             length = trim_read(trim_qual, qual, length)
-        fwd = codes[:length]
-        p = BtSeq(name=read.name,
-                  seq=seq_reverse(fwd, False),
-                  rseq=seq_reverse(fwd, is_comp),
-                  full_codes=codes,
+        p = BtSeq(name=read.name, full_codes=codes,
                   qual=qual, len=length, full_len=full_len,
-                  clip_len=length, bc=bc)
+                  clip_len=length, bc=bc, is_comp=is_comp)
         out.append(p)
         if len(out) == n_needed:
             break

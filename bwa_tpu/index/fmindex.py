@@ -156,6 +156,24 @@ class FMIndex:
         return self._sw2idx.sa_batch(ranks)
 
     @cached_property
+    def occ_inter(self) -> np.ndarray:
+        """64-byte-aligned interleaved occ blocks for the native search
+        engines: per 128 bases, 4 int64 counts + 8 uint32 text words =
+        exactly one cache line (the reference's bwt.h:73-80 layout
+        rationale — the split ckpt/words arrays cost two misses per occ
+        and made the native searches memory-bound)."""
+        n_blocks = self.words.shape[0]
+        raw = np.zeros(n_blocks * 64 + 64, np.uint8)
+        off = (-raw.ctypes.data) % 64
+        buf = raw[off:off + n_blocks * 64].reshape(n_blocks, 64)
+        buf[:, :32] = np.ascontiguousarray(
+            self.ckpt[:n_blocks].astype(np.int64)).view(np.uint8).reshape(
+                n_blocks, 32)
+        buf[:, 32:] = np.ascontiguousarray(self.words).view(
+            np.uint8).reshape(n_blocks, 32)
+        return buf
+
+    @cached_property
     def pac_codes(self) -> np.ndarray:
         """Unpacked forward reference codes (uint8, 0..3)."""
         return unpack_pac(self.pac, self.l_pac)

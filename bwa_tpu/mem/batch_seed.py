@@ -88,95 +88,137 @@ def collect_intv_batch(opt, engine, codes_list, cap_s: int = 96) -> list[list[tu
     return mems
 
 
-def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
-    """Device seeding straight to the flat arrays finalize_se_arrays
-    consumes — no per-seed Python objects on the hot path.  SA lookups go
-    through fm.sa_lookup (dense sidecar on small genomes, native batch
-    walker at scale).  Returns (iv_off, iv_x2, iv_start, iv_end,
-    rbegs, rb_off) or None when a bucket needs the exactness fallback
-    (seed-count/stack overflow) — the caller then uses the tuple path.
+def _pack_bucket(opt, chunk, cap_s: int):
+    """Pack a bucket's reads pack_k per machine lane, separated by an
+    ambiguous base: the state machine treats N as a hard boundary in
+    every pass, so a packed lane behaves exactly like pack_k independent
+    reads while per-lane step totals average out (the tail-utilization
+    remedy that keeps ONE executable shape — PERF.md)."""
+    nb = len(chunk)
+    L = _len_bucket(max(len(c) for c in chunk))
+    bucket = _lane_bucket(L, nb)
+    pack_k = int(os.environ.get("BWA_TPU_PACK_K", "2"))
+    if L > 256 or nb < bucket // 2:
+        pack_k = 1  # long reads carry enough work per lane already
+    B2 = bucket // pack_k
+    Lp = pack_k * (L + 1)
+    q = np.full((B2, Lp), 4, np.uint8)
+    lens = np.zeros(B2, np.int32)
+    for r in range(pack_k):
+        for i in range(B2):
+            ridx = r * B2 + i
+            if ridx < nb:
+                c = chunk[ridx]
+                q[i, r * (L + 1):r * (L + 1) + len(c)] = c
+                lens[i] = r * (L + 1) + len(c)
+    return q, lens, L, B2, pack_k, cap_s * pack_k
 
-    Reads are PACKED pack_k per machine lane, separated by an ambiguous
-    base: the state machine treats N as a hard boundary in every pass, so
-    a packed lane behaves exactly like pack_k independent reads while the
-    per-lane step totals average out (the tail-utilization remedy that
-    keeps ONE executable shape — PERF.md).  Seeds demux by start offset.
-    """
+
+def _demux_bucket(opt, fm, seeds_out, nb, L, B2, cs):
+    """Demux packed lanes back to per-read flat arrays (bucket-local
+    offsets).  Rows are sorted by start within a lane, so a stable sort
+    by read id keeps order.  SA lookups go through fm.sa_lookup (dense
+    sidecar on small genomes, native batch walker at scale)."""
+    max_occ = opt.max_occ
+    s0, s1, s2, ss, se, sn = seeds_out
+    sn_l = sn.astype(np.int64)
+    # the seed arrays may come back narrower than cs (D2H width diet
+    # slices to a bucketed max(sn)); mask by the actual width
+    lmask = np.arange(s0.shape[1])[None, :] < sn_l[:, None]
+    lane_id = np.broadcast_to(np.arange(B2)[:, None], lmask.shape)[lmask]
+    start_p = ss[lmask].astype(np.int64)
+    rslot = start_p // (L + 1)
+    read_id = rslot * B2 + lane_id
+    order = np.argsort(read_id, kind="stable")
+    keep = read_id[order] < nb  # drop pad-lane rows
+    order = order[keep]
+    rid_sorted = read_id[order]
+    k0 = s0[lmask][order].astype(np.int64)
+    x2 = s2[lmask][order].astype(np.int64)
+    off_p = (rslot * (L + 1))[order].astype(np.int64)
+    start = (start_p[order] - off_p).astype(np.int32)
+    end = (se[lmask].astype(np.int64)[order] - off_p).astype(np.int32)
+    sn_v = np.bincount(rid_sorted, minlength=nb)[:nb]
+    counts = np.where(x2 > max_occ, max_occ, x2)
+    step = np.where(x2 > max_occ, x2 // max_occ, 1)
+    tot = int(counts.sum())
+    csum = np.cumsum(counts)
+    grp = np.repeat(np.arange(len(counts)), counts)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(csum - counts, counts)
+    ranks = k0[grp] + step[grp] * within
+    rbegs = fm.sa_lookup(ranks)
+    iv_off = np.zeros(nb + 1, np.int32)       # per READ
+    iv_off[1:] = np.cumsum(sn_v)
+    rb_off = np.zeros(len(counts) + 1, np.int32)  # per SEED
+    rb_off[1:] = csum
+    return (iv_off, x2, start, end, rbegs, rb_off)
+
+
+def se_flat_buckets(opt, engine, fm, codes_list, cap_s: int = 24):
+    """Generator yielding (lo, nb, flat | None) per bucket, with the NEXT
+    bucket's device seeding dispatched before this bucket's host demux —
+    the kt_pipeline analog (kthread.c:119-147): the chip seeds bucket k+1
+    while the host demuxes/finalizes bucket k.  flat arrays use
+    bucket-local offsets; None = exactness fallback (seed-cap overflow
+    even at the roomy retry cap) — redo that bucket via the tuple path."""
+    B = len(codes_list)
+    if B == 0:
+        return
+    can_async = hasattr(engine, "collect_seeds_dispatch") and \
+        os.environ.get("BWA_TPU_SEED_MACHINE", "unified") != "split" and \
+        not os.environ.get("BWA_TPU_SEED_COMPACT")
+    bucket0 = _lane_bucket(_len_bucket(max(len(c) for c in codes_list)))
+    los = list(range(0, B, bucket0))
+    packed = {}
+
+    def _dispatch(idx):
+        lo = los[idx]
+        chunk = codes_list[lo:lo + bucket0]
+        q, lens, L, B2, pack_k, cs = _pack_bucket(opt, chunk, cap_s)
+        h = engine.collect_seeds_dispatch(q, lens, opt, cs) if can_async \
+            else None
+        packed[idx] = (q, lens, L, B2, pack_k, cs, h, len(chunk))
+
+    _dispatch(0)
+    for idx, lo in enumerate(los):
+        if idx + 1 < len(los):
+            _dispatch(idx + 1)  # next bucket's seeding in flight
+        q, lens, L, B2, pack_k, cs, h, nb = packed.pop(idx)
+        out = engine.collect_seeds_wait(h) if h is not None \
+            else engine.collect_seeds(q, lens, opt, cs)
+        if (out[5] > cs).any():  # seed-rich bucket: retry, roomier cap
+            cs = 96 * pack_k
+            out = engine.collect_seeds(q, lens, opt, cs)
+            if (out[5] > cs).any():
+                yield lo, nb, None  # rare: tuple-path fallback
+                continue
+        yield lo, nb, _demux_bucket(opt, fm, out, nb, L, B2, cs)
+
+
+def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
+    """Whole-batch flat seed arrays (batch-global offsets) — the PE path
+    and callers that need one finalize over everything.  Returns None if
+    any bucket overflows (caller uses the tuple path)."""
     B = len(codes_list)
     if B == 0:
         return None
-    max_occ = opt.max_occ
     iv_off = [np.zeros(1, np.int32)]
-    iv_x2 = []
-    iv_start = []
-    iv_end = []
-    rbegs = []
-    rb_off = [np.zeros(1, np.int32)]
+    iv_x2, iv_start, iv_end, rbegs, rb_off = [], [], [], [], \
+        [np.zeros(1, np.int32)]
     iv_base = 0
     rb_base = 0
-    bucket0 = _lane_bucket(_len_bucket(max(len(c) for c in codes_list)))
-    for lo in range(0, B, bucket0):
-        chunk = codes_list[lo:lo + bucket0]
-        nb = len(chunk)
-        L = _len_bucket(max(len(c) for c in chunk))
-        bucket = _lane_bucket(L, nb)
-        pack_k = int(os.environ.get("BWA_TPU_PACK_K", "2"))
-        if L > 256 or nb < bucket // 2:
-            pack_k = 1  # long reads carry enough work per lane already
-        B2 = bucket // pack_k
-        Lp = pack_k * (L + 1)
-        q = np.full((B2, Lp), 4, np.uint8)
-        lens = np.zeros(B2, np.int32)
-        for r in range(pack_k):
-            for i in range(B2):
-                ridx = r * B2 + i
-                if ridx < nb:
-                    c = chunk[ridx]
-                    q[i, r * (L + 1):r * (L + 1) + len(c)] = c
-                    lens[i] = r * (L + 1) + len(c)
-        cs = cap_s * pack_k
-        s0, s1, s2, ss, se, sn = engine.collect_seeds(q, lens, opt, cs)
-        if (sn > cs).any():  # seed-rich bucket: retry with a roomier cap
-            cs = 96 * pack_k
-            s0, s1, s2, ss, se, sn = engine.collect_seeds(q, lens, opt, cs)
-            if (sn > cs).any():
-                return None  # rare: redo the batch through the tuple path
-        # demux packed lanes back to per-read rows (rows are sorted by
-        # start within a lane, so a stable sort by read id keeps order)
-        sn_l = sn.astype(np.int64)
-        # the seed arrays may come back narrower than cs (D2H width diet
-        # slices to a bucketed max(sn)); mask by the actual width
-        lmask = np.arange(s0.shape[1])[None, :] < sn_l[:, None]
-        lane_id = np.broadcast_to(np.arange(B2)[:, None], lmask.shape)[lmask]
-        start_p = ss[lmask].astype(np.int64)
-        rslot = start_p // (L + 1)
-        read_id = rslot * B2 + lane_id
-        order = np.argsort(read_id, kind="stable")
-        keep = read_id[order] < nb  # drop pad-lane rows
-        order = order[keep]
-        rid_sorted = read_id[order]
-        k0 = s0[lmask][order].astype(np.int64)
-        x2 = s2[lmask][order].astype(np.int64)
-        off_p = (rslot * (L + 1))[order].astype(np.int64)
-        start = (start_p[order] - off_p).astype(np.int32)
-        end = (se[lmask].astype(np.int64)[order] - off_p).astype(np.int32)
-        sn_v = np.bincount(rid_sorted, minlength=nb)[:nb]
-        counts = np.where(x2 > max_occ, max_occ, x2)
-        step = np.where(x2 > max_occ, x2 // max_occ, 1)
-        tot = int(counts.sum())
-        csum = np.cumsum(counts)
-        grp = np.repeat(np.arange(len(counts)), counts)
-        within = np.arange(tot, dtype=np.int64) - np.repeat(csum - counts,
-                                                            counts)
-        ranks = k0[grp] + step[grp] * within
-        rbegs.append(fm.sa_lookup(ranks))
+    for lo, nb, flat in se_flat_buckets(opt, engine, fm, codes_list, cap_s):
+        if flat is None:
+            return None
+        o_iv, x2, start, end, rb, o_rb = flat
         iv_x2.append(x2)
         iv_start.append(start)
         iv_end.append(end)
-        iv_off.append((iv_base + np.cumsum(sn_v)).astype(np.int32))
-        rb_off.append((rb_base + csum).astype(np.int32))
-        iv_base += int(sn_v.sum())
-        rb_base += tot
+        rbegs.append(rb)
+        iv_off.append((iv_base + o_iv[1:]).astype(np.int32))
+        rb_off.append((rb_base + o_rb[1:]).astype(np.int32))
+        iv_base += int(o_iv[-1])
+        rb_base += int(o_rb[-1])
     return (np.concatenate(iv_off),
             np.concatenate(iv_x2) if iv_x2 else np.zeros(0, np.int64),
             np.concatenate(iv_start) if iv_start else np.zeros(0, np.int32),

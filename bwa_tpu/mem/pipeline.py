@@ -185,26 +185,39 @@ def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
         return
     if not (opt.flag & MEM_F_PE) and not (opt.flag & MEM_F_PRIMARY5) \
             and use_native:
-        # SE fast path: whole post-seeding pipeline in the C++ extension
+        # SE fast path: post-seeding pipeline in the C++ extension, bucket
+        # by bucket — bucket k's host finalize runs while bucket k+1 seeds
+        # on the chip (the kt_pipeline read/align overlap analog,
+        # kthread.c:119-147; SE output is per-read so bucketing is
+        # output-invariant, hash_64 ids use the global read index)
         from bwa_tpu.mem.native_fin import (RefBlob, finalize_se_arrays,
                                             finalize_se_batch)
 
         if not hasattr(fm, "_ref_blob"):
             fm._ref_blob = RefBlob(fm)
-        flat = None
         if hasattr(engine, "collect_seeds"):
-            from bwa_tpu.mem.batch_seed import collect_se_flat
+            from bwa_tpu.mem.batch_seed import se_flat_buckets
 
-            flat = collect_se_flat(opt, engine, fm, codes)
-        if flat is not None:
-            sams = finalize_se_arrays(opt, fm, fm._ref_blob, reads, codes,
-                                      *flat, n_processed, rg_id)
+            for lo, nb, flat in se_flat_buckets(opt, engine, fm, codes):
+                sl = slice(lo, lo + nb)
+                if flat is not None:
+                    sams = finalize_se_arrays(
+                        opt, fm, fm._ref_blob, reads[sl], codes[sl], *flat,
+                        n_processed + lo, rg_id)
+                else:  # exactness fallback for an overflowing bucket
+                    mems_list, caches = _collect_batch(opt, engine, fm,
+                                                       codes[sl])
+                    sams = finalize_se_batch(
+                        opt, fm, fm._ref_blob, reads[sl], codes[sl],
+                        mems_list, caches, n_processed + lo, rg_id)
+                for r, s in zip(reads[sl], sams):
+                    r.sam = s
         else:
             mems_list, caches = _collect_batch(opt, engine, fm, codes)
             sams = finalize_se_batch(opt, fm, fm._ref_blob, reads, codes,
                                      mems_list, caches, n_processed, rg_id)
-        for r, s in zip(reads, sams):
-            r.sam = s
+            for r, s in zip(reads, sams):
+                r.sam = s
         return
     regs = _batch_align(opt, engine, fm, codes)
     if opt.flag & MEM_F_PE:

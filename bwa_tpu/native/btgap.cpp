@@ -14,11 +14,21 @@
 namespace {
 
 struct FM {
-  const int64_t *ckpt;
-  const uint32_t *words;
+  // interleaved occ blocks: per 128 bases, 4 int64 counts + 8 uint32
+  // text words = exactly one 64-byte cache line (the reference's
+  // bwt.h:73-80 layout rationale; the split ckpt/words arrays cost two
+  // misses per occ and made the search memory-bound)
+  const uint8_t *inter;
   int64_t seq_len, primary;
   const int64_t *L2;
 };
+
+static inline const int64_t *blk_cnt(const FM &g, int64_t blk) {
+  return (const int64_t *)(g.inter + blk * 64);
+}
+static inline const uint32_t *blk_words(const FM &g, int64_t blk) {
+  return (const uint32_t *)(g.inter + blk * 64 + 32);
+}
 
 static void occ4(const FM &g, int64_t k, int64_t cnt[4]) {
   if (k == -1) {
@@ -32,7 +42,7 @@ static void occ4(const FM &g, int64_t k, int64_t cnt[4]) {
   if (k >= g.primary) --k;
   int64_t blk = k >> 7;
   int kw = (int)((k >> 4) & 7), kb = (int)(k & 15);
-  const uint32_t *w = g.words + blk * 8;
+  const uint32_t *w = blk_words(g, blk);
   int64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
   for (int i = 0; i <= kw; ++i) {
     int nkeep = (i < kw) ? 16 : kb + 1;
@@ -46,7 +56,7 @@ static void occ4(const FM &g, int64_t k, int64_t cnt[4]) {
     a1 += __builtin_popcount(lo & ~hi);
     a0 += __builtin_popcount(vm & ~hi & ~lo);
   }
-  const int64_t *cp = g.ckpt + blk * 4;
+  const int64_t *cp = blk_cnt(g, blk);
   cnt[0] = cp[0] + a0;
   cnt[1] = cp[1] + a1;
   cnt[2] = cp[2] + a2;
@@ -60,7 +70,7 @@ static inline int64_t occ1(const FM &g, int64_t k, int c) {
   if (k >= g.primary) --k;
   int64_t blk = k >> 7;
   int kw = (int)((k >> 4) & 7), kb = (int)(k & 15);
-  const uint32_t *w = g.words + blk * 8;
+  const uint32_t *w = blk_words(g, blk);
   int64_t acc = 0;
   uint32_t want_hi = (c & 2) ? 0xffffffffu : 0u;
   uint32_t want_lo = (c & 1) ? 0xffffffffu : 0u;
@@ -73,7 +83,7 @@ static inline int64_t occ1(const FM &g, int64_t k, int c) {
     uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
     acc += __builtin_popcount((hi ^ ~want_hi) & (lo ^ ~want_lo) & vm);
   }
-  return g.ckpt[blk * 4 + c] + acc;
+  return blk_cnt(g, blk)[c] + acc;
 }
 
 // bwt_2occ4-style shared-block pair (bwt.c:189-220): when k and l land in
@@ -91,8 +101,8 @@ static void occ4_pair(const FM &g, int64_t k, int64_t l, int64_t cntk[4],
   int64_t blk = _k >> 7;
   int kw = (int)((_k >> 4) & 7), kb = (int)(_k & 15);
   int lw = (int)((_l >> 4) & 7), lb = (int)(_l & 15);
-  const uint32_t *w = g.words + blk * 8;
-  const int64_t *cp = g.ckpt + blk * 4;
+  const uint32_t *w = blk_words(g, blk);
+  const int64_t *cp = blk_cnt(g, blk);
   int64_t a[4] = {0, 0, 0, 0};
   bool k_done = false;
   for (int i = 0; i <= lw; ++i) {
@@ -429,7 +439,7 @@ extern "C" {
 // max_diff/max_gapo/seed_len precomputed by the caller (fnr logic).
 // Records are 8 int64 each; returns total records or -needed if rec_cap
 // is too small.
-int64_t bt_aln_batch(const int64_t *g_ckpt, const uint32_t *g_words,
+int64_t bt_aln_batch(const uint8_t *g_inter,
                      int64_t g_seq_len, int64_t g_primary,
                      const int64_t *g_L2, const uint8_t *seqs_flat,
                      const int64_t *seq_off, int32_t n_reads,
@@ -440,7 +450,7 @@ int64_t bt_aln_batch(const int64_t *g_ckpt, const uint32_t *g_words,
                      int32_t max_del_occ, int32_t indel_end_skip,
                      int32_t max_top2, int32_t mode, int32_t *out_n,
                      int64_t *out_rec, int64_t rec_cap) {
-  FM g{g_ckpt, g_words, g_seq_len, g_primary, g_L2};
+  FM g{g_inter, g_seq_len, g_primary, g_L2};
   Opt opt{s_mm, s_gapo, s_gape, max_gape, max_seed_diff, max_entries,
           max_del_occ, indel_end_skip, max_top2, mode};
   std::vector<Width> width, seed_w;

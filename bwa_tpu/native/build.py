@@ -102,7 +102,22 @@ def get_lib() -> ctypes.CDLL:
         i8p = ctypes.POINTER(ctypes.c_int8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
         c_i = ctypes.c_int
+        c_i64 = ctypes.c_int64
+        cp = ctypes.c_char_p
+        lib.bt_samse_batch.restype = c_i64
+        lib.bt_samse_batch.argtypes = [
+            i64p, u32p, c_i64, c_i64, i64p, i64p, ctypes.c_int32,   # FM
+            u8p, c_i64, i64p, i32p, i32p, cp, ctypes.c_int32,       # ref
+            i64p, i32p, ctypes.c_int32,                             # ambs
+            ctypes.c_int32, u8p, i64p, i32p, i32p, i32p,            # reads
+            u8p, i64p, cp, i64p, cp, i32p,                          # qual/names/bc
+            u8p, c_i64,                                             # sai
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double, cp, u64p,
+            u8p, c_i64, i64p]
         lib.bt_ksw_extend2.restype = c_i
         lib.bt_ksw_extend2.argtypes = [c_i, u8p, c_i, u8p, c_i, i8p,
                                        c_i, c_i, c_i, c_i, c_i, c_i, c_i, c_i,

@@ -692,6 +692,14 @@ class BatchedFMEngine:
 
         from bwa_tpu.ops import fm_machine
 
+        if (os.environ.get("BWA_TPU_SEED_MACHINE", "unified") != "split"
+                and not os.environ.get("BWA_TPU_SEED_COMPACT")):
+            # default: unified single-segment machine via the async
+            # dispatch/wait pair (back-to-back here; pipelined callers
+            # interleave a host finalize between the halves)
+            h = self.collect_seeds_dispatch(q_pad, qlen, opt, cap_s)
+            return self.collect_seeds_wait(h)
+
         # (a 2-bit pack of q + device unpack was tried for the H2D side
         # and measured neutral — the uint8 upload is not the bottleneck)
         qd = jnp.asarray(q_pad)
@@ -735,28 +743,6 @@ class BatchedFMEngine:
             # runs at the speed of the slowest lane (utilization ~48% on
             # the bench data), so compaction reclaims most of the tail.
             use_p3 = bool(opt.max_mem_intv > 0)
-            if not os.environ.get("BWA_TPU_SEED_COMPACT"):
-                # single segment: on the tunnel-attached chip each
-                # differently-shaped executable costs ~0.3-0.4s program
-                # swap per invocation, which eats the tail-compaction win
-                # (PERF.md); multi-level compaction stays available for
-                # backends with cheap program switches.
-                seeds, seed_n, st1, ovf, ds1 = fm_machine.seed_machine(
-                    self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
-                    np.int32(split_len), cdt(opt.split_width),
-                    cdt(opt.max_mem_intv), cap=stack_cap, cap_s=cap_s,
-                    use_p3=use_p3)
-                # one packed D2H for all the small outputs: each separate
-                # device_get is a ~5-9ms tunnel round-trip
-                meta = np.asarray(jax.device_get(_pack_meta(
-                    seed_n, ovf, ds1, st1)))
-                sn_h = meta[0]
-                ovf_h = meta[1] != 0
-                self.last_done = (meta[2],)
-                self.last_steps = (int(meta[3, 0]),)
-                seeds = fm_machine.sort_seeds(seeds, seed_n,
-                                              key64=bool(L >= 32768))
-                return self._fetch_seeds(seeds, sn_h, ovf_h, cap_s)
             kw = dict(cap=stack_cap, cap_s=cap_s, use_p3=use_p3)
             consts = (np.int32(opt.min_seed_len), np.int32(split_len),
                       cdt(opt.split_width), cdt(opt.max_mem_intv))
@@ -833,6 +819,45 @@ class BatchedFMEngine:
             self.last_steps = (total_steps,)
         seeds = fm_machine.sort_seeds(seeds, seed_n, key64=bool(L >= 32768))
         return self._fetch_seeds(seeds, seed_n, ovf, cap_s)
+
+    def collect_seeds_dispatch(self, q_pad: np.ndarray, qlen: np.ndarray,
+                               opt, cap_s: int):
+        """Async half of collect_seeds (default unified machine): uploads
+        the bucket and dispatches the seeding program + sort + packed-meta
+        kernels WITHOUT blocking — JAX async dispatch queues them on the
+        device.  Pair with collect_seeds_wait; between the two calls the
+        host is free (the kt_pipeline analog: the previous bucket's C++
+        finalize runs while this bucket seeds on the chip)."""
+        from bwa_tpu.ops import fm_machine
+
+        cdt = self.fm.coord_dtype
+        B, L = q_pad.shape
+        split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+        stack_cap = min(int(os.environ.get("BWA_TPU_STACK_CAP", "16")), L + 2)
+        use_p3 = bool(opt.max_mem_intv > 0)
+        qd = jnp.asarray(q_pad)
+        qld = jnp.asarray(qlen.astype(np.int32))
+        nvd = _next_valid_device(qd, qld)
+        seeds, seed_n, st1, ovf, ds1 = fm_machine.seed_machine(
+            self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
+            np.int32(split_len), cdt(opt.split_width),
+            cdt(opt.max_mem_intv), cap=stack_cap, cap_s=cap_s,
+            use_p3=use_p3)
+        meta = _pack_meta(seed_n, ovf, ds1, st1)
+        seeds = fm_machine.sort_seeds(seeds, seed_n, key64=bool(L >= 32768))
+        return (seeds, meta, cap_s)
+
+    def collect_seeds_wait(self, handle):
+        """Blocking half: one packed D2H for the small outputs (each
+        separate device_get is a ~5-9ms tunnel round-trip), then the
+        width-dieted seed transfer."""
+        seeds, meta, cap_s = handle
+        meta = np.asarray(jax.device_get(meta))
+        sn_h = meta[0]
+        ovf_h = meta[1] != 0
+        self.last_done = (meta[2],)
+        self.last_steps = (int(meta[3, 0]),)
+        return self._fetch_seeds(seeds, sn_h, ovf_h, cap_s)
 
     def _fetch_seeds(self, seeds, seed_n, ovf, cap_s: int):
         """Seed D2H with a width diet: pull the tiny per-lane counts
