@@ -223,8 +223,7 @@ def _samse_batch_native(fm, seqs, sai_rest: memoryview, opt, n_occ,
         out_buf = np.zeros(cap, np.uint8)
         rng_state[0] = rng.x  # restore on retry: the call mutates it
         r = lib.bt_samse_batch(
-            idx.ckpt64.ctypes.data_as(i64p),
-            idx.words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            fm.occ_inter.ctypes.data_as(u8p),
             ctypes.c_int64(fm.seq_len), ctypes.c_int64(fm.primary),
             idx.L2.ctypes.data_as(i64p), idx.ssa64.ctypes.data_as(i64p),
             np.int32(fm.sa_intv),

@@ -17,7 +17,6 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
-#include <unordered_map>
 #include <vector>
 
 extern "C" int sais_u8_i32(const uint8_t *text, int32_t n, int32_t *sa_out);
@@ -32,13 +31,23 @@ constexpr int32_t kMinusInf = -0x3fffffff;
 // ---------------------------------------------------------------------
 
 struct GenomeFM {
-  const int64_t *ckpt;    // [n_blocks][4]
-  const uint32_t *words;  // [n_blocks][8], 16 bases per word, base i at
-                          // bit (15-(i&15))*2
+  // interleaved occ blocks: per 128 bases, 4 int64 counts + 8 uint32
+  // text words (base i of a word at bit (15-(i&15))*2) = exactly one
+  // 64-byte cache line (the reference's bwt.h:73-80 layout rationale);
+  // the split ckpt/words arrays cost two misses per occ and were a
+  // large part of the DAG core's 2x-vs-reference gap.
+  const uint8_t *inter;
   int64_t seq_len;
   int64_t primary;
   const int64_t *L2;      // [5]
 };
+
+static inline const int64_t *g_blk_cnt(const GenomeFM &g, int64_t blk) {
+  return (const int64_t *)(g.inter + blk * 64);
+}
+static inline const uint32_t *g_blk_words(const GenomeFM &g, int64_t blk) {
+  return (const uint32_t *)(g.inter + blk * 64 + 32);
+}
 
 static void g_occ4(const GenomeFM &g, int64_t k, int64_t cnt[4]) {
   if (k == -1) {
@@ -52,7 +61,7 @@ static void g_occ4(const GenomeFM &g, int64_t k, int64_t cnt[4]) {
   if (k >= g.primary) --k;
   int64_t blk = k >> 7;
   int kw = (int)((k >> 4) & 7), kb = (int)(k & 15);
-  const uint32_t *w = g.words + blk * 8;
+  const uint32_t *w = g_blk_words(g, blk);
   int64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
   for (int i = 0; i <= kw; ++i) {
     int nkeep = (i < kw) ? 16 : kb + 1;
@@ -66,7 +75,7 @@ static void g_occ4(const GenomeFM &g, int64_t k, int64_t cnt[4]) {
     a1 += __builtin_popcount(lo & ~hi);
     a0 += __builtin_popcount(vm & ~hi & ~lo);
   }
-  const int64_t *cp = g.ckpt + blk * 4;
+  const int64_t *cp = g_blk_cnt(g, blk);
   cnt[0] = cp[0] + a0;
   cnt[1] = cp[1] + a1;
   cnt[2] = cp[2] + a2;
@@ -75,7 +84,7 @@ static void g_occ4(const GenomeFM &g, int64_t k, int64_t cnt[4]) {
 
 // BWT character at $-removed position x (bwt_B0, bwt.h:71).
 static inline int g_B0(const GenomeFM &g, int64_t x) {
-  uint32_t word = g.words[(x >> 7) * 8 + ((x >> 4) & 7)];
+  uint32_t word = g_blk_words(g, x >> 7)[(x >> 4) & 7];
   return (word >> ((15 - (x & 15)) << 1)) & 3;
 }
 
@@ -204,6 +213,97 @@ static void heap_adjust(int i, int n, int32_t *l) {
   l[i] = tmp;
 }
 
+
+// Open-addressing hash maps (the khash trick, replacing
+// std::unordered_map's node allocations — the connectivity hash is hit
+// on every DAG edge and was a large share of the core's runtime).
+
+struct FlatMap64 {  // uint64 key -> uint64 value; key ~0 reserved
+  static constexpr uint64_t EMPTY = ~0ull;
+  std::vector<uint64_t> keys, vals;
+  size_t mask = 0, count = 0;
+  void reset(size_t expect) {
+    size_t cap = 16;
+    while (cap < expect * 2) cap <<= 1;
+    keys.assign(cap, EMPTY);
+    vals.resize(cap);
+    mask = cap - 1;
+    count = 0;
+  }
+  static inline size_t hashf(uint64_t k) {
+    return (size_t)((k * 0x9E3779B97F4A7C15ull) >> 13);
+  }
+  uint64_t *find(uint64_t k) {
+    size_t i = hashf(k) & mask;
+    while (keys[i] != EMPTY) {
+      if (keys[i] == k) return &vals[i];
+      i = (i + 1) & mask;
+    }
+    return nullptr;
+  }
+  void grow() {
+    std::vector<uint64_t> ok(std::move(keys)), ov(std::move(vals));
+    keys.assign((mask + 1) << 1, EMPTY);
+    vals.resize((mask + 1) << 1);
+    mask = keys.size() - 1;
+    for (size_t i = 0; i < ok.size(); ++i) {
+      if (ok[i] == EMPTY) continue;
+      size_t j = hashf(ok[i]) & mask;
+      while (keys[j] != EMPTY) j = (j + 1) & mask;
+      keys[j] = ok[i];
+      vals[j] = ov[i];
+    }
+  }
+  void insert_absent(uint64_t k, uint64_t v) {  // caller checked absence
+    if ((count + 1) * 10 >= (mask + 1) * 7) grow();
+    size_t i = hashf(k) & mask;
+    while (keys[i] != EMPTY) i = (i + 1) & mask;
+    keys[i] = k;
+    vals[i] = v;
+    ++count;
+  }
+};
+
+struct FlatMapPair {  // (int64, int64) key -> (int32 idx, int32 G)
+  std::vector<int64_t> k1, k2;  // k1 == -1 marks empty (qk >= 0 always)
+  std::vector<uint64_t> vals;
+  size_t mask = 0, count = 0;
+  void clear_cap(size_t expect) {
+    size_t cap = 16;
+    while (cap < expect * 2) cap <<= 1;
+    if (cap > k1.size()) {
+      k1.assign(cap, -1);
+      k2.resize(cap);
+      vals.resize(cap);
+      mask = cap - 1;
+    } else {
+      std::fill(k1.begin(), k1.end(), -1);
+    }
+    count = 0;
+  }
+  static inline size_t hashf(int64_t a, int64_t b) {
+    // same mixing idea as the reference's qintv_hash (k>>7 ^ l<<17)
+    return (size_t)(((uint64_t)a >> 7 ^ (uint64_t)b << 17)
+                    * 0x9E3779B97F4A7C15ull >> 13);
+  }
+  // returns slot index; *found tells whether the key was present
+  size_t find_slot(int64_t a, int64_t b, bool *found) {
+    size_t i = hashf(a, b) & mask;
+    while (k1[i] != -1) {
+      if (k1[i] == a && k2[i] == b) { *found = true; return i; }
+      i = (i + 1) & mask;
+    }
+    *found = false;
+    return i;
+  }
+  void place(size_t slot, int64_t a, int64_t b, uint64_t v) {
+    k1[slot] = a;
+    k2[slot] = b;
+    vals[slot] = v;
+    ++count;  // capacity is pre-sized to 2x the cell count: no grow
+  }
+};
+
 struct Pool {
   std::vector<Entry *> free_list;
   std::vector<Entry *> all;
@@ -226,10 +326,9 @@ struct Pool {
 
 // Count the in-degree of every node of the read suffix DAG
 // (bsw2_connectivity, bwtsw2_core.c:99-132).
-static void connectivity(const ReadBwt &b,
-                         std::unordered_map<uint64_t, uint64_t> *h) {
+static void connectivity(const ReadBwt &b, FlatMap64 *h) {
   std::vector<uint64_t> stack;
-  h->reserve((size_t)b.seq_len * 4);
+  h->reset((size_t)b.seq_len * 4);
   stack.push_back((uint64_t)b.seq_len);  // root: k=0, l=seq_len
   while (!stack.empty()) {
     uint64_t x = stack.back();
@@ -243,12 +342,12 @@ static void connectivity(const ReadBwt &b,
       uint32_t cl = b.L2[j] + cntl[j];
       if (ck > cl) continue;
       uint64_t key = (uint64_t)ck << 32 | cl;
-      auto it = h->find(key);
-      if (it == h->end()) {
-        (*h)[key] = 1;
+      uint64_t *v = h->find(key);
+      if (!v) {
+        h->insert_absent(key, 1);
         stack.push_back(key);
       } else {
-        ++it->second;
+        ++*v;
       }
     }
   }
@@ -277,36 +376,29 @@ static void cut_tail(Entry *u, int T, std::vector<int32_t> *scratch) {
   }
 }
 
-struct PairHash {
-  size_t operator()(const std::pair<int64_t, int64_t> &p) const {
-    // same mixing idea as the reference's qintv_hash (k>>7 ^ l<<17)
-    return (size_t)((uint64_t)p.first >> 7 ^ (uint64_t)p.second << 17);
-  }
-};
-
 // Drop cells with a duplicated genome interval, keeping the higher score
 // (remove_duplicate, bwtsw2_core.c:159-184).
-static void remove_duplicate(
-    Entry *u,
-    std::unordered_map<std::pair<int64_t, int64_t>, std::pair<int32_t, int32_t>,
-                       PairHash> *h) {
-  h->clear();
+static void remove_duplicate(Entry *u, FlatMapPair *h) {
   int n_cells = (int)u->cells.size();
+  h->clear_cap((size_t)n_cells + 1);
   for (int i = 0; i < n_cells; ++i) {
     Cell *p = &u->cells[i];
     if (p->ql == 0) continue;
-    auto key = std::make_pair(p->qk, p->ql);
-    auto it = h->find(key);
+    bool found;
+    size_t slot = h->find_slot(p->qk, p->ql, &found);
     int j = -1;
-    if (it != h->end()) {
-      if (it->second.second >= p->G) {
+    if (found) {
+      int32_t vi = (int32_t)(h->vals[slot] >> 32);
+      int32_t vg = (int32_t)h->vals[slot];
+      if (vg >= p->G) {
         j = i;
       } else {
-        j = it->second.first;
-        it->second = {i, p->G};
+        j = vi;
+        h->vals[slot] = (uint64_t)(uint32_t)i << 32 | (uint32_t)p->G;
       }
     } else {
-      (*h)[key] = {i, p->G};
+      h->place(slot, p->qk, p->ql,
+               (uint64_t)(uint32_t)i << 32 | (uint32_t)p->G);
     }
     if (j >= 0) {
       Cell *d = &u->cells[j];
@@ -411,28 +503,26 @@ extern "C" {
 // receives the narrow hits (capacity b1_cap records).  Returns the number
 // of narrow hits, -1 on b1 overflow (caller re-runs with a larger buffer),
 // -2 on internal error.
-int64_t bsw2_core_run(const int64_t *g_ckpt, const uint32_t *g_words,
+int64_t bsw2_core_run(const uint8_t *g_inter,
                       int64_t g_seq_len, int64_t g_primary,
                       const int64_t *g_L2, const uint8_t *read, int32_t l,
                       int32_t a, int32_t b_pen, int32_t q_pen, int32_t r_pen,
                       int32_t t_thres, int32_t z_best, int32_t is_intv,
                       int32_t bw, int64_t *out_b, int64_t *out_b1,
                       int64_t b1_cap) {
-  GenomeFM g{g_ckpt, g_words, g_seq_len, g_primary, g_L2};
+  GenomeFM g{g_inter, g_seq_len, g_primary, g_L2};
   Opt opt{a, b_pen, q_pen, r_pen, q_pen + r_pen, t_thres, z_best, is_intv, bw};
   ReadBwt target;
   if (build_read_bwt(read, l, &target) != 0) return -2;
 
-  std::unordered_map<uint64_t, uint64_t> chash;
+  FlatMap64 chash;
   connectivity(target, &chash);
 
   int score_mat[16];
   for (int i = 0; i < 4; ++i)
     for (int j = 0; j < 4; ++j) score_mat[i << 2 | j] = (i == j) ? opt.a : -opt.b;
 
-  std::unordered_map<std::pair<int64_t, int64_t>, std::pair<int32_t, int32_t>,
-                     PairHash>
-      rhash;
+  FlatMapPair rhash;
   Pool pool;
   std::vector<Entry *> stack0;
   std::vector<Entry *> pending;
@@ -479,9 +569,9 @@ int64_t bsw2_core_run(const int64_t *g_ckpt, const uint32_t *g_words,
       uint32_t tl = target.L2[tj] + tcntl[tj];
       if (tk > tl) continue;
       uint64_t key = (uint64_t)tk << 32 | tl;
-      auto iter = chash.find(key);
-      if (iter == chash.end()) return -2;
-      --iter->second;
+      uint64_t *cval = chash.find(key);
+      if (!cval) return -2;
+      --*cval;
       Entry *u = pool.alloc();
       u->tk = tk;
       u->tl = tl;
@@ -564,8 +654,8 @@ int64_t bsw2_core_run(const int64_t *g_ckpt, const uint32_t *g_words,
       if (!u->cells.empty()) save_hits(target, opt.t, hits, u);
 
       {  // push u to the stack or the pending array (bwtsw2_core.c:568-601)
-        uint32_t cnt = (uint32_t)iter->second;
-        uint32_t pos = (uint32_t)(iter->second >> 32);
+        uint32_t cnt = (uint32_t)*cval;
+        uint32_t pos = (uint32_t)(*cval >> 32);
         if (pos) {  // merge into the pending entry
           Entry *w = pending[pos - 1];
           if (!u->cells.empty()) {
@@ -588,7 +678,7 @@ int64_t bsw2_core_run(const int64_t *g_ckpt, const uint32_t *g_words,
           if (!u->cells.empty()) {
             ++n_pending;
             pending.push_back(u);
-            iter->second = (uint64_t)pending.size() << 32 | cnt;
+            *cval = (uint64_t)pending.size() << 32 | cnt;
           } else {
             pool.release(u);
           }
@@ -609,11 +699,11 @@ int64_t bsw2_core_run(const int64_t *g_ckpt, const uint32_t *g_words,
 
 // Batched genome SA lookup: positions for SA ranks ks[0..n) (bwt_sa,
 // bwt.c:86-96), walking inverse-Psi to the nearest sampled entry.
-void fm_sa_batch(const int64_t *g_ckpt, const uint32_t *g_words,
+void fm_sa_batch(const uint8_t *g_inter,
                  int64_t g_seq_len, int64_t g_primary, const int64_t *g_L2,
                  const int64_t *ssa, int32_t sa_intv, const int64_t *ks,
                  int64_t n, int64_t *out) {
-  GenomeFM g{g_ckpt, g_words, g_seq_len, g_primary, g_L2};
+  GenomeFM g{g_inter, g_seq_len, g_primary, g_L2};
   int64_t mask = sa_intv - 1;
   for (int64_t i = 0; i < n; ++i) {
     int64_t k = ks[i], s = 0;
@@ -747,11 +837,11 @@ extern "C" {
 // beg,end,is_rev).  Returns the resolved count, or -1 if rows_out
 // (capacity cap_out records) is too small for the SA expansion.
 int64_t bsw2_resolve_duphits_rows(
-    const int64_t *g_ckpt, const uint32_t *g_words, int64_t g_seq_len,
+    const uint8_t *g_inter, int64_t g_seq_len,
     int64_t g_primary, const int64_t *g_L2, const int64_t *ssa,
     int32_t sa_intv, const int64_t *rows_in, int64_t n_in, int32_t IS,
     int64_t *rows_out, int64_t cap_out) {
-  GenomeFM g{g_ckpt, g_words, g_seq_len, g_primary, g_L2};
+  GenomeFM g{g_inter, g_seq_len, g_primary, g_L2};
   const int64_t l_pac = g_seq_len >> 1;
   std::vector<Hit> hits;
   hits.reserve((size_t)n_in);

@@ -36,13 +36,21 @@ struct Rand48 {
 
 // ---- FM view (bsw2.cpp GenomeFM twin) ----
 struct FM {
-  const int64_t *ckpt;
-  const uint32_t *words;
+  // interleaved occ blocks (64B = 4 int64 counts + 8 uint32 words); see
+  // bsw2.cpp GenomeFM — one cache line per occ
+  const uint8_t *inter;
   int64_t seq_len, primary;
   const int64_t *L2;
   const int64_t *ssa;
   int32_t sa_intv;
 };
+
+static inline const int64_t *blk_cnt(const FM &g, int64_t blk) {
+  return (const int64_t *)(g.inter + blk * 64);
+}
+static inline const uint32_t *blk_words(const FM &g, int64_t blk) {
+  return (const uint32_t *)(g.inter + blk * 64 + 32);
+}
 
 static void occ4(const FM &g, int64_t k, int64_t cnt[4]) {
   if (k == -1) { cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0; return; }
@@ -53,7 +61,7 @@ static void occ4(const FM &g, int64_t k, int64_t cnt[4]) {
   if (k >= g.primary) --k;
   int64_t blk = k >> 7;
   int kw = (int)((k >> 4) & 7), kb = (int)(k & 15);
-  const uint32_t *w = g.words + blk * 8;
+  const uint32_t *w = blk_words(g, blk);
   int64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
   for (int i = 0; i <= kw; ++i) {
     int nkeep = (i < kw) ? 16 : kb + 1;
@@ -67,13 +75,13 @@ static void occ4(const FM &g, int64_t k, int64_t cnt[4]) {
     a1 += __builtin_popcount(lo & ~hi);
     a0 += __builtin_popcount(vm & ~hi & ~lo);
   }
-  const int64_t *cp = g.ckpt + blk * 4;
+  const int64_t *cp = blk_cnt(g, blk);
   cnt[0] = cp[0] + a0; cnt[1] = cp[1] + a1;
   cnt[2] = cp[2] + a2; cnt[3] = cp[3] + a3;
 }
 
 static inline int B0(const FM &g, int64_t x) {
-  uint32_t word = g.words[(x >> 7) * 8 + ((x >> 4) & 7)];
+  uint32_t word = blk_words(g, x >> 7)[(x >> 4) & 7];
   return (word >> ((15 - (x & 15)) << 1)) & 3;
 }
 
@@ -524,7 +532,7 @@ extern "C" {
 // sai_bytes points at this batch's first record; *sai_used gets the
 // consumed byte count.
 int64_t bt_samse_batch(
-    const int64_t *ckpt, const uint32_t *words, int64_t seq_len,
+    const uint8_t *occ_inter, int64_t seq_len,
     int64_t primary, const int64_t *L2, const int64_t *ssa, int32_t sa_intv,
     const uint8_t *pac, int64_t l_pac, const int64_t *ctg_off,
     const int32_t *ctg_len, const int32_t *name_off, const char *names,
@@ -540,7 +548,7 @@ int64_t bt_samse_batch(
     int64_t out_cap, int64_t *sai_used) {
   using namespace btsam;
   init_log_n();
-  FM g{ckpt, words, seq_len, primary, L2, ssa, sa_intv};
+  FM g{occ_inter, seq_len, primary, L2, ssa, sa_intv};
   Ref r{pac, l_pac, ctg_off, ctg_len, name_off, names,
         n_ctg, amb_off, amb_len, n_amb};
   Rand48 rng{*rng_state};

@@ -109,7 +109,7 @@ def get_lib() -> ctypes.CDLL:
         cp = ctypes.c_char_p
         lib.bt_samse_batch.restype = c_i64
         lib.bt_samse_batch.argtypes = [
-            i64p, u32p, c_i64, c_i64, i64p, i64p, ctypes.c_int32,   # FM
+            u8p, c_i64, c_i64, i64p, i64p, ctypes.c_int32,          # FM
             u8p, c_i64, i64p, i32p, i32p, cp, ctypes.c_int32,       # ref
             i64p, i32p, ctypes.c_int32,                             # ambs
             ctypes.c_int32, u8p, i64p, i32p, i32p, i32p,            # reads

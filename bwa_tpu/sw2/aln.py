@@ -488,15 +488,18 @@ def print_hits(bnt, opt: Bsw2Opt, read, b: HitSet | None,
             if q.cigar[-1][0] == 4:
                 end -= q.cigar[-1][1]
         if p.flag & 0x10:
-            s.append(bytes(NT_COMP_TABLE[seq[lq - 1 - j]]
-                           for j in range(beg, end)).decode("latin-1"))
+            # revcomp slice via one table lookup (the per-base generator
+            # was a bwasw profile hotspot)
+            arr = np.frombuffer(seq, np.uint8)[lq - end:lq - beg][::-1]
+            s.append(np.frombuffer(NT_COMP_TABLE, np.uint8)[arr]
+                     .tobytes().decode("latin-1"))
         else:
             s.append(seq[beg:end].decode("latin-1"))
         if qual:
             s.append("\t")
             if p.flag & 0x10:
-                s.append(bytes(qual[lq - 1 - j]
-                               for j in range(beg, end)).decode("latin-1"))
+                s.append(np.frombuffer(qual, np.uint8)[lq - end:lq - beg]
+                         [::-1].tobytes().decode("latin-1"))
             else:
                 s.append(qual[beg:end].decode("latin-1"))
         else:

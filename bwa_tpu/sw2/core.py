@@ -32,7 +32,7 @@ def _lib():
     if not _sigs_done:
         lib.bsw2_core_run.restype = ctypes.c_int64
         lib.bsw2_core_run.argtypes = [
-            _i64p, _u32p, ctypes.c_int64, ctypes.c_int64, _i64p,
+            _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
             _u8p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -40,12 +40,12 @@ def _lib():
         ]
         lib.fm_sa_batch.restype = None
         lib.fm_sa_batch.argtypes = [
-            _i64p, _u32p, ctypes.c_int64, ctypes.c_int64, _i64p,
+            _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
             _i64p, ctypes.c_int32, _i64p, ctypes.c_int64, _i64p,
         ]
         lib.bsw2_resolve_duphits_rows.restype = ctypes.c_int64
         lib.bsw2_resolve_duphits_rows.argtypes = [
-            _i64p, _u32p, ctypes.c_int64, ctypes.c_int64, _i64p,
+            _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
             _i64p, ctypes.c_int32, _i64p, ctypes.c_int64, ctypes.c_int32,
             _i64p, ctypes.c_int64,
         ]
@@ -58,12 +58,10 @@ class Sw2Index:
 
     def __init__(self, fm):
         self.fm = fm
-        self.ckpt64 = np.ascontiguousarray(fm.ckpt, dtype=np.int64)
-        self.words = np.ascontiguousarray(fm.words, dtype=np.uint32)
+        self.inter = fm.occ_inter  # 64B interleaved occ blocks
         self.L2 = np.ascontiguousarray(fm.L2, dtype=np.int64)
         self.ssa64 = np.ascontiguousarray(fm.ssa, dtype=np.int64)
-        self._args = (self.ckpt64.ctypes.data_as(_i64p),
-                      self.words.ctypes.data_as(_u32p),
+        self._args = (self.inter.ctypes.data_as(_u8p),
                       ctypes.c_int64(fm.seq_len),
                       ctypes.c_int64(fm.primary),
                       self.L2.ctypes.data_as(_i64p))
