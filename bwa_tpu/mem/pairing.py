@@ -55,10 +55,13 @@ def _cal_sub(opt, r: list[MemAlnReg]) -> int:
     return opt.min_seed_len * opt.a
 
 
-def pestat(opt, l_pac: int, regs: list[list[MemAlnReg]]) -> list[PEStat]:
-    """mem_pestat (bwamem_pair.c:72-135)."""
-    pes = [PEStat() for _ in range(4)]
-    isize: list[list[int]] = [[], [], [], []]
+def pestat_candidates(opt, l_pac: int,
+                      regs: list[list[MemAlnReg]]) -> list[tuple[int, int]]:
+    """The per-pair candidate extraction half of mem_pestat
+    (bwamem_pair.c:76-89): shard-local in the multi-chip pipeline; the
+    (dir, isize) lists are what the one batch-global collective gathers
+    (the reference's only cross-worker sync, bwamem.c:1256-1259)."""
+    cands: list[tuple[int, int]] = []
     n = len(regs)
     for i in range(n >> 1):
         r0, r1 = regs[i * 2], regs[i * 2 + 1]
@@ -72,7 +75,19 @@ def pestat(opt, l_pac: int, regs: list[list[MemAlnReg]]) -> list[PEStat]:
             continue
         d, dist = infer_dir(l_pac, r0[0].rb, r1[0].rb)
         if dist and dist <= opt.max_ins:
-            isize[d].append(dist)
+            cands.append((d, dist))
+    return cands
+
+
+def pestat_from_candidates(opt, cands) -> list[PEStat]:
+    """The distribution-fitting half of mem_pestat: candidate (dir,isize)
+    pairs -> per-orientation bounds.  Each isize list is sorted before any
+    float accumulation, so the result is independent of gather order --
+    sharded and single-device runs produce bit-identical PEStat."""
+    pes = [PEStat() for _ in range(4)]
+    isize: list[list[int]] = [[], [], [], []]
+    for d, dist in cands:
+        isize[int(d)].append(int(dist))
     print("[M::mem_pestat] # candidate unique pairs for (FF, FR, RF, RR): "
           f"({len(isize[0])}, {len(isize[1])}, {len(isize[2])}, {len(isize[3])})",
           file=sys.stderr)
@@ -120,6 +135,12 @@ def pestat(opt, l_pac: int, regs: list[list[MemAlnReg]]) -> list[PEStat]:
             ori = "FR"[d >> 1 & 1] + "FR"[d & 1]
             print(f"[M::mem_pestat] skip orientation {ori}", file=sys.stderr)
     return pes
+
+
+def pestat(opt, l_pac: int, regs: list[list[MemAlnReg]]) -> list[PEStat]:
+    """mem_pestat (bwamem_pair.c:72-135): the single-device composition of
+    the two sharded halves."""
+    return pestat_from_candidates(opt, pestat_candidates(opt, l_pac, regs))
 
 
 def matesw(opt, fm, pes, a: MemAlnReg, l_ms: int, ms: np.ndarray,

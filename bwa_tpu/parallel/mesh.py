@@ -68,3 +68,47 @@ def sharded_seed_step(idx, mesh: Mesh, cap: int):
         out_specs=(spec_b, spec_b, spec_b, P(), P()),
         check_rep=False)
     return jax.jit(partial(smapped, idx))
+
+
+def sharded_seed_machine(idx, mesh: Mesh, opt, cap: int, cap_s: int):
+    """The PRODUCTION seeding engine (the unified 3-pass per-lane state
+    machine, ops/fm_machine.py) jitted data-parallel over the "dp" mesh
+    axis with the FM-index replicated — the real multi-chip worker1 step.
+    Returns fn(q, qlen) -> (sorted seeds [B,cap_s,5], seed_n, ovf)."""
+    from bwa_tpu.ops import fm_machine
+    from bwa_tpu.ops.fm import _next_valid_device
+
+    cdt = idx["ckpt"].dtype
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    use_p3 = bool(opt.max_mem_intv > 0)
+
+    def step(idx, q, qlen):
+        nv = _next_valid_device(q, qlen)
+        seeds, seed_n, steps, ovf, done = fm_machine.seed_machine(
+            idx, q, qlen, nv, jnp.int32(opt.min_seed_len),
+            jnp.int32(split_len), cdt.type(opt.split_width),
+            cdt.type(opt.max_mem_intv), cap=16, cap_s=cap_s, use_p3=use_p3)
+        seeds = fm_machine.sort_seeds(seeds, seed_n,
+                                      key64=bool(q.shape[1] >= 32768))
+        return seeds, seed_n, ovf
+
+    b = P("dp")
+    smapped = shard_map(step, mesh=mesh, in_specs=(P(), b, b),
+                        out_specs=(b, b, b), check_rep=False)
+    return jax.jit(partial(smapped, idx))
+
+
+def pestat_allgather(mesh: Mesh):
+    """The one batch-global collective of the PE pipeline: every shard
+    contributes its padded (dir, isize) candidate rows and receives the
+    full set — the mem_pestat sync point (bwamem.c:1256-1259) as an
+    all_gather riding the mesh interconnect.  fn(cands [B, 2], counts
+    [n_dev]) with cands sharded by dp; returns the replicated global
+    array in shard order."""
+
+    def step(cands):
+        return jax.lax.all_gather(cands, "dp", tiled=True)
+
+    smapped = shard_map(step, mesh=mesh, in_specs=(P("dp"),),
+                        out_specs=P(), check_rep=False)
+    return jax.jit(smapped)

@@ -32,6 +32,52 @@ from bwa_tpu.io.fastq import SeqReader, read_batch
 from bwa_tpu.options import MEM_F_PE
 
 
+def distributed_init(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """jax.distributed scaffold for real multi-host runs: call once per
+    host before align_shard.  Reads JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID when args are omitted (the
+    standard launcher contract); no-ops on a single process so the same
+    entry point serves one host and many.  Returns (host_id, n_hosts)."""
+    import jax
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    num_processes = num_processes or int(
+        os.environ.get("JAX_NUM_PROCESSES", "1"))
+    process_id = process_id if process_id is not None else int(
+        os.environ.get("JAX_PROCESS_ID", "0"))
+    if num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return jax.process_index(), jax.process_count()
+    return process_id, num_processes
+
+
+def align_distributed(prefix: str, fq1: str, fq2: str | None,
+                      shard_dir: str, out_path: str | None = None,
+                      opt=None, engine_kind=None, rg_id=None,
+                      header: str = "") -> int:
+    """Whole multi-host entry: jax.distributed init -> shard-aligned
+    batches -> (on host 0) ordered merge.  Every host runs this same
+    function; batch ownership is j %% n_hosts (the -K-deterministic
+    chunking keeps the merged bytes identical to a single-host run)."""
+    host_id, n_hosts = distributed_init()
+    n = align_shard(prefix, fq1, fq2, host_id, n_hosts, shard_dir,
+                    opt=opt, engine_kind=engine_kind, rg_id=rg_id)
+    if out_path and host_id == 0:
+        # real deployments barrier here (jax.experimental.multihost_utils
+        # sync_global_devices) before the merge; single-process runs and
+        # the test harness merge directly
+        if n_hosts > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("bwa_tpu_merge")
+        merge_shards(shard_dir, out_path, header)
+    return n
+
+
 def iter_batches(opt, fq1: str, fq2: str | None):
     """Deterministic batch stream shared by all hosts (bseq_read with the
     actual_chunk_size semantics of fastmap.c:394)."""
