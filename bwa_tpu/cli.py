@@ -39,7 +39,14 @@ def _escape(s: str) -> str:
             .replace("\\r", "\r").replace("\\\\", "\\"))
 
 
-def main_mem(argv: list[str]) -> int:
+# resident-engine cache (filled by the daemon, bwa_tpu/server.py): a
+# warm (FMIndex, engine) per index prefix so repeat `mem` invocations in
+# the serving process skip index load and device program load
+_ENGINE_CACHE: dict = {}
+
+
+def main_mem(argv: list[str], out_fp_override=None,
+             _in_daemon: bool = False) -> int:
     import getopt as getopt_mod
 
     from bwa_tpu.index.fmindex import FMIndex
@@ -60,6 +67,7 @@ def main_mem(argv: list[str]) -> int:
     ignore_alt = False
     copy_comment = False
     out_fp = sys.stdout
+    opened_out = False
     pes0 = None
 
     try:
@@ -99,7 +107,7 @@ def main_mem(argv: list[str]) -> int:
         elif c == "s": opt.set("split_width", int(a))
         elif c == "G": opt.set("max_chain_gap", int(a))
         elif c == "N": opt.set("max_chain_extend", int(a))
-        elif c in ("o", "f"): out_fp = open(a, "w")
+        elif c in ("o", "f"): out_fp = open(a, "w"); opened_out = True
         elif c == "W": opt.set("min_chain_weight", int(a))
         elif c == "y": opt.set("max_mem_intv", int(a))
         elif c == "C": copy_comment = True
@@ -158,14 +166,35 @@ def main_mem(argv: list[str]) -> int:
               file=sys.stderr)
         return 1
     opt.apply_mode(mode)
+    if out_fp_override is not None and out_fp is sys.stdout:
+        out_fp = out_fp_override
 
-    fm = FMIndex.load(args[0])
-    if ignore_alt:
-        for c0 in fm.bnt.contigs:
-            c0.is_alt = False
+    # transparent resident-engine forward (the process-level analog of the
+    # shm index attach, fastmap.c:362): when a daemon serves this index
+    # and no -o redirection is local, route the whole command there
+    import os
 
-    from bwa_tpu.engine import make_engine
-    engine = make_engine(fm)
+    if (not _in_daemon and not _ENGINE_CACHE
+            and os.environ.get("BWA_TPU_NO_DAEMON") != "1"):
+        from bwa_tpu import server
+
+        if server.daemon_available(args[0]):
+            print("[M::main_mem] forwarding to the resident engine daemon",
+                  file=sys.stderr)
+            return server.client_run(os.path.abspath(args[0]),
+                                     ["mem", *argv], out_fp)
+
+    cached = _ENGINE_CACHE.get(os.path.abspath(args[0]))
+    if cached is not None and not ignore_alt:
+        fm, engine = cached
+    else:
+        fm = FMIndex.load(args[0])
+        if ignore_alt:
+            for c0 in fm.bnt.contigs:
+                c0.is_alt = False
+
+        from bwa_tpu.engine import make_engine
+        engine = make_engine(fm)
 
     ks1 = SeqReader(args[1])
     ks2 = None
@@ -182,21 +211,57 @@ def main_mem(argv: list[str]) -> int:
     out_fp.write(_hdr_lines(fm.bnt, hdr_line, pg))
     actual_chunk = fixed_chunk_size if fixed_chunk_size > 0 else opt.chunk_size * opt.n_threads
     n_processed = 0
-    while True:
-        reads = read_batch(ks1, ks2, actual_chunk, copy_comment)
-        if not reads:
-            break
-        if opt.flag & MEM_F_SMARTPE:
-            from bwa_tpu.mem.pipeline import process_seqs_smart
 
-            process_seqs_smart(opt, engine, fm, reads, n_processed, pes0,
-                               rg_id)
-        else:
-            process_seqs(opt, engine, fm, reads, n_processed, pes0, rg_id)
-        n_processed += len(reads)
-        for r in reads:
-            out_fp.write(r.sam)
-    if out_fp is not sys.stdout:
+    # kt_pipeline analog (kthread.c:119-147, fastmap.c:64-123): a reader
+    # thread prefetches/parses the next chunk and a writer thread drains
+    # SAM in order, so FASTQ decode and output hide under device time.
+    # Batch boundaries are unchanged, so output bytes are identical.
+    import queue
+    import threading
+
+    rq: "queue.Queue[list]" = queue.Queue(maxsize=2)
+    wq: "queue.Queue[list | None]" = queue.Queue(maxsize=2)
+
+    def _reader():
+        while True:
+            batch = read_batch(ks1, ks2, actual_chunk, copy_comment)
+            rq.put(batch)
+            if not batch:
+                return
+
+    def _writer():
+        while True:
+            batch = wq.get()
+            if batch is None:
+                return
+            for r in batch:
+                out_fp.write(r.sam)
+
+    rt = threading.Thread(target=_reader, daemon=True)
+    wt = threading.Thread(target=_writer, daemon=True)
+    rt.start()
+    wt.start()
+    try:
+        while True:
+            reads = rq.get()
+            if not reads:
+                break
+            if opt.flag & MEM_F_SMARTPE:
+                from bwa_tpu.mem.pipeline import process_seqs_smart
+
+                process_seqs_smart(opt, engine, fm, reads, n_processed,
+                                   pes0, rg_id)
+            else:
+                process_seqs(opt, engine, fm, reads, n_processed, pes0, rg_id)
+            n_processed += len(reads)
+            wq.put(reads)
+    finally:
+        wq.put(None)
+        wt.join()
+        # rt is a daemon thread: on the normal path it has already
+        # returned (we consumed the empty sentinel batch); on an error
+        # path it may be blocked on rq.put and must not be joined
+    if opened_out:
         out_fp.close()
     return 0
 
@@ -461,7 +526,7 @@ Note: For long Illumina, 454 and Sanger reads, assembly contigs, fosmids and
     return 0
 
 
-def main(argv=None) -> int:
+def main(argv=None, out_fp=None, _in_daemon: bool = False) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         print(f"Program: bwa-tpu (TPU-native BWA-compatible read aligner)\n"
@@ -474,7 +539,10 @@ def main(argv=None) -> int:
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "mem":
-        return main_mem(rest)
+        return main_mem(rest, out_fp_override=out_fp, _in_daemon=_in_daemon)
+    if cmd == "daemon":
+        from bwa_tpu.server import main_daemon
+        return main_daemon(rest)
     if cmd == "index":
         return main_index(rest)
     if cmd == "fastmap":

@@ -1,0 +1,164 @@
+"""Resident-engine daemon: a warm process holding the loaded index and
+compiled device programs so CLI one-shots skip the per-process program
+load (1-3 min on the tunnel backend even with a persistent jit-cache hit
+— PERF.md §6b).  This is the process-level completion of the `bwa shm`
+idea (bwashm.c keeps the INDEX warm; the TPU path also needs the warm
+EXECUTABLES, which only live inside a process).
+
+    bwa-tpu daemon start <idxbase>     # load index + engine, listen
+    bwa-tpu mem <idxbase> reads.fq     # auto-forwards when a daemon
+                                       # for that index is running
+    bwa-tpu daemon stop <idxbase>
+
+Protocol (unix socket): client sends one JSON line {"argv": [...],
+"cwd": ...}; the daemon runs the command with its warm engine, streaming
+stdout back; the connection closing marks completion; the final 8 bytes
+after the payload carry the exit code is avoided by framing: stdout is
+sent as raw bytes after a JSON status line.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import socket
+import sys
+from pathlib import Path
+
+
+def sock_path(prefix: str) -> Path:
+    """Socket path for an index prefix (by absolute path identity)."""
+    import hashlib
+
+    key = hashlib.sha256(os.path.abspath(prefix).encode()).hexdigest()[:16]
+    base = Path(os.environ.get("BWA_TPU_DAEMON_DIR", "/tmp/bwa_tpu_daemon"))
+    base.mkdir(parents=True, exist_ok=True)
+    return base / f"engine-{key}.sock"
+
+
+def daemon_available(prefix: str) -> bool:
+    p = sock_path(prefix)
+    if not p.exists():
+        return False
+    s = socket.socket(socket.AF_UNIX)
+    try:
+        s.settimeout(2.0)
+        s.connect(str(p))
+        s.sendall(b'{"ping": 1}\n')
+        ok = s.recv(16).startswith(b"pong")
+        s.close()
+        return ok
+    except OSError:
+        try:
+            p.unlink()  # stale socket
+        except OSError:
+            pass
+        return False
+
+
+def client_run(prefix: str, argv: list[str], out_fp=None) -> int:
+    """Forward a CLI command to the resident daemon; stream stdout back.
+    Returns the exit code."""
+    out_fp = out_fp or sys.stdout
+    s = socket.socket(socket.AF_UNIX)
+    s.connect(str(sock_path(prefix)))
+    req = json.dumps({"argv": argv}) + "\n"
+    s.sendall(req.encode())
+    f = s.makefile("rb")
+    status = json.loads(f.readline())
+    if "error" in status:
+        print(f"[daemon] {status['error']}", file=sys.stderr)
+        return 1
+    buf = out_fp.buffer if hasattr(out_fp, "buffer") else out_fp
+    while True:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            break
+        if isinstance(buf, io.TextIOBase):
+            buf.write(chunk.decode())
+        else:
+            buf.write(chunk)
+    f.close()
+    s.close()
+    return 0
+
+
+def serve(prefix: str, foreground: bool = True) -> int:
+    """Load the index + engine once and serve mem/fastmap commands."""
+    from bwa_tpu import cli as cli_mod
+    from bwa_tpu.engine import make_engine
+    from bwa_tpu.index.fmindex import FMIndex
+
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps stacks
+    prefix = os.path.abspath(prefix)
+    fm = FMIndex.load(prefix)
+    engine = make_engine(fm)
+    cli_mod._ENGINE_CACHE[prefix] = (fm, engine)
+    sp = sock_path(prefix)
+    if sp.exists():
+        sp.unlink()
+    srv = socket.socket(socket.AF_UNIX)
+    srv.bind(str(sp))
+    srv.listen(4)
+    print(f"[daemon] serving {prefix} on {sp}", file=sys.stderr)
+    while True:
+        conn, _ = srv.accept()
+        try:
+            f = conn.makefile("rb")
+            req = json.loads(f.readline())
+            if req.get("ping"):
+                conn.sendall(b"pong\n")
+                conn.close()
+                continue
+            if req.get("shutdown"):
+                conn.sendall(b'{"ok": 1}\n')
+                conn.close()
+                break
+            argv = req["argv"]
+            print(f"[daemon] request: {argv}", file=sys.stderr, flush=True)
+            out = io.StringIO()
+            try:
+                rc = cli_mod.main(argv, out_fp=out, _in_daemon=True)
+                print(f"[daemon] done rc={rc} bytes={len(out.getvalue())}",
+                      file=sys.stderr, flush=True)
+                conn.sendall(json.dumps({"ok": rc}).encode() + b"\n")
+                conn.sendall(out.getvalue().encode())
+            except Exception as e:  # keep serving
+                conn.sendall(json.dumps({"error": repr(e)}).encode() + b"\n")
+            conn.close()
+        except OSError:
+            pass
+    srv.close()
+    sp.unlink()
+    return 0
+
+
+def main_daemon(argv: list[str]) -> int:
+    if not argv or argv[0] not in ("start", "stop", "status"):
+        print("Usage: bwa-tpu daemon start|stop|status <idxbase>",
+              file=sys.stderr)
+        return 1
+    cmd, prefix = argv[0], argv[1]
+    if cmd == "start":
+        return serve(prefix)
+    if cmd == "status":
+        up = daemon_available(prefix)
+        print(f"[daemon] {'running' if up else 'not running'} for {prefix}",
+              file=sys.stderr)
+        return 0 if up else 1
+    # stop
+    try:
+        s = socket.socket(socket.AF_UNIX)
+        s.connect(str(sock_path(prefix)))
+        s.sendall(b'{"shutdown": 1}\n')
+        s.recv(16)
+        s.close()
+        print("[daemon] stopped", file=sys.stderr)
+        return 0
+    except OSError:
+        print("[daemon] not running", file=sys.stderr)
+        return 1
