@@ -52,17 +52,21 @@ def _push_row(buf, n, mask, row, cap):
 
 
 def _row_read(buf, pos):
-    """buf[b, pos[b]] via one-hot contraction; pos is clipped by caller."""
+    """buf[b, pos[b]] via one-hot contraction; pos is clipped by caller.
+    sum dtype pinned: under jax_enable_x64 (int64-coordinate genomes)
+    jnp.sum would promote an int32 accumulator to int64 and break the
+    while-loop carry types."""
     cap = buf.shape[1]
     oh = jnp.arange(cap, dtype=pos.dtype)[None, :] == pos[:, None]
-    return jnp.sum(jnp.where(oh[:, :, None], buf, 0), axis=1)
+    return jnp.sum(jnp.where(oh[:, :, None], buf, 0), axis=1,
+                   dtype=buf.dtype)
 
 
 def _vec_read(vec, pos, dtype=jnp.int32):
     """vec[b, pos[b]] via one-hot contraction (vec: [B, L])."""
     L = vec.shape[1]
     oh = jnp.arange(L, dtype=pos.dtype)[None, :] == pos[:, None]
-    return jnp.sum(jnp.where(oh, vec, 0).astype(dtype), axis=1)
+    return jnp.sum(jnp.where(oh, vec, 0).astype(dtype), axis=1, dtype=dtype)
 
 
 def _col4(mat, c):

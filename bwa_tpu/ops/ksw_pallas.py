@@ -322,3 +322,316 @@ def extend_batch_pallas(qs, qlens, ts, tlens, mat, o_del, e_del, o_ins,
     out = np.asarray(jax.device_get(out))[:N]
     return (out[:, 0], out[:, 1], out[:, 2], out[:, 3], out[:, 4],
             out[:, 5])
+
+
+# ---------------------------------------------------------------------------
+# Banded variant: band-relative coordinates (p = j - (i - W)).
+#
+# For long reads the full-width kernel wastes ~qlen/band of its lanes:
+# the band is only 2w+1 wide (w=100 by default) while every row scans all
+# QP columns.  In band coordinates the DIAGONAL dependency is stationary
+# (j-1 at row i-1 lands on the same p), the vertical E dependency is a
+# one-slot roll, and F stays an in-row prefix — so each row costs O(P)
+# instead of O(qlen).  Semantics stay exactly ksw_extend2 (stale cells,
+# adaptive band in absolute j, z-drop, h0 seeding, all tie rules).
+# ---------------------------------------------------------------------------
+
+
+def _band_for(w_max: int) -> int:
+    return -(-(2 * w_max + 2) // 128) * 128
+
+
+def _tile_band(P: int) -> int:
+    if P <= 256:
+        t = 256
+    elif P <= 512:
+        t = 128
+    elif P <= 1024:
+        t = 64
+    else:
+        t = 32
+    return t
+
+
+def _mk_band_kernel(P: int, W: int, T: int, o_del: int, e_del: int,
+                    o_ins: int, e_ins: int, zdrop: int):
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+    n_tb = T // TB
+    TILE = _tile_band(P)
+    vt = jnp.int32
+
+    def kernel(qb0_ref, qn_ref, ts_ref, sc_ref, par_ref, out_ref,
+               H_ref, E_ref, QB_ref, st_ref):
+        tb = pl.program_id(1)
+        colp = lax.broadcasted_iota(jnp.int32, (TILE, P), 1)
+        tcol = lax.broadcasted_iota(jnp.int32, (TILE, TB), 1)
+        sid = lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+        qlen = par_ref[:, 0:1]
+        tlen = par_ref[:, 1:2]
+        w = par_ref[:, 2:3]
+        h0 = par_ref[:, 3:4]
+        e1 = jnp.maximum(h0 - oe_ins, 0)
+
+        def eh_init(j):
+            # closed-form first-row eh fill (ksw.c:445-449): eh[0]=h0,
+            # eh[1]=e1, then e1-(j-1)*e_ins while the previous > e_ins
+            fill = e1 - (j - 1) * e_ins
+            prev = e1 - (j - 2) * e_ins
+            keep = (j >= 2) & (prev > e_ins) & (j <= qlen)
+            v = jnp.where(j == 0, h0, jnp.where(j == 1, e1,
+                                                jnp.where(keep, fill, 0)))
+            return jnp.where((j >= 0) & (j <= qlen), v, 0)
+
+        @pl.when(tb == 0)
+        def _():
+            j0 = colp - W                       # j at row 0
+            H_ref[:] = eh_init(j0).astype(vt)
+            E_ref[:] = jnp.zeros((TILE, P), vt)
+            QB_ref[:] = qb0_ref[:]
+            st = jnp.where(sid == 1, qlen, 0)                 # end = qlen
+            st = jnp.where(sid == 2, h0, st)                  # mx = h0
+            st = jnp.where((sid >= 3) & (sid <= 6), -1, st)   # mx_i/j/ie,gsc
+            st_ref[:] = st
+
+        tsb = ts_ref[:]
+        qnb = qn_ref[:]
+        st0 = st_ref[:]
+
+        def getcol(st, c):
+            return jnp.sum(jnp.where(sid == c, st, 0), axis=1, keepdims=True)
+
+        def sel(p, a, b):
+            return b + p * (a - b)
+
+        def wide(p):  # 0/1 [TILE,1] -> bool [TILE,P]
+            return p > jnp.zeros_like(colp)
+
+        def row_step(r, carry):
+            (H, E, QB, beg, end, mx, mx_i, mx_j, mx_ie, gsc, mx_off,
+             done) = carry
+            i = tb * TB + r
+            # shift the band one column right: the slot entering at p=P-1
+            # carries q[i-W+P-1] and the stale eh-init value for that j
+            # (the reference keeps stale eh cells; cells that never saw a
+            # write still hold their first-row init)
+            shift = jnp.where(jnp.full((TILE, 1), 1, jnp.int32) * i > 0,
+                              1, 0)
+            qnew = jnp.sum(jnp.where(tcol == r, qnb, 0), axis=1,
+                           keepdims=True)
+            j_ent = i - W + P - 1
+            h_ent = eh_init(jnp.full((TILE, 1), 1, jnp.int32) * j_ent)
+            # left-shift by one == circular roll by P-1 (pltpu.roll
+            # only takes non-negative shifts)
+            Hs = jnp.where(colp == P - 1, h_ent.astype(vt),
+                           pltpu.roll(H, P - 1, 1))
+            Es = jnp.where(colp == P - 1, vt(0), pltpu.roll(E, P - 1, 1))
+            QBs = jnp.where(colp == P - 1, qnew, pltpu.roll(QB, P - 1, 1))
+            H = jnp.where(wide(shift), Hs, H)
+            E = jnp.where(wide(shift), Es, E)
+            QB = jnp.where(wide(shift), QBs, QB)
+
+            act = (1 - done) * sel(jnp.ones_like(done) * i < tlen, 1, 0)
+            colj = colp + (i - W)
+            tci = jnp.sum(jnp.where(tcol == r, tsb, 0), axis=1,
+                          keepdims=True)
+            beg_r = jnp.maximum(beg, i - w)
+            end_r = jnp.minimum(jnp.minimum(end, i + w + 1), qlen)
+            h1 = jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0)
+            h1_init = sel(sel(beg_r == 0, 1, 0), h1, jnp.zeros_like(h1))
+            # S[p] = mat[tci, QB[p]] (5x5 select; mat row picked per lane)
+            S = jnp.zeros((TILE, P), vt)
+            for c in range(5):
+                m_c = jnp.sum(jnp.where(sid == tci * 5 + c,
+                                        sc_ref[0:1, :], 0), axis=1,
+                              keepdims=True)
+                S = jnp.where(QB == c, jnp.broadcast_to(m_c, (TILE, P)), S)
+            inband = (colj >= beg_r) & (colj < end_r)
+            zero_vt = jnp.zeros((), vt)
+            M = jnp.where(H != zero_vt, H + S, zero_vt)
+            M = jnp.where(inband, M, NEG)
+            e_cur = jnp.where(inband, E, NEG)
+            g = jnp.maximum(M - vt(oe_ins), zero_vt)
+            g = jnp.where(inband, g, NEG)
+            colv = colj.astype(vt)
+            run = _prefix_max(g + colv * vt(e_ins), colp, P, NEG)
+            F = jnp.where(colp >= 1,
+                          pltpu.roll(run, 1, 1) - (colv - 1) * vt(e_ins),
+                          NEG)
+            F = jnp.where(colj == beg_r, zero_vt, F)
+            F = jnp.where(inband, F, NEG)
+            Hrow = jnp.maximum(jnp.maximum(M, e_cur), F)
+            Hrow = jnp.where(inband, Hrow, NEG)
+            mrow = jnp.maximum(jnp.max(Hrow, axis=1, keepdims=True), 0)
+            pos_row = sel(mrow > 0, 1, 0)
+            is_max = (Hrow == mrow) & inband & wide(pos_row)
+            mj = jnp.max(jnp.where(is_max, colj, -1), axis=1, keepdims=True)
+            mj = sel(pos_row, mj, jnp.full_like(mj, -1))
+            h_last = jnp.sum(
+                jnp.where(colj == jnp.maximum(end_r - 1, 0), Hrow, 0),
+                axis=1, keepdims=True)
+            h_last = sel(sel(end_r > beg_r, 1, 0), h_last, h1_init)
+            better = act * sel(end_r == qlen, 1, 0) * sel(h_last >= gsc,
+                                                          1, 0)
+            mx_ie = sel(better, jnp.full_like(mx_ie, i), mx_ie)
+            gsc = sel(better, jnp.maximum(h_last, gsc), gsc)
+            t_del = jnp.maximum(M - vt(oe_del), zero_vt)
+            Enew = jnp.maximum(e_cur - vt(e_del), t_del)
+            Hsh = jnp.where(colj >= 1, pltpu.roll(Hrow, 1, 1),
+                            h1_init.astype(vt))
+            # note: roll along p == shift along j within the row (same row)
+            wr = inband & wide(act)
+            H2 = jnp.where(wr, Hsh, H)
+            E2 = jnp.where(wr, Enew, E)
+            endw = (colj == end_r) & wide(act)
+            H2 = jnp.where(endw, h_last.astype(vt), H2)
+            E2 = jnp.where(endw, zero_vt, E2)
+
+            brk0 = act * sel(mrow == 0, 1, 0)
+            imp = act * (1 - brk0) * sel(mrow > mx, 1, 0)
+            mx_i = sel(imp, jnp.full_like(mx_i, i), mx_i)
+            mx_off = sel(imp, jnp.maximum(mx_off, jnp.abs(mj - i)), mx_off)
+            mx_j = sel(imp, mj, mx_j)
+            zd = act * (1 - brk0) * (1 - imp) * (1 if zdrop > 0 else 0)
+            d_i = i - mx_i
+            d_j = mj - mx_j
+            zc_del = sel(mx - mrow - (d_i - d_j) * e_del > zdrop, 1, 0)
+            zc_ins = sel(mx - mrow - (d_j - d_i) * e_ins > zdrop, 1, 0)
+            zcond = sel(sel(d_i > d_j, 1, 0), zc_del, zc_ins)
+            brkz = zd * zcond
+            mx = sel(imp, mrow, mx)
+
+            zero_cell = (H2 == zero_vt) & (E2 == zero_vt)
+            in_lo = (colj >= beg_r) & (colj < end_r)
+            first_nz = jnp.min(jnp.where(~zero_cell & in_lo, colj,
+                                         jnp.int32(0x3fffffff)),
+                               axis=1, keepdims=True)
+            beg_n = jnp.minimum(first_nz, end_r)
+            in_hi = (colj >= beg_n) & (colj <= end_r)
+            last_nz = jnp.max(jnp.where(~zero_cell & in_hi, colj,
+                                        beg_n - 1),
+                              axis=1, keepdims=True)
+            end_n = jnp.minimum(last_nz + 2, qlen)
+
+            upd = act * (1 - brk0) * (1 - brkz)
+            beg = sel(upd, beg_n, beg)
+            end = sel(upd, end_n, end)
+            done = jnp.maximum(done, jnp.maximum(brk0, brkz))
+            return (H2, E2, QB, beg, end, mx, mx_i, mx_j, mx_ie, gsc,
+                    mx_off, done)
+
+        carry = (H_ref[:], E_ref[:], QB_ref[:], getcol(st0, 0),
+                 getcol(st0, 1), getcol(st0, 2), getcol(st0, 3),
+                 getcol(st0, 4), getcol(st0, 5), getcol(st0, 6),
+                 getcol(st0, 7), getcol(st0, 8))
+        out = lax.fori_loop(0, TB, row_step, carry)
+        (H, E, QB, beg, end, mx, mx_i, mx_j, mx_ie, gsc, mx_off,
+         done) = out
+        H_ref[:] = H
+        E_ref[:] = E
+        QB_ref[:] = QB
+        st = jnp.zeros((TILE, 128), jnp.int32)
+        for c, v in ((0, beg), (1, end), (2, mx), (3, mx_i), (4, mx_j),
+                     (5, mx_ie), (6, gsc), (7, mx_off), (8, done)):
+            st = jnp.where(sid == c, v, st)
+        st_ref[:] = st
+
+        @pl.when(tb == n_tb - 1)
+        def _():
+            o = jnp.where(sid == 0, mx, 0)
+            o = jnp.where(sid == 1, mx_j + 1, o)
+            o = jnp.where(sid == 2, mx_i + 1, o)
+            o = jnp.where(sid == 3, mx_ie + 1, o)
+            o = jnp.where(sid == 4, gsc, o)
+            o = jnp.where(sid == 5, mx_off, o)
+            out_ref[:] = o
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("P", "W", "o_del", "e_del", "o_ins",
+                                   "e_ins", "zdrop", "interpret"))
+def _extend_band(qb0, qn, ts, sc, par, P, W, o_del, e_del, o_ins, e_ins,
+                 zdrop, interpret):
+    N = qb0.shape[0]
+    T = ts.shape[1]
+    TILE = _tile_band(P)
+    kern = _mk_band_kernel(P, W, T, o_del, e_del, o_ins, e_ins, zdrop)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((N, 128), jnp.int32),
+        grid=(N // TILE, T // TB),
+        in_specs=[
+            pl.BlockSpec((TILE, P), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TB), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TB), lambda i, t: (i, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 128), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, 128), lambda i, t: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE, P), jnp.int32),
+                        pltpu.VMEM((TILE, P), jnp.int32),
+                        pltpu.VMEM((TILE, P), jnp.int32),
+                        pltpu.VMEM((TILE, 128), jnp.int32)],
+        interpret=interpret,
+    )(qb0, qn, ts, sc, par)
+
+
+def extend_band_pallas(qs, qlens, ts, tlens, mat, o_del, e_del, o_ins,
+                       e_ins, ws, end_bonus, zdrop, h0s,
+                       interpret: bool = False):
+    """Banded drop-in equivalent of extend_batch (same outputs); band
+    sized to the max post-clamp w in the batch."""
+    qs = np.asarray(qs, np.uint8)
+    ts = np.asarray(ts, np.uint8)
+    N, Q = qs.shape
+    T = ts.shape[1]
+    mat = np.asarray(mat, np.int32).reshape(5, 5)
+    # band clamp (ksw.c:435-443) on the host, like the spec
+    qlens = np.asarray(qlens, np.int64)
+    mmax = int(mat.max())
+    num_ins = qlens * mmax + end_bonus - o_ins
+    max_ins = np.where(num_ins >= 0, num_ins // e_ins + 1,
+                       -((-num_ins) // e_ins) + 1)
+    w = np.minimum(np.asarray(ws, np.int64), np.maximum(max_ins, 1))
+    num_del = qlens * mmax + end_bonus - o_del
+    max_del = np.where(num_del >= 0, num_del // e_del + 1,
+                       -((-num_del) // e_del) + 1)
+    w = np.minimum(w, np.maximum(max_del, 1))
+    w_max = int(w.max(initial=1))
+    P = _band_for(w_max)
+    W = P // 2 - 1
+    TILE = _tile_band(P)
+    Np = -(-N // TILE) * TILE
+    Tp = max(TB, -(-T // TB) * TB)
+    # band-space query inputs: qb0[p] = q[p - W] (row 0 window) and
+    # qn[i] = q[i - W + P - 1] (the slot entering at row i); pad code 4
+    qpad = np.full((Np, W + Q + P), 4, np.uint8)
+    qpad[:N, W:W + Q] = qs
+    qb0 = np.ascontiguousarray(qpad[:, :P]).astype(np.int32)
+    qn = np.zeros((Np, Tp), np.int32)
+    avail = qpad.shape[1] - (P - 1)
+    take = min(Tp, avail)
+    qn[:, :take] = qpad[:, P - 1:P - 1 + take]
+    tsp = np.full((Np, Tp), 4, np.int32)
+    tsp[:N, :T] = ts
+    sc = np.zeros((1, 128), np.int32)
+    sc[0, :25] = mat.reshape(-1)
+    par = np.zeros((Np, 128), np.int32)
+    par[:N, 0] = qlens
+    par[:N, 1] = np.asarray(tlens, np.int64)
+    par[:N, 2] = w
+    par[:N, 3] = np.asarray(h0s, np.int64)
+    out = _extend_band(jnp.asarray(qb0), jnp.asarray(qn), jnp.asarray(tsp),
+                       jnp.asarray(sc), jnp.asarray(par), int(P), int(W),
+                       int(o_del), int(e_del), int(o_ins), int(e_ins),
+                       int(zdrop), bool(interpret))
+    out = np.asarray(jax.device_get(out))[:N]
+    return (out[:, 0], out[:, 1], out[:, 2], out[:, 3], out[:, 4],
+            out[:, 5])

@@ -116,3 +116,58 @@ def test_collect_intv_batch_matches_host(dev, hostfm, fm):
     for b, c in enumerate(codes):
         expect = collect_intv(opt, hostfm, c)
         assert got[b] == expect, b
+
+
+def test_seed_machine_int64_coords(small_genome):
+    """The int64-coordinate machine (GRCh38-scale genomes force
+    jax_enable_x64) must compile (no int32/int64 while-carry drift — a
+    jnp.sum accumulator promotion under x64 once broke it) and match the
+    host spec exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bwa_tpu.index.fmindex import DeviceFMIndex, FMIndex
+    from bwa_tpu.mem.seeding import collect_intv
+    from bwa_tpu.ops import fm_machine
+    from bwa_tpu.ops.fm import _next_valid_device
+    from bwa_tpu.ops.fm_host import HostFM
+    from bwa_tpu.options import MemOptions
+
+    old_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(5)
+        fm = FMIndex.build_in_memory(
+            rng.integers(0, 4, 50000, dtype=np.uint8))
+        fm.ckpt = fm.ckpt.astype(np.int64)
+        fm.ssa = fm.ssa.astype(np.int64)
+        fm.__dict__["sad"] = None
+        orig = FMIndex.coord_dtype
+        FMIndex.coord_dtype = property(lambda self: np.int64)
+        try:
+            idx = DeviceFMIndex(fm).tree()
+            B, L = 32, 128
+            q = rng.integers(0, 4, (B, L)).astype(np.uint8)
+            qlen = jnp.full((B,), L, jnp.int32)
+            nv = _next_valid_device(jnp.asarray(q), qlen)
+            out = fm_machine.seed_machine(
+                idx, jnp.asarray(q), qlen, nv, np.int32(19), np.int32(28),
+                np.int64(10), np.int64(20), cap=16, cap_s=24, use_p3=True)
+            srt = np.asarray(fm_machine.sort_seeds(out[0], out[1],
+                                                   key64=False))
+            seed_n = np.asarray(out[1])
+            host = HostFM(fm)
+            opt = MemOptions()
+            for b in range(B):
+                mems = collect_intv(opt, host, q[b])
+                got = [(int(srt[b, j, 0]), int(srt[b, j, 2]),
+                        int(srt[b, j, 3]), int(srt[b, j, 4]))
+                       for j in range(int(seed_n[b]))]
+                want = [(m[0], m[2], m[3] >> 32, m[3] & 0xFFFFFFFF)
+                        for m in mems]
+                assert got == want, f"read {b} differs"
+        finally:
+            FMIndex.coord_dtype = orig
+    finally:
+        jax.config.update("jax_enable_x64", old_x64)
