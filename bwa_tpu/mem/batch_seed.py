@@ -186,11 +186,19 @@ def se_flat_buckets(opt, engine, fm, codes_list, cap_s: int = 24):
         q, lens, L, B2, pack_k, cs, h, nb = packed.pop(idx)
         out = engine.collect_seeds_wait(h) if h is not None \
             else engine.collect_seeds(q, lens, opt, cs)
-        if (out[5] > cs).any():  # seed-rich bucket: retry, roomier cap
-            cs = 96 * pack_k
-            out = engine.collect_seeds(q, lens, opt, cs)
-            if (out[5] > cs).any():
-                yield lo, nb, None  # rare: tuple-path fallback
+        if (out[5] > cs).any():
+            # seed-rich / deep-stack bucket (repeat regions): climb a
+            # cap ladder on DEVICE before any host fallback — on a
+            # GRCh38-scale repeat genome the host-spec redo was 90% of
+            # the whole alignment wall time
+            for cs2, sc2 in ((96 * pack_k, 32), (256 * pack_k, 64)):
+                cs = cs2
+                out = engine.collect_seeds(q, lens, opt, cs2,
+                                           stack_cap=sc2)
+                if not (out[5] > cs2).any():
+                    break
+            else:
+                yield lo, nb, None  # exactness fallback (tuple path)
                 continue
         yield lo, nb, _demux_bucket(opt, fm, out, nb, L, B2, cs)
 

@@ -671,7 +671,8 @@ class BatchedFMEngine:
         return self.fm.sa_lookup(ks)
 
     def collect_seeds(self, q_pad: np.ndarray, qlen: np.ndarray, opt,
-                      cap_s: int, fused: bool = False):
+                      cap_s: int, fused: bool = False,
+                      stack_cap: int | None = None):
         """3-pass seed collection on device; one transfer at the end.
 
         Default path: the unified per-lane state machine (ops/fm_machine.py,
@@ -697,7 +698,8 @@ class BatchedFMEngine:
             # default: unified single-segment machine via the async
             # dispatch/wait pair (back-to-back here; pipelined callers
             # interleave a host finalize between the halves)
-            h = self.collect_seeds_dispatch(q_pad, qlen, opt, cap_s)
+            h = self.collect_seeds_dispatch(q_pad, qlen, opt, cap_s,
+                                            stack_cap)
             return self.collect_seeds_wait(h)
 
         # (a 2-bit pack of q + device unpack was tried for the H2D side
@@ -821,7 +823,7 @@ class BatchedFMEngine:
         return self._fetch_seeds(seeds, seed_n, ovf, cap_s)
 
     def collect_seeds_dispatch(self, q_pad: np.ndarray, qlen: np.ndarray,
-                               opt, cap_s: int):
+                               opt, cap_s: int, stack_cap: int | None = None):
         """Async half of collect_seeds (default unified machine): uploads
         the bucket and dispatches the seeding program + sort + packed-meta
         kernels WITHOUT blocking — JAX async dispatch queues them on the
@@ -833,7 +835,9 @@ class BatchedFMEngine:
         cdt = self.fm.coord_dtype
         B, L = q_pad.shape
         split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-        stack_cap = min(int(os.environ.get("BWA_TPU_STACK_CAP", "16")), L + 2)
+        if stack_cap is None:
+            stack_cap = int(os.environ.get("BWA_TPU_STACK_CAP", "16"))
+        stack_cap = min(stack_cap, L + 2)
         use_p3 = bool(opt.max_mem_intv > 0)
         qd = jnp.asarray(q_pad)
         qld = jnp.asarray(qlen.astype(np.int32))
