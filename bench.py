@@ -25,10 +25,12 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
-BENCH_DIR = Path(os.environ.get("BWA_TPU_BENCH_DIR", "/tmp/bwa_tpu_bench"))
+BENCH_DIR = Path(os.environ.get("BWA_TPU_BENCH_DIR", "/tmp/bwa_tpu_bench24"))
 ORACLE = Path("/tmp/bwa_oracle/src/bwa")
 GENOME_BP = int(os.environ.get("BWA_TPU_BENCH_GENOME", 2_000_000))
-N_READS = int(os.environ.get("BWA_TPU_BENCH_READS", 8192))
+# 3 full device buckets: exercises the bucket-pipelined seeding/finalize
+# overlap and is statistically steadier than a single ~0.3s batch
+N_READS = int(os.environ.get("BWA_TPU_BENCH_READS", 24576))
 READ_LEN = 150
 N_REPS = int(os.environ.get("BWA_TPU_BENCH_REPS", 5))
 

@@ -86,16 +86,8 @@ def _aln_batch_native(fm, seqs, opt: GapOpt):
         if tot <= cap:
             break
         cap = int(tot)
-    out = []
-    pos = 0
-    for i in range(n):
-        cnt = int(out_n[i])
-        rows = rec[pos:pos + cnt * 8].reshape(cnt, 8)
-        out.append([Aln1(n_mm=int(r[0]), n_gapo=int(r[1]), n_gape=int(r[2]),
-                         score=int(r[3]), n_ins=int(r[4]), n_del=int(r[5]),
-                         k=int(r[6]), l=int(r[7])) for r in rows])
-        pos += cnt * 8
-    return out
+    tot_rec = int(out_n.sum())
+    return out_n, rec[: tot_rec * 8].reshape(tot_rec, 8)
 
 
 def aln_core(prefix, fn_fa, opt: GapOpt, out_fp) -> None:
@@ -115,8 +107,8 @@ def aln_core(prefix, fn_fa, opt: GapOpt, out_fp) -> None:
         if not seqs:
             break
         if use_native:
-            for alns in _aln_batch_native(fm, seqs, opt):
-                writer.write_read(alns)
+            out_n, rows = _aln_batch_native(fm, seqs, opt)
+            writer.write_batch_raw(out_n, rows)
             tot += len(seqs)
             print(f"[bwa_aln_core] {tot} sequences have been processed.",
                   file=sys.stderr)

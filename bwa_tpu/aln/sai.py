@@ -41,6 +41,31 @@ class SaiWriter:
         for a in alns:
             self.fp.write(pack_aln1(a))
 
+    def write_batch_raw(self, out_n: "np.ndarray",
+                        rows: "np.ndarray") -> None:
+        """Vectorized batch write from the native search's flat record
+        rows [n_rec, 8] = (n_mm, n_gapo, n_gape, score, n_ins, n_del, k,
+        l) — identical bytes to per-record pack_aln1."""
+        r = rows.astype(np.uint64)
+        recs = np.empty((r.shape[0], 3), np.uint64)
+        recs[:, 0] = ((r[:, 0] & 0xFF) | ((r[:, 1] & 0xFF) << 8)
+                      | ((r[:, 2] & 0xFF) << 16)
+                      | ((r[:, 3] & 0xFFFFF) << 24)
+                      | ((r[:, 4] & 0x3FF) << 44)
+                      | ((r[:, 5] & 0x3FF) << 54))
+        recs[:, 1] = r[:, 6]
+        recs[:, 2] = r[:, 7]
+        rb = recs.tobytes()
+        nb = out_n.astype(np.int32).tobytes()
+        parts = []
+        off = 0
+        for i in range(out_n.shape[0]):
+            c = int(out_n[i])
+            parts.append(nb[4 * i:4 * i + 4])
+            parts.append(rb[off * 24:(off + c) * 24])
+            off += c
+        self.fp.write(b"".join(parts))
+
 
 class SaiReader:
     def __init__(self, fp):

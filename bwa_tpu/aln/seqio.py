@@ -124,6 +124,17 @@ def open_reads(mode: int, fn: str):
         rd = BamReader(fn)
         rd.which = which
         return rd
+    # fast strict-FASTQ block path when no per-record transforms apply
+    # (barcode clip, Casava filter, Illumina-1.3 quals) and the input is
+    # a plain uncompressed file
+    import os as _os
+
+    if (not (mode & (BWA_MODE_CFY | BWA_MODE_IL13)) and (mode >> 24) == 0
+            and fn != "-" and _os.path.isfile(fn)):
+        with open(fn, "rb") as probe:
+            head = probe.read(2)
+        if head[:1] == b"@" :
+            return BtReadStream(fn)
     return SeqReader(fn)
 
 
@@ -159,6 +170,8 @@ def read_bam_seqs(reader, n_needed: int, is_comp: bool,
 def read_bt_seqs(reader, n_needed: int, mode: int,
                  trim_qual: int) -> list[BtSeq]:
     is_comp = bool(mode & BWA_MODE_COMPREAD)
+    if isinstance(reader, BtReadStream):
+        return reader.read(n_needed, mode, trim_qual, is_comp)
     if not isinstance(reader, SeqReader):  # BAM input (aln -b)
         return read_bam_seqs(reader, n_needed, is_comp, trim_qual)
     is_64 = bool(mode & BWA_MODE_IL13)
@@ -199,4 +212,136 @@ def read_bt_seqs(reader, n_needed: int, mode: int,
         out.append(p)
         if len(out) == n_needed:
             break
+    return out
+
+
+class FastBtFastq:
+    """Strict 4-line FASTQ block parser for the backtrack read intake —
+    the general kseq-equivalent SeqReader pays ~30us of Python per record
+    (rstrip/decode/split per line), which had become the largest share of
+    aln/samse wall time after the native ports.  Reads the file in 64 MB
+    blocks and splits whole records with bytes.split; any structural
+    surprise (multi-line records, FASTA, comments needing Casava
+    filtering) makes the caller fall back to the general parser over the
+    remaining byte stream, so correctness never depends on the fast
+    path."""
+
+    BLOCK = 64 << 20
+
+    def __init__(self, path):
+        self.f = open(path, "rb")
+        self.rem = b""
+        self.eof = False
+
+    def take_rest_stream(self):
+        """File-like over (unconsumed remainder + rest of file) for the
+        general-parser fallback."""
+        import io
+
+        rest = self.rem
+        self.rem = b""
+
+        class _Chain(io.RawIOBase):
+            def __init__(s):
+                s._head = io.BytesIO(rest)
+
+            def readable(s):
+                return True
+
+            def readinto(s, b):
+                n = s._head.readinto(b)
+                if n:
+                    return n
+                return self.f.readinto(b) if hasattr(self.f, "readinto") \
+                    else s._fallback(b)
+
+            def _fallback(s, b):
+                data = self.f.read(len(b))
+                b[: len(data)] = data
+                return len(data)
+
+        return io.BufferedReader(_Chain())
+
+    def batch(self, n_needed: int):
+        """(records, ok): up to n_needed (name, seq_bytes, qual_bytes)
+        records, all fully validated and consumed.  ok=False means the
+        NEXT record is not strict 4-line FASTQ — the caller must finish
+        the stream through the general parser (take_rest_stream);
+        everything already returned stands."""
+        out = []
+        while len(out) < n_needed:
+            # ensure the remainder holds complete records or EOF
+            nl = self.rem.count(b"\n")
+            if nl < 4 and not self.eof:
+                chunk = self.f.read(self.BLOCK)
+                if not chunk:
+                    self.eof = True
+                else:
+                    self.rem += chunk
+                    continue
+            if not self.rem:
+                break
+            lines = self.rem.split(b"\n")
+            tail = lines.pop()  # partial line (or b"")
+            n_rec = len(lines) // 4
+            if n_rec == 0:
+                if self.eof:
+                    return (out, False) if self.rem.strip() else (out, True)
+                continue
+            take = min(n_rec, n_needed - len(out))
+            for r in range(take):
+                hdr, seq, plus, qual = lines[4 * r: 4 * r + 4]
+                if (not hdr.startswith(b"@") or not plus.startswith(b"+")
+                        or len(seq) != len(qual) or b" " in hdr
+                        or b"\t" in hdr or hdr.endswith(b"\r")
+                        or not seq):
+                    # structural surprise: consume exactly the records
+                    # already emitted, leave the rest for the fallback
+                    self.rem = b"\n".join(lines[4 * r:] + [tail])
+                    return out, False
+                out.append((hdr[1:], seq, qual))
+            self.rem = b"\n".join(lines[4 * take:] + [tail])
+        return out, True
+
+
+class BtReadStream:
+    """Fast-path reader handle: strict 4-line FASTQ blocks until a
+    structural surprise, then the general SeqReader over the remaining
+    byte stream (records already returned stand — they were fully
+    validated)."""
+
+    def __init__(self, path):
+        self.fast = FastBtFastq(path)
+        self.fallback: SeqReader | None = None
+
+    def read(self, n_needed: int, mode: int, trim_qual: int,
+             is_comp: bool) -> list[BtSeq]:
+        out: list[BtSeq] = []
+        if self.fast is not None:
+            recs, ok = self.fast.batch(n_needed)
+            got = _build_bt(recs, is_comp, trim_qual)
+            if not ok:
+                self.fallback = SeqReader(self.fast.take_rest_stream())
+                self.fast = None
+            out.extend(got)
+        if self.fallback is not None and len(out) < n_needed:
+            out.extend(read_bt_seqs(self.fallback, n_needed - len(out),
+                                    mode, trim_qual))
+        return out
+
+
+def _build_bt(recs, is_comp: bool, trim_qual: int) -> list[BtSeq]:
+    out = []
+    for name_b, seq_b, qual_b in recs:
+        name = name_b.decode()
+        if len(name) > 2 and name[-2] == "/" and name[-1] in "12":
+            name = name[:-2]
+        codes = NT4_TABLE[np.frombuffer(seq_b, dtype=np.uint8)].copy()
+        qual = bytearray(qual_b)
+        full_len = length = len(seq_b)
+        if trim_qual >= 1:
+            length = trim_read(trim_qual, qual, length)
+        out.append(BtSeq(name=name, full_codes=codes, qual=qual,
+                         len=length, full_len=full_len, clip_len=length,
+                         is_comp=is_comp))
     return out

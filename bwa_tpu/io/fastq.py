@@ -47,7 +47,8 @@ class SeqReader:
     """Streaming FASTQ/FASTA parser equivalent to kseq."""
 
     def __init__(self, path):
-        self.f = _open(path)
+        # a file-like (e.g. the FastBtFastq fallback chain) is used as-is
+        self.f = path if hasattr(path, "readline") else _open(path)
         self._peek = None
 
     def close(self):

@@ -86,6 +86,48 @@ static inline int64_t occ1(const FM &g, int64_t k, int c) {
   return blk_cnt(g, blk)[c] + acc;
 }
 
+// bwt_2occ-style shared-block single-base pair (bwt.c:132-163): one
+// block decode serves occ(k, c) and occ(l, c) when both land in the
+// same 128-base block — cal_width and match_exact do this per base
+static inline void occ1_pair(const FM &g, int64_t k, int64_t l, int c,
+                             int64_t *ok, int64_t *ol) {
+  int64_t _k = k - (k >= g.primary);
+  int64_t _l = l - (l >= g.primary);
+  if (k == -1 || l == -1 || k == g.seq_len || l == g.seq_len
+      || (_k >> 7) != (_l >> 7)) {
+    *ok = occ1(g, k, c);
+    *ol = occ1(g, l, c);
+    return;
+  }
+  int64_t blk = _k >> 7;
+  int kw = (int)((_k >> 4) & 7), kb = (int)(_k & 15);
+  int lw = (int)((_l >> 4) & 7), lb = (int)(_l & 15);
+  const uint32_t *w = blk_words(g, blk);
+  uint32_t want_hi = (c & 2) ? 0xffffffffu : 0u;
+  uint32_t want_lo = (c & 1) ? 0xffffffffu : 0u;
+  int64_t acc = 0, acck = 0;
+  for (int i = 0; i <= lw; ++i) {
+    int nkeep = (i < lw) ? 16 : lb + 1;
+    uint32_t mask2 =
+        nkeep == 16 ? 0xffffffffu : ~((1u << ((16 - nkeep) << 1)) - 1u);
+    uint32_t word = w[i] & mask2;
+    uint32_t vm = mask2 & 0x55555555u;
+    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
+    uint32_t match = (hi ^ ~want_hi) & (lo ^ ~want_lo) & vm;
+    acc += __builtin_popcount(match);
+    if (i == kw) {
+      int nk = kb + 1;
+      uint32_t maskk =
+          nk == 16 ? 0xffffffffu : ~((1u << ((16 - nk) << 1)) - 1u);
+      acck = acc - __builtin_popcount(match & ~maskk & 0x55555555u
+                                      & (hi ^ ~want_hi) & (lo ^ ~want_lo));
+    }
+  }
+  const int64_t base = blk_cnt(g, blk)[c];
+  *ok = base + acck;
+  *ol = base + acc;
+}
+
 // bwt_2occ4-style shared-block pair (bwt.c:189-220): when k and l land in
 // the same 128-base block, count the block once
 static void occ4_pair(const FM &g, int64_t k, int64_t l, int64_t cntk[4],
@@ -169,11 +211,27 @@ struct Width {
   int bid;
 };
 
+// 32 bytes (was 56): the best-first loop is bound by entry churn, and
+// the .sai record format itself caps n_mm/n_gapo/n_gape at 8 bits and
+// n_ins/n_del at 10 (bwtaln.h bitfields), so narrow fields lose nothing
 struct Entry {
-  int i;
   int64_t k, l;
-  int n_mm, n_gapo, n_gape, n_ins, n_del, state, ldp;
+  int32_t i, ldp;
+  int16_t n_ins, n_del;
+  uint8_t n_mm, n_gapo, n_gape, state;
 };
+
+// brace-init order helper so call sites keep the old readable order
+static inline Entry mkent(int i, int64_t k, int64_t l, int n_mm,
+                          int n_gapo, int n_gape, int n_ins, int n_del,
+                          int state, int ldp) {
+  Entry e;
+  e.k = k; e.l = l; e.i = i; e.ldp = ldp;
+  e.n_ins = (int16_t)n_ins; e.n_del = (int16_t)n_del;
+  e.n_mm = (uint8_t)n_mm; e.n_gapo = (uint8_t)n_gapo;
+  e.n_gape = (uint8_t)n_gape; e.state = (uint8_t)state;
+  return e;
+}
 
 struct AlnRec {
   int64_t n_mm, n_gapo, n_gape, score, n_ins, n_del, k, l;
@@ -192,8 +250,8 @@ static void cal_width(const FM &g, const uint8_t *seq, int len,
   for (int p = 0; p < len; ++p) {
     int c = seq[p];
     if (c < 4) {
-      int64_t ok = occ1(g, k - 1, c);
-      int64_t ol = occ1(g, l, c);
+      int64_t ok, ol;
+      occ1_pair(g, k - 1, l, c, &ok, &ol);
       k = g.L2[c] + ok + 1;
       l = g.L2[c] + ol;
     }
@@ -250,8 +308,8 @@ static int match_exact_alt(const FM &g, const uint8_t *seq, int i,
   for (int j = i - 1; j >= 0; --j) {
     int c = seq[j];
     if (c > 3) return 0;
-    int64_t ok = occ1(g, k - 1, c);
-    int64_t ol = occ1(g, l, c);
+    int64_t ok, ol;
+    occ1_pair(g, k - 1, l, c, &ok, &ol);
     k = g.L2[c] + ok + 1;
     l = g.L2[c] + ol;
     if (k > l) return 0;
@@ -280,7 +338,7 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
 
   GapStack stack(aln_score(max_diff_in + 1, max_gapo + 1,
                            opt.max_gape + 1, opt));
-  stack.push({length, 0, g.seq_len, 0, 0, 0, 0, 0, ST_M, 0}, 0);
+  stack.push(mkent(length, 0, g.seq_len, 0, 0, 0, 0, 0, ST_M, 0), 0);
 
   while (stack.n) {
     if (stack.n > opt.max_entries) break;
@@ -373,23 +431,23 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
       if (e.state == ST_M) {
         if (e.n_gapo < max_gapo) {
           // insertion
-          stack.push({i, k, l, e.n_mm, e.n_gapo + 1, e.n_gape,
-                      e.n_ins + 1, e.n_del, ST_I, i},
+          stack.push(mkent(i, k, l, e.n_mm, e.n_gapo + 1, e.n_gape,
+                           e.n_ins + 1, e.n_del, ST_I, i),
                      aln_score(e.n_mm, e.n_gapo + 1, e.n_gape, opt));
           // deletions
           for (int j = 0; j < 4; ++j) {
             int64_t kk = g.L2[j] + cnt_k[j] + 1;
             int64_t ll = g.L2[j] + cnt_l[j];
             if (kk <= ll)
-              stack.push({i + 1, kk, ll, e.n_mm, e.n_gapo + 1, e.n_gape,
-                          e.n_ins, e.n_del + 1, ST_D, i + 1},
+              stack.push(mkent(i + 1, kk, ll, e.n_mm, e.n_gapo + 1,
+                               e.n_gape, e.n_ins, e.n_del + 1, ST_D, i + 1),
                          aln_score(e.n_mm, e.n_gapo + 1, e.n_gape, opt));
           }
         }
       } else if (e.state == ST_I) {
         if (e.n_gape < opt.max_gape)
-          stack.push({i, k, l, e.n_mm, e.n_gapo, e.n_gape + 1,
-                      e.n_ins + 1, e.n_del, ST_I, i},
+          stack.push(mkent(i, k, l, e.n_mm, e.n_gapo, e.n_gape + 1,
+                           e.n_ins + 1, e.n_del, ST_I, i),
                      aln_score(e.n_mm, e.n_gapo, e.n_gape + 1, opt));
       } else if (e.state == ST_D) {
         if (e.n_gape < opt.max_gape) {
@@ -398,9 +456,9 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
               int64_t kk = g.L2[j] + cnt_k[j] + 1;
               int64_t ll = g.L2[j] + cnt_l[j];
               if (kk <= ll)
-                stack.push({i + 1, kk, ll, e.n_mm, e.n_gapo,
-                            e.n_gape + 1, e.n_ins, e.n_del + 1, ST_D,
-                            i + 1},
+                stack.push(mkent(i + 1, kk, ll, e.n_mm, e.n_gapo,
+                                 e.n_gape + 1, e.n_ins, e.n_del + 1, ST_D,
+                                 i + 1),
                            aln_score(e.n_mm, e.n_gapo, e.n_gape + 1, opt));
             }
           }
@@ -414,8 +472,8 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
         int64_t kk = g.L2[c] + cnt_k[c] + 1;
         int64_t ll = g.L2[c] + cnt_l[c];
         if (kk <= ll)
-          stack.push({i, kk, ll, e.n_mm + is_mm, e.n_gapo, e.n_gape,
-                      e.n_ins, e.n_del, ST_M, is_mm ? i : 0},
+          stack.push(mkent(i, kk, ll, e.n_mm + is_mm, e.n_gapo, e.n_gape,
+                           e.n_ins, e.n_del, ST_M, is_mm ? i : 0),
                      aln_score(e.n_mm + is_mm, e.n_gapo, e.n_gape, opt));
       }
     } else if (seq[i] < 4) {
@@ -423,8 +481,8 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
       int64_t kk = g.L2[c] + cnt_k[c] + 1;
       int64_t ll = g.L2[c] + cnt_l[c];
       if (kk <= ll)
-        stack.push({i, kk, ll, e.n_mm, e.n_gapo, e.n_gape, e.n_ins,
-                    e.n_del, ST_M, 0},
+        stack.push(mkent(i, kk, ll, e.n_mm, e.n_gapo, e.n_gape, e.n_ins,
+                         e.n_del, ST_M, 0),
                    aln_score(e.n_mm, e.n_gapo, e.n_gape, opt));
     }
   }

@@ -20,6 +20,7 @@ substring).  Semantics per bwt.c:289-379 and bwamem.c:140-188.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -583,7 +584,19 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
 
         return tuple(d[k] for k in keys)
 
-    return lax.while_loop(cond, body, state)
+    # unroll: the per-iteration dispatch floor is ~60us on this backend
+    # (PERF.md step-cost model) — amortize it over UNROLL machine steps.
+    # An extra trailing step is a no-op (every update is masked by phase,
+    # and done_step is latched by its ==0 guard), so correctness is
+    # unroll-invariant; the cond is simply checked every UNROLL steps.
+    unroll = int(os.environ.get("BWA_TPU_SEED_UNROLL", "2"))
+
+    def body_n(t):
+        for _ in range(unroll):
+            t = body(t)
+        return t
+
+    return lax.while_loop(cond, body_n, state)
 
 
 def seed_machine(idx, q, qlen, next_valid, min_seed_len, split_len,
