@@ -213,9 +213,16 @@ class FMIndex:
 
 
 class DeviceFMIndex:
-    """jnp view of an FMIndex (created lazily; one per process)."""
+    """jnp view of an FMIndex (created lazily; one per process).
 
-    def __init__(self, fm: FMIndex):
+    light=True uploads only what the seeding machine reads (the fused
+    occtab + scalars + a 1-row ckpt/words stub for dtype plumbing): at
+    GRCh38 scale the full set (ckpt 1.5 GB + words 1.5 GB + ssa 1.5 GB
+    + pac 0.8 GB on top of the 1.65 GB occtab) costs ~100 s of H2D over
+    the tunnel and none of it is touched by the production path (SA
+    walks and extension run host-native)."""
+
+    def __init__(self, fm: FMIndex, light: bool = False):
         import jax.numpy as jnp
 
         self.fm = fm
@@ -224,11 +231,14 @@ class DeviceFMIndex:
         self.seq_len = int(fm.seq_len)
         self.l_pac = int(fm.l_pac)
         self.sa_intv = int(fm.sa_intv)
+        self.light = bool(light)
         self.L2 = jnp.asarray(fm.L2.astype(cdt))
-        self.ckpt = jnp.asarray(fm.ckpt)
-        self.words = jnp.asarray(fm.words)
-        self.ssa = jnp.asarray(fm.ssa)
-        self.pac = jnp.asarray(fm.pac)
+        n_ck = 1 if light else fm.ckpt.shape[0]
+        n_w = 1 if light else fm.words.shape[0]
+        self.ckpt = jnp.asarray(fm.ckpt[:n_ck])
+        self.words = jnp.asarray(fm.words[:n_w])
+        self.ssa = None if light else jnp.asarray(fm.ssa)
+        self.pac = None if light else jnp.asarray(fm.pac)
         self.coord_dtype = cdt
 
     def tree(self):
@@ -243,13 +253,17 @@ class DeviceFMIndex:
             L2=self.L2,
             ckpt=self.ckpt,
             words=self.words,
-            ssa=self.ssa,
             sa_intv=jnp.asarray(self.sa_intv, cdt),
-            pac=self.pac,
         )
+        if not self.light:
+            t["ssa"] = self.ssa
+            t["pac"] = self.pac
         occtab = self.occtab()
         if occtab is not None:
             t["occtab"] = occtab
+        elif self.light:
+            raise RuntimeError("light DeviceFMIndex requires the fused "
+                               "occtab (counts exceed uint32?)")
         return t
 
     def occ_retile(self) -> int:

@@ -634,7 +634,11 @@ class BatchedFMEngine:
             pass
         if fm.coord_dtype == np.int64:
             jax.config.update("jax_enable_x64", True)
-        self.dev = DeviceFMIndex(fm)
+        # big genomes upload only the occtab (the production machine's
+        # sole table; SA walks/extension are host-native) — the full
+        # array set costs ~100s of tunnel H2D at GRCh38 scale
+        light = fm.words.shape[0] > (1 << 20)
+        self.dev = DeviceFMIndex(fm, light=light)
         self.idx = self.dev.tree()
         self._host = None
 

@@ -84,3 +84,44 @@ def test_repeat_heavy_pe(oracle_bwa, repeat_genome):
     fa, _, r1, r2 = repeat_genome
     args = ["mem", str(fa), str(r1), str(r2)]
     assert _mine(args) == _oracle(oracle_bwa, args)
+
+
+def test_mem_repeat_heavy_ladder(oracle_bwa, tmp_path):
+    """A genome dominated by a tandem repeat family: reads inside the
+    repeats overflow the default seed/stack caps, exercising the device
+    cap ladder (batch_seed.se_flat_buckets) that replaced the host-spec
+    fallback — on GRCh38-scale repeat genomes that fallback was 90% of
+    wall time.  Byte-equality proves the ladder (or, if exceeded, the
+    residual tuple-path fallback) is exact."""
+    import subprocess
+
+    import numpy as np
+    from datagen import write_fasta, write_fastq, simulate_reads
+
+    rng = np.random.default_rng(77)
+    BASES = np.frombuffer(b"ACGT", np.uint8)
+    unit = BASES[rng.integers(0, 4, 700)]
+    genome = np.concatenate(
+        [np.tile(unit, 60)] +
+        [BASES[rng.integers(0, 4, 60_000)]] +
+        [np.tile(unit[:320], 40)])
+    contigs = [("rep", genome.tobytes())]
+    fa = tmp_path / "rep.fa"
+    write_fasta(fa, contigs)
+    subprocess.run([str(oracle_bwa), "index", str(fa)], check=True,
+                   capture_output=True)
+    reads = simulate_reads(contigs, 600, read_len=150, seed=79,
+                           err_rate=0.01)
+    fq = tmp_path / "rep.fq"
+    write_fastq(fq, reads)
+    theirs = subprocess.run([str(oracle_bwa), "mem", "-t1", str(fa), str(fq)],
+                            check=True, capture_output=True).stdout
+    import os
+    import sys
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    mine = subprocess.run([sys.executable, "-m", "bwa_tpu.cli", "mem",
+                           str(fa), str(fq)], check=True,
+                          capture_output=True, env=env).stdout
+    strip = lambda b: [l for l in b.split(b"\n") if not l.startswith(b"@PG")]
+    assert strip(theirs) == strip(mine)
