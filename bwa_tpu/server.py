@@ -84,6 +84,45 @@ def client_run(prefix: str, argv: list[str], out_fp=None) -> int:
     return 0
 
 
+def _warm(fm, engine) -> None:
+    """Run one synthetic SE batch at the standard bucket shapes before
+    accepting requests: on the tunnel backend every program pays a 1-3
+    min FIRST-use load per process, and absorbing that at daemon start
+    is the daemon's whole point.  Best-effort (skipped on any error)."""
+    if os.environ.get("BWA_TPU_DAEMON_NO_WARM") == "1":
+        return
+    try:
+        import time
+
+        import numpy as np
+
+        from bwa_tpu.mem.pipeline import process_seqs
+        from bwa_tpu.mem.types import Read
+        from bwa_tpu.options import MemOptions
+
+        t0 = time.time()
+        print("[daemon] warming device programs...", file=sys.stderr,
+              flush=True)
+        rng = np.random.default_rng(0)
+        codes = fm.pac_codes
+        L = 150
+        n = 8192
+        reads = []
+        b5 = np.frombuffer(b"ACGTN", np.uint8)
+        for i in range(n):
+            s = int(rng.integers(0, max(1, fm.l_pac - L)))
+            frag = np.minimum(codes[s:s + L], 4)
+            if frag.shape[0] < L:
+                frag = np.pad(frag, (0, L - frag.shape[0]))
+            reads.append(Read(name=f"w{i}", seq=b5[frag].tobytes()))
+        process_seqs(MemOptions(), engine, fm, reads)
+        print(f"[daemon] warm in {time.time() - t0:.0f}s", file=sys.stderr,
+              flush=True)
+    except Exception as e:  # pragma: no cover - warm-up is best-effort
+        print(f"[daemon] warm-up skipped: {e!r}", file=sys.stderr,
+              flush=True)
+
+
 def serve(prefix: str, foreground: bool = True) -> int:
     """Load the index + engine once and serve mem/fastmap commands."""
     from bwa_tpu import cli as cli_mod
@@ -98,6 +137,7 @@ def serve(prefix: str, foreground: bool = True) -> int:
     fm = FMIndex.load(prefix)
     engine = make_engine(fm)
     cli_mod._ENGINE_CACHE[prefix] = (fm, engine)
+    _warm(fm, engine)
     sp = sock_path(prefix)
     if sp.exists():
         sp.unlink()
@@ -108,14 +148,18 @@ def serve(prefix: str, foreground: bool = True) -> int:
     while True:
         conn, _ = srv.accept()
         try:
+            # NOTE: makefile() dups the socket fd — it must be closed too
+            # or the client never sees EOF on the response stream
             f = conn.makefile("rb")
             req = json.loads(f.readline())
             if req.get("ping"):
                 conn.sendall(b"pong\n")
+                f.close()
                 conn.close()
                 continue
             if req.get("shutdown"):
                 conn.sendall(b'{"ok": 1}\n')
+                f.close()
                 conn.close()
                 break
             argv = req["argv"]
@@ -129,6 +173,7 @@ def serve(prefix: str, foreground: bool = True) -> int:
                 conn.sendall(out.getvalue().encode())
             except Exception as e:  # keep serving
                 conn.sendall(json.dumps({"error": repr(e)}).encode() + b"\n")
+            f.close()
             conn.close()
         except OSError:
             pass
