@@ -310,8 +310,23 @@ def main_fastmap(argv: list[str]) -> int:
     from bwa_tpu.io.fastq import read_batch
     from bwa_tpu.mem.fastmap import fastmap_batch
 
-    fm = FMIndex.load(args[0])
-    engine = make_engine(fm)
+    import os
+
+    if (not _ENGINE_CACHE and os.environ.get("BWA_TPU_NO_DAEMON") != "1"):
+        from bwa_tpu import server
+
+        if server.daemon_available(args[0]):
+            print("[M::main_fastmap] forwarding to the resident engine "
+                  "daemon", file=sys.stderr)
+            return server.client_run(os.path.abspath(args[0]),
+                                     ["fastmap", *argv], sys.stdout)
+
+    cached = _ENGINE_CACHE.get(os.path.abspath(args[0]))
+    if cached is not None:
+        fm, engine = cached
+    else:
+        fm = FMIndex.load(args[0])
+        engine = make_engine(fm)
     ks = SeqReader(args[1])
     while True:  # chunked like the reference's bseq_read loop
         reads = read_batch(ks, None, 10_000_000)
