@@ -174,15 +174,21 @@ def main_mem(argv: list[str], out_fp_override=None,
     # and no -o redirection is local, route the whole command there
     import os
 
-    if (not _in_daemon and not _ENGINE_CACHE
+    if (not _in_daemon and not _ENGINE_CACHE and not opened_out
             and os.environ.get("BWA_TPU_NO_DAEMON") != "1"):
         from bwa_tpu import server
 
         if server.daemon_available(args[0]):
+            # the daemon runs in its own cwd: rewrite the positional
+            # paths absolute before forwarding (flags already parsed
+            # fine; -o/-f runs stay local via the opened_out guard)
+            pos = [os.path.abspath(a) for a in args]
+            n_flags = len(argv) - len(args)
+            fwd = argv[:n_flags] + pos
             print("[M::main_mem] forwarding to the resident engine daemon",
                   file=sys.stderr)
             return server.client_run(os.path.abspath(args[0]),
-                                     ["mem", *argv], out_fp)
+                                     ["mem", *fwd], out_fp)
 
     cached = _ENGINE_CACHE.get(os.path.abspath(args[0]))
     if cached is not None and not ignore_alt:
@@ -316,10 +322,13 @@ def main_fastmap(argv: list[str]) -> int:
         from bwa_tpu import server
 
         if server.daemon_available(args[0]):
+            pos = [os.path.abspath(a) for a in args]
+            n_flags = len(argv) - len(args)
+            fwd = argv[:n_flags] + pos
             print("[M::main_fastmap] forwarding to the resident engine "
                   "daemon", file=sys.stderr)
             return server.client_run(os.path.abspath(args[0]),
-                                     ["fastmap", *argv], sys.stdout)
+                                     ["fastmap", *fwd], sys.stdout)
 
     cached = _ENGINE_CACHE.get(os.path.abspath(args[0]))
     if cached is not None:
