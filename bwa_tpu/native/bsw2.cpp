@@ -917,3 +917,479 @@ int64_t bsw2_resolve_duphits_rows(
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Full per-read aln1 pipeline (bsw2_aln1_core, bwtsw2_aux.c:226-319) native:
+// strand split, chain filter (bwtsw2_chain.c), left/right seed extension
+// (bwtsw2_aux.c:100-170), duplicate resolution rounds and the final
+// query-overlap resolution with its drand48 tie promotion.  The Python
+// orchestration in sw2/aln.py aln1_core is the executable spec; this is the
+// hot path (it removes the per-hit object churn and ksw marshaling that
+// kept bwasw at ~0.66x the reference).
+// ===========================================================================
+
+extern "C" int bt_ksw_extend2(int qlen, const uint8_t *query, int tlen,
+                              const uint8_t *target, int m, const int8_t *mat,
+                              int o_del, int e_del, int o_ins, int e_ins,
+                              int w, int end_bonus, int zdrop, int h0,
+                              int *_qle, int *_tle, int *_gtle, int *_gscore,
+                              int *_max_off);
+
+extern "C" int64_t bsw2_core_run(const uint8_t *g_inter, int64_t g_seq_len,
+                                 int64_t g_primary, const int64_t *g_L2,
+                                 const uint8_t *read, int32_t l, int32_t a,
+                                 int32_t b_pen, int32_t q_pen, int32_t r_pen,
+                                 int32_t t, int32_t z, int32_t is_intv,
+                                 int32_t bw, int64_t *out_b, int64_t *out_b1,
+                                 int64_t b1_cap);
+
+namespace {
+
+struct Drand48 {
+  uint64_t x;
+  static const uint64_t A = 0x5DEECE66DULL, C = 0xBULL,
+                        MASK = (1ULL << 48) - 1;
+  double next() {
+    x = (A * x + C) & MASK;
+    return (double)x / (double)(1ULL << 48);
+  }
+};
+
+// exact ksort.h introsort permutation, templated on the lt comparator
+// (clone of hit_introsort above; tie order is observable in SAM output)
+template <class T, class LT>
+void ks_introsort_t(T *a, int n, LT lt) {
+  if (n < 1) return;
+  auto insertsort = [&](int s, int t) {
+    for (int i = s + 1; i < t; ++i)
+      for (int j = i; j > s && lt(a[j], a[j - 1]); --j)
+        std::swap(a[j], a[j - 1]);
+  };
+  auto combsort = [&](int s, int n2) -> int {
+    const double shrink = 1.2473309501039786540366528676643;
+    int gap = n2;
+    for (;;) {
+      if (gap > 2) {
+        gap = (int)(gap / shrink);
+        if (gap == 9 || gap == 10) gap = 11;
+      }
+      bool do_swap = false;
+      for (int i = s; i < s + n2 - gap; ++i) {
+        int j = i + gap;
+        if (lt(a[j], a[i])) {
+          std::swap(a[i], a[j]);
+          do_swap = true;
+        }
+      }
+      if (!(do_swap || gap > 2)) break;
+    }
+    return gap;
+  };
+  if (n == 2) {
+    if (lt(a[1], a[0])) std::swap(a[0], a[1]);
+    return;
+  }
+  int d = 2;
+  while ((1 << d) < n) ++d;
+  struct Frame { int s, t, d; };
+  std::vector<Frame> stk;
+  int s = 0, t = n - 1;
+  d <<= 1;
+  for (;;) {
+    if (s < t) {
+      if (--d == 0) {
+        if (combsort(s, t - s + 1) != 1) insertsort(s, t + 1);
+        t = s;
+        continue;
+      }
+      int i = s, j = t;
+      int k = i + ((j - i) >> 1) + 1;
+      T rp;
+      if (lt(a[k], a[i])) {
+        if (lt(a[k], a[j])) k = j;
+      } else {
+        k = lt(a[j], a[i]) ? i : j;
+      }
+      rp = a[k];
+      if (k != t) std::swap(a[k], a[t]);
+      for (;;) {
+        ++i;
+        while (lt(a[i], rp)) ++i;
+        --j;
+        while (i <= j && lt(rp, a[j])) --j;
+        if (j <= i) break;
+        std::swap(a[i], a[j]);
+      }
+      std::swap(a[i], a[t]);
+      if (i - s > t - i) {
+        if (i - s > 16) stk.push_back({s, i - 1, d});
+        s = (t - i > 16) ? i + 1 : t;
+      } else {
+        if (t - i > 16) stk.push_back({i + 1, t, d});
+        t = (i - s > 16) ? i - 1 : s;
+      }
+    } else {
+      if (stk.empty()) {
+        insertsort(0, n);
+        return;
+      }
+      Frame f = stk.back();
+      stk.pop_back();
+      s = f.s;
+      t = f.t;
+      d = f.d;
+    }
+  }
+}
+
+// C integer division (truncation toward zero) — sw2/aln.py idiv
+static inline int64_t idiv_c(int64_t a, int64_t b) { return a / b; }
+
+static inline int pac_at2(const uint8_t *pac, int64_t k) {
+  return pac[k >> 2] >> ((~k & 3) << 1) & 3;
+}
+
+// squeeze + introsort(hitG_lt) + pairwise dedup — the idx=None branch of
+// resolve_duphits (sw2/core.py:213-246 / bwtsw2_core.c:312-347)
+static void dedup_hits(std::vector<Hit> &hits) {
+  constexpr float MASKF = 0.90f;  // MASK_LEVEL (bwtsw2_core.c:27)
+  size_t w = 0;
+  for (size_t i = 0; i < hits.size(); ++i)
+    if (hits[i].G) hits[w++] = hits[i];
+  hits.resize(w);
+  hit_introsort(hits.data(), (int)hits.size());
+  const int n = (int)hits.size();
+  for (int i = 1; i < n; ++i) {
+    Hit *p = &hits[i];
+    for (int j = 0; j < i; ++j) {
+      Hit *q = &hits[j];
+      bool compatible = true;
+      if (p->is_rev != q->is_rev) continue;
+      if (p->l == 0 && q->l == 0) {
+        int64_t qol = std::min(p->end, q->end) - std::max(p->beg, q->beg);
+        if (qol < 0) qol = 0;
+        if ((float)qol / (float)(p->end - p->beg) > MASKF
+            || (float)qol / (float)(q->end - q->beg) > MASKF) {
+          int64_t tol = std::min(p->k + p->len, q->k + q->len)
+                        - std::max(p->k, q->k);
+          if ((double)tol / p->len > (double)MASKF
+              || (double)tol / q->len > (double)MASKF)
+            compatible = false;
+        }
+      }
+      if (!compatible) {
+        p->G = 0;
+        if (q->G2 < p->G2) q->G2 = p->G2;
+        break;
+      }
+    }
+  }
+  w = 0;
+  for (size_t i = 0; i < hits.size(); ++i)
+    if (hits[i].G) hits[w++] = hits[i];
+  hits.resize(w);
+}
+
+struct ChainEnt {
+  int64_t tbeg, tend, qbeg, qend;
+  int32_t flag, idx, chain;
+};
+
+// bwtsw2_chain.c:20-46
+static void chaining(int max_chain_gap, int bw, int t_seeds, int shift,
+                     std::vector<ChainEnt> &z, std::vector<ChainEnt> &chain) {
+  ks_introsort_t(z.data(), (int)z.size(),
+                 [](const ChainEnt &a, const ChainEnt &b) {
+                   return a.qbeg < b.qbeg;
+                 });
+  for (ChainEnt &p : z) {
+    int k = (int)chain.size() - 1;
+    bool found = false;
+    while (k >= 0) {
+      ChainEnt &q = chain[k];
+      int64_t x = p.qbeg - q.qbeg;
+      int64_t y = p.tbeg - q.tbeg;
+      if (y > 0 && x < max_chain_gap && y < max_chain_gap && x - y <= bw
+          && y - x <= bw) {
+        if (p.qend > q.qend) q.qend = p.qend;
+        if (p.tend > q.tend) q.tend = p.tend;
+        ++q.chain;
+        p.chain = shift + k;
+        found = true;
+        break;
+      } else if (q.chain > t_seeds * 2) {
+        k = 0;  // strong chain: stop scanning earlier chains
+      }
+      --k;
+    }
+    if (!found) {
+      ChainEnt c = p;
+      c.chain = 1;
+      c.idx = p.chain = shift + (int)chain.size();
+      chain.push_back(c);
+    }
+  }
+}
+
+// bwtsw2_chain.c:48-112 over the two strands' narrow hit sets
+static void chain_filter_c(int max_chain_gap, int bw, int t_seeds,
+                           int length, std::vector<Hit> *b0,
+                           std::vector<Hit> *b1) {
+  int thres = t_seeds * 2;
+  std::vector<ChainEnt> z[2];
+  std::vector<Hit> *bb[2] = {b0, b1};
+  for (int k = 0; k < 2; ++k) {
+    for (int i = 0; i < (int)bb[k]->size(); ++i) {
+      const Hit &p = (*bb[k])[i];
+      ChainEnt q;
+      q.flag = k;
+      q.idx = i;
+      q.tbeg = p.k;
+      q.tend = p.k + p.len;
+      q.chain = -1;
+      q.qbeg = p.beg;
+      q.qend = p.end;
+      z[k].push_back(q);
+    }
+  }
+  std::vector<ChainEnt> chain0, chain1;
+  chaining(max_chain_gap, bw, t_seeds, 0, z[0], chain0);
+  chaining(max_chain_gap, bw, t_seeds, (int)chain0.size(), z[1], chain1);
+  for (ChainEnt &p : chain1) {  // reverse strand: flip orientation
+    int64_t tmp = p.qbeg;
+    p.qbeg = length - p.qend;
+    p.qend = length - tmp;
+  }
+  std::vector<ChainEnt> chains = chain0;
+  chains.insert(chains.end(), chain1.begin(), chain1.end());
+  std::vector<uint8_t> flag(chains.size(), 0);
+  ks_introsort_t(chains.data(), (int)chains.size(),
+                 [](const ChainEnt &a, const ChainEnt &b) {
+                   return a.qbeg < b.qbeg;
+                 });
+  for (int k = 1; k < (int)chains.size(); ++k) {
+    const ChainEnt &p = chains[k];
+    for (int j = 0; j < k; ++j) {
+      const ChainEnt &q = chains[j];
+      if (flag[q.idx]) continue;
+      if (q.qend >= p.qend && q.chain > (int64_t)p.chain * thres
+          && p.chain < thres) {
+        flag[p.idx] = 1;
+        break;
+      }
+    }
+  }
+  for (int k = 0; k < 2; ++k)
+    for (const ChainEnt &zz : z[k])
+      if (flag[zz.chain]) (*bb[k])[zz.idx].G = 0;
+  for (int k = 0; k < 2; ++k) {
+    size_t w = 0;
+    for (size_t i = 0; i < bb[k]->size(); ++i)
+      if ((*bb[k])[i].G) (*bb[k])[w++] = (*bb[k])[i];
+    bb[k]->resize(w);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full native aln1 for one read.  seq0/seq1: forward / revcomp codes.
+// rows_out: 10-int64 Hit records; returns count, -1 if cap_out too small
+// (caller restores *rng_state and retries), -2 on core error.
+int64_t bsw2_aln1_run(const uint8_t *g_inter, int64_t g_seq_len,
+                      int64_t g_primary, const int64_t *g_L2,
+                      const int64_t *ssa, int32_t sa_intv,
+                      const uint8_t *pac, const uint8_t *seq0,
+                      const uint8_t *seq1, int32_t l, int32_t a,
+                      int32_t b_pen, int32_t q_pen, int32_t r_pen,
+                      int32_t t_thres, int32_t z_best, int32_t is_intv,
+                      int32_t bw, int32_t t_seeds, int32_t max_chain_gap,
+                      double mask_level, uint64_t *rng_state,
+                      int64_t *rows_out, int64_t cap_out) {
+  const int64_t l_pac = g_seq_len >> 1;
+  // ---- raw DAG core + SA-expansion/dedup (reusing the verified entries)
+  std::vector<int64_t> out_b((size_t)2 * l * 10, 0);
+  int64_t cap1 = std::max(4 * l, 256);
+  std::vector<int64_t> out_b1;
+  int64_t n1;
+  for (;;) {
+    out_b1.assign((size_t)cap1 * 10, 0);
+    std::fill(out_b.begin(), out_b.end(), 0);
+    n1 = bsw2_core_run(g_inter, g_seq_len, g_primary, g_L2, seq0, l, a,
+                       b_pen, q_pen, r_pen, t_thres, z_best, is_intv, bw,
+                       out_b.data(), out_b1.data(), cap1);
+    if (n1 == -1) { cap1 *= 4; continue; }
+    if (n1 < 0) return -2;
+    break;
+  }
+  auto resolve_rows = [&](const int64_t *rows, int64_t n,
+                          std::vector<Hit> &out) -> bool {
+    int64_t cap = std::max<int64_t>(4 * n + 64, 256);
+    std::vector<int64_t> buf;
+    for (;;) {
+      buf.assign((size_t)cap * 10, 0);
+      int64_t m = bsw2_resolve_duphits_rows(g_inter, g_seq_len, g_primary,
+                                            g_L2, ssa, sa_intv, rows, n,
+                                            is_intv, buf.data(), cap);
+      if (m == -1) { cap *= 4; continue; }
+      if (m < 0) return false;
+      out.resize((size_t)m);
+      std::memcpy(out.data(), buf.data(), (size_t)m * sizeof(Hit));
+      return true;
+    }
+  };
+  std::vector<Hit> B, B1;
+  if (!resolve_rows(out_b.data(), 2 * l, B)) return -2;
+  if (!resolve_rows(out_b1.data(), n1, B1)) return -2;
+
+  // ---- strand split (reverse hits get read-space coordinates)
+  std::vector<Hit> bb[2][2];
+  std::vector<Hit> *srcs[2] = {&B, &B1};
+  for (int kk = 0; kk < 2; ++kk) {
+    for (Hit &h : *srcs[kk]) {
+      if (h.is_rev) {
+        int64_t x = h.beg;
+        h.beg = l - h.end;
+        h.end = l - x;
+      }
+      bb[h.is_rev][kk].push_back(h);
+    }
+  }
+  chain_filter_c(max_chain_gap, bw, t_seeds, l, &bb[0][1], &bb[1][1]);
+
+  // score matrix fill_scmat(a, b)
+  int8_t mat[25];
+  for (int i = 0; i < 5; ++i)
+    for (int j = 0; j < 5; ++j)
+      mat[i * 5 + j] = (i == 4 || j == 4) ? -1 : (i == j ? a : -b_pen);
+
+  const uint8_t *seqs[2] = {seq0, seq1};
+  std::vector<uint8_t> rq(l), target;
+  int qle, tle, gtle, gscore, moff;
+  for (int kk = 0; kk < 2; ++kk) {
+    const uint8_t *query = seqs[kk];
+    for (int i = 0; i < l; ++i) rq[i] = query[l - 1 - i];
+    // ---- extend_left (bwtsw2_aux.c:100-134)
+    std::vector<Hit> &bl = bb[kk][1];
+    ks_introsort_t(bl.data(), (int)bl.size(),
+                   [](const Hit &x, const Hit &y) { return x.end > y.end; });
+    for (int i = 0; i < (int)bl.size(); ++i) {
+      Hit &p = bl[i];
+      int64_t lt = idiv_c(idiv_c(p.beg + 1, 2) * a + r_pen, r_pen) + l;
+      p.n_seeds = 1;
+      if (p.l || p.k == 0) continue;
+      int score = 0;
+      for (int j = 0; j < i; ++j) {
+        Hit &q = bl[j];
+        if (q.beg <= p.beg && q.k <= p.k && q.k + q.len >= p.k + p.len) {
+          if (q.n_seeds < (1 << 13) - 2) ++q.n_seeds;
+          ++score;
+        }
+      }
+      if (score) continue;
+      if (lt > p.k) lt = p.k;
+      int64_t lo = std::max<int64_t>(p.k - lt, 1);
+      int64_t tl_len = p.k - lo;
+      target.resize((size_t)tl_len);
+      for (int64_t j = 0; j < tl_len; ++j)
+        target[j] = (uint8_t)pac_at2(pac, p.k - 1 - j);
+      int sc = bt_ksw_extend2((int)p.beg, rq.data() + (l - p.beg),
+                              (int)tl_len, target.data(), 5, mat, q_pen,
+                              r_pen, q_pen, r_pen, bw, 0, -1, (int)p.G,
+                              &qle, &tle, &gtle, &gscore, &moff);
+      if (sc > p.G) {
+        p.G = sc;
+        p.k -= tle;
+        p.len += tle;
+        p.beg -= qle;
+      }
+    }
+    // merge narrow into wide (no flip), dedup
+    std::vector<Hit> &bw0 = bb[kk][0];
+    bw0.insert(bw0.end(), bl.begin(), bl.end());
+    bl.clear();
+    dedup_hits(bw0);
+    // ---- extend_rght (bwtsw2_aux.c:136-170)
+    for (Hit &p : bw0) {
+      int64_t lt = idiv_c(idiv_c(l - p.beg + 1, 2) * a + r_pen, r_pen) + l;
+      if (p.l) continue;
+      int64_t hi = std::min(p.k + lt, l_pac);
+      int64_t tl_len = hi - p.k;
+      target.resize((size_t)tl_len);
+      for (int64_t j = 0; j < tl_len; ++j)
+        target[j] = (uint8_t)pac_at2(pac, p.k + j);
+      int sc = bt_ksw_extend2((int)(l - p.beg), query + p.beg, (int)tl_len,
+                              target.data(), 5, mat, q_pen, r_pen, q_pen,
+                              r_pen, bw, 0, -1, 1, &qle, &tle, &gtle,
+                              &gscore, &moff);
+      sc -= 1;
+      if (sc >= p.G) {
+        p.G = sc;
+        p.len = tle;
+        p.end = p.beg + qle;
+      }
+    }
+    dedup_hits(bw0);
+  }
+  // merge reverse-orientation hits (flip + flag 0x10)
+  for (Hit &h : bb[1][0]) {
+    int64_t x = h.beg;
+    h.beg = l - h.end;
+    h.end = l - x;
+    h.flag |= 0x10;
+    bb[0][0].push_back(h);
+  }
+  bb[1][0].clear();
+
+  // ---- resolve_query_overlaps (bwtsw2_core.c:349-398)
+  std::vector<Hit> &hits = bb[0][0];
+  Drand48 rng{*rng_state};
+  if (!hits.empty()) {
+    hit_introsort(hits.data(), (int)hits.size());
+    int64_t G0 = hits[0].G;
+    int i = 1;
+    while (i < (int)hits.size() && hits[i].G == G0) ++i;
+    int j = (int)(i * rng.next());
+    if (j) std::swap(hits[0], hits[j]);
+    float mask_f = (float)mask_level;
+    int n = (int)hits.size();
+    int stop = n;
+    for (int i2 = 1; i2 < n; ++i2) {
+      Hit &p = hits[i2];
+      if (p.G == 0) { stop = i2; break; }
+      bool all_compatible = true;
+      for (int j2 = 0; j2 < i2; ++j2) {
+        Hit &q = hits[j2];
+        if (q.G == 0) continue;
+        int64_t tol = 0;
+        int64_t qol = std::min(p.end, q.end) - std::max(p.beg, q.beg);
+        if (qol < 0) qol = 0;
+        if (p.l == 0 && q.l == 0) {
+          tol = std::min(p.k + p.len, q.k + q.len) - std::max(p.k, q.k);
+          if (tol < 0) tol = 0;
+        }
+        float fol = (float)qol
+                    / (float)std::min(p.end - p.beg, q.end - q.beg);
+        bool compatible = (fol < mask_f
+                           || (tol > 0 && qol < p.end - p.beg
+                               && qol < q.end - q.beg));
+        if (!compatible) {
+          if (q.G2 < p.G) q.G2 = p.G;
+          all_compatible = false;
+        }
+      }
+      if (!all_compatible) p.G = 0;
+    }
+    std::vector<Hit> keep;
+    for (int i2 = 0; i2 < stop; ++i2)
+      if (hits[i2].G) keep.push_back(hits[i2]);
+    hits = std::move(keep);
+  }
+  if ((int64_t)hits.size() > cap_out) return -(int64_t)hits.size() - 10;
+  std::memcpy(rows_out, hits.data(), hits.size() * sizeof(Hit));
+  *rng_state = rng.x;
+  return (int64_t)hits.size();
+}
+
+}  // extern "C"

@@ -19,7 +19,8 @@ from bwa_tpu.index.pack import NT4_TABLE
 from bwa_tpu.mem.cigar import gen_cigar2_full
 from bwa_tpu.mem.ksort import ks_introsort
 from bwa_tpu.ops.ksw_host import ksw_extend2
-from bwa_tpu.sw2.core import (Sw2Index, resolve_duphits,
+from bwa_tpu.sw2.core import (_hit_from_row, _i64p, _u8p,
+                              Sw2Index, resolve_duphits,
                               resolve_query_overlaps)
 from bwa_tpu.sw2.types import (Aux, Bsw2Opt, BSW2_FLAG_MATESW,
                                BSW2_FLAG_TANDEM, Hit, HitSet, NT_COMP_TABLE,
@@ -228,8 +229,61 @@ def flag_fr(b0: HitSet, b1: HitSet) -> None:
                 break
 
 
+def aln1_native(opt: Bsw2Opt, fm, idx: Sw2Index, length: int, seq2,
+                rng) -> HitSet:
+    """Whole-per-read aln1 in C++ (native/bsw2.cpp bsw2_aln1_run): DAG
+    core, SA expansion, strand split, chain filter, left/right extension,
+    dedup rounds and query-overlap resolution (incl. the drand48 tie
+    promotion).  The Python aln1_core below is the executable spec."""
+    import ctypes
+
+    from bwa_tpu.native.build import get_lib
+
+    lib = get_lib()
+    if not getattr(lib, "_aln1_sig", False):
+        c32 = ctypes.c_int32
+        lib.bsw2_aln1_run.restype = ctypes.c_int64
+        lib.bsw2_aln1_run.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, c32,
+            _u8p, _u8p, _u8p, c32,
+            c32, c32, c32, c32, c32, c32, c32, c32, c32, c32,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_uint64),
+            _i64p, ctypes.c_int64]
+        lib._aln1_sig = True
+    pac = np.ascontiguousarray(fm.pac, np.uint8)
+    q0 = np.ascontiguousarray(seq2[0], np.uint8)
+    q1 = np.ascontiguousarray(seq2[1], np.uint8)
+    rng_state = np.array([rng.x], np.uint64)
+    cap = max(4 * length, 256)
+    while True:
+        rows = np.zeros((cap, 10), np.int64)
+        rng_state[0] = rng.x  # restore on capacity retry
+        r = lib.bsw2_aln1_run(
+            idx.inter.ctypes.data_as(_u8p), ctypes.c_int64(fm.seq_len),
+            ctypes.c_int64(fm.primary), idx.L2.ctypes.data_as(_i64p),
+            idx.ssa64.ctypes.data_as(_i64p), np.int32(fm.sa_intv),
+            pac.ctypes.data_as(_u8p), q0.ctypes.data_as(_u8p),
+            q1.ctypes.data_as(_u8p), np.int32(length),
+            np.int32(opt.a), np.int32(opt.b), np.int32(opt.q),
+            np.int32(opt.r), np.int32(opt.t), np.int32(opt.z),
+            np.int32(opt.is_), np.int32(opt.bw), np.int32(opt.t_seeds),
+            np.int32(opt.max_chain_gap), ctypes.c_double(opt.mask_level),
+            rng_state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            rows.ctypes.data_as(_i64p), ctypes.c_int64(cap))
+        if r >= 0:
+            break
+        if r == -2:
+            raise RuntimeError("bsw2_aln1_run failed")
+        cap = int(-r - 10) + 16
+    rng.x = int(rng_state[0])
+    out = HitSet([_hit_from_row(rows[i]) for i in range(int(r))])
+    return out
+
+
 def aln1_core(opt: Bsw2Opt, fm, idx: Sw2Index, length: int, seq2, rng) -> HitSet:
     """bsw2_aln1_core (bwtsw2_aux.c:248-295); seq2 = (codes, revcomp codes)."""
+    if os.environ.get("BWA_TPU_SW2_ALN1", "native") == "native":
+        return aln1_native(opt, fm, idx, length, seq2, rng)
     bnt = fm.bnt
     if os.environ.get("BWA_TPU_SW2_RESOLVE") == "python":
         braw, b1raw = idx.core(seq2[0], opt)
