@@ -80,15 +80,27 @@ class PEOpt:
 
 
 def cal_maxdiff(l: int, err: float, thres: float) -> int:
-    """bwa_cal_maxdiff (bwtaln.c:42-54)."""
+    """bwa_cal_maxdiff (bwtaln.c:42-54).
+
+    The reference accumulates the factorial in a C ``int``: it wraps at
+    k=13 (13! > 2^31) and hits exactly 0 at k=34 (34! has 32 factors of
+    two), where C's y/0.0 yields inf and terminates the loop.  That
+    wraparound is observable for long reads with fractional -n, so it is
+    mirrored bit-for-bit here (validated against a compiled probe of the
+    reference function over l in [10, 10000]).
+    """
     elambda = math.exp(-l * err)
     y = 1.0
     x = 1
     total = elambda
     for k in range(1, 1000):
         y *= l * err
-        x *= k
-        total += elambda * y / x
+        x = (x * k) & 0xFFFFFFFF
+        xs = x - (1 << 32) if x >= (1 << 31) else x
+        if xs == 0:
+            total += math.inf if y > 0 else (-math.inf if y < 0 else math.nan)
+        else:
+            total += elambda * y / xs
         if 1.0 - total < thres:
             return k
     return 2

@@ -175,7 +175,11 @@ def main_mem(argv: list[str], out_fp_override=None,
     import os
 
     if (not _in_daemon and not _ENGINE_CACHE and not opened_out
-            and os.environ.get("BWA_TPU_NO_DAEMON") != "1"):
+            and os.environ.get("BWA_TPU_NO_DAEMON") != "1"
+            # stdin ("-"), /dev/stdin, process substitution and other
+            # non-regular files cannot be reopened by the daemon — run
+            # those locally
+            and all(os.path.isfile(a) for a in args[1:])):
         from bwa_tpu import server
 
         if server.daemon_available(args[0]):
@@ -227,21 +231,34 @@ def main_mem(argv: list[str], out_fp_override=None,
 
     rq: "queue.Queue[list]" = queue.Queue(maxsize=2)
     wq: "queue.Queue[list | None]" = queue.Queue(maxsize=2)
+    # a crash in either side thread must become a loud failure on the
+    # main thread, not an indefinite hang on the bounded queues
+    pipe_err: list = []
 
     def _reader():
-        while True:
-            batch = read_batch(ks1, ks2, actual_chunk, copy_comment)
-            rq.put(batch)
-            if not batch:
-                return
+        try:
+            while True:
+                batch = read_batch(ks1, ks2, actual_chunk, copy_comment)
+                rq.put(batch)
+                if not batch:
+                    return
+        except BaseException as e:  # malformed/truncated FASTQ, IO error
+            pipe_err.append(e)
+            rq.put([])  # sentinel: unblock the main rq.get
 
     def _writer():
-        while True:
-            batch = wq.get()
-            if batch is None:
-                return
-            for r in batch:
-                out_fp.write(r.sam)
+        try:
+            while True:
+                batch = wq.get()
+                if batch is None:
+                    return
+                for r in batch:
+                    out_fp.write(r.sam)
+        except BaseException as e:  # ENOSPC / EPIPE on out_fp
+            pipe_err.append(e)
+            while True:  # keep draining so the main wq.put never blocks
+                if wq.get() is None:
+                    return
 
     rt = threading.Thread(target=_reader, daemon=True)
     wt = threading.Thread(target=_writer, daemon=True)
@@ -250,6 +267,8 @@ def main_mem(argv: list[str], out_fp_override=None,
     try:
         while True:
             reads = rq.get()
+            if pipe_err:
+                raise pipe_err[0]
             if not reads:
                 break
             if opt.flag & MEM_F_SMARTPE:
@@ -261,12 +280,16 @@ def main_mem(argv: list[str], out_fp_override=None,
                 process_seqs(opt, engine, fm, reads, n_processed, pes0, rg_id)
             n_processed += len(reads)
             wq.put(reads)
+            if pipe_err:
+                raise pipe_err[0]
     finally:
         wq.put(None)
         wt.join()
         # rt is a daemon thread: on the normal path it has already
         # returned (we consumed the empty sentinel batch); on an error
         # path it may be blocked on rq.put and must not be joined
+    if pipe_err:
+        raise pipe_err[0]
     if opened_out:
         out_fp.close()
     return 0
@@ -294,13 +317,15 @@ def main_index(argv: list[str]) -> int:
     return 0
 
 
-def main_fastmap(argv: list[str]) -> int:
+def main_fastmap(argv: list[str], out_fp_override=None,
+                 _in_daemon: bool = False) -> int:
     import getopt as getopt_mod
 
     from bwa_tpu.engine import make_engine
     from bwa_tpu.index.fmindex import FMIndex
     from bwa_tpu.io.fastq import SeqReader
 
+    out_fp = out_fp_override if out_fp_override is not None else sys.stdout
     min_iwidth, min_len, print_seq, min_intv, max_intv = 20, 17, False, 1, 0
     opts, args = getopt_mod.getopt(argv, "w:l:pi:I:L:")
     for c, a in opts:
@@ -318,7 +343,11 @@ def main_fastmap(argv: list[str]) -> int:
 
     import os
 
-    if (not _ENGINE_CACHE and os.environ.get("BWA_TPU_NO_DAEMON") != "1"):
+    if (not _in_daemon and not _ENGINE_CACHE
+            and os.environ.get("BWA_TPU_NO_DAEMON") != "1"
+            # stdin / process substitution cannot cross the socket: the
+            # daemon can only open regular files by path
+            and all(os.path.isfile(a) for a in args[1:])):
         from bwa_tpu import server
 
         if server.daemon_available(args[0]):
@@ -328,7 +357,7 @@ def main_fastmap(argv: list[str]) -> int:
             print("[M::main_fastmap] forwarding to the resident engine "
                   "daemon", file=sys.stderr)
             return server.client_run(os.path.abspath(args[0]),
-                                     ["fastmap", *fwd], sys.stdout)
+                                     ["fastmap", *fwd], out_fp)
 
     cached = _ENGINE_CACHE.get(os.path.abspath(args[0]))
     if cached is not None:
@@ -343,7 +372,7 @@ def main_fastmap(argv: list[str]) -> int:
             break
         for line in fastmap_batch(fm, engine, reads, min_iwidth, min_len,
                                   print_seq, min_intv, max_intv):
-            sys.stdout.write(line + "\n")
+            out_fp.write(line + "\n")
     return 0
 
 
@@ -570,7 +599,8 @@ def main(argv=None, out_fp=None, _in_daemon: bool = False) -> int:
     if cmd == "index":
         return main_index(rest)
     if cmd == "fastmap":
-        return main_fastmap(rest)
+        return main_fastmap(rest, out_fp_override=out_fp,
+                            _in_daemon=_in_daemon)
     if cmd == "aln":
         return main_aln(rest)
     if cmd == "samse":

@@ -17,9 +17,13 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <chrono>
 #include <vector>
 
 extern "C" int sais_u8_i32(const uint8_t *text, int32_t n, int32_t *sa_out);
+
+// phase/call profiling counters (see bsw2_prof_read)
+int64_t g_prof_cnt[8];
 
 namespace {
 
@@ -50,6 +54,7 @@ static inline const uint32_t *g_blk_words(const GenomeFM &g, int64_t blk) {
 }
 
 static void g_occ4(const GenomeFM &g, int64_t k, int64_t cnt[4]) {
+  ++g_prof_cnt[0];
   if (k == -1) {
     cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0;
     return;
@@ -80,6 +85,64 @@ static void g_occ4(const GenomeFM &g, int64_t k, int64_t cnt[4]) {
   cnt[1] = cp[1] + a1;
   cnt[2] = cp[2] + a2;
   cnt[3] = cp[3] + a3;
+}
+
+// Fused occ4 for the pair (k, l), k <= l — the bwt_2occ4 idea
+// (bwt.c:189-219): when both positions land in the same 128-base block
+// the scan to k is a strict prefix of the scan to l, so one pass over
+// one cache line yields both counts.  Falls back to two g_occ4 calls
+// when the block differs or either position is a boundary sentinel.
+static void g_2occ4(const GenomeFM &g, int64_t k, int64_t l,
+                    int64_t cntk[4], int64_t cntl[4]) {
+  int64_t _k = k - (k >= g.primary && k != -1 ? 1 : 0);
+  int64_t _l = l - (l >= g.primary ? 1 : 0);
+  if (k == -1 || l == g.seq_len || (_k >> 7) != (_l >> 7)) {
+    g_occ4(g, k, cntk);
+    g_occ4(g, l, cntl);
+    return;
+  }
+  ++g_prof_cnt[4];
+  int64_t blk = _k >> 7;
+  int kw = (int)((_k >> 4) & 7), kb = (int)(_k & 15);
+  int lw = (int)((_l >> 4) & 7), lb = (int)(_l & 15);
+  const uint32_t *w = g_blk_words(g, blk);
+  int64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+  int64_t b0 = 0, b1 = 0, b2 = 0, b3 = 0;
+  for (int i = 0; i <= lw; ++i) {
+    int nkeep = (i < lw) ? 16 : lb + 1;
+    uint32_t mask2 = (nkeep == 16)
+                         ? 0xffffffffu
+                         : ~((1u << ((16 - nkeep) << 1)) - 1u);
+    uint32_t word = w[i] & mask2;
+    uint32_t vm = mask2 & 0x55555555u;
+    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
+    int64_t c3 = __builtin_popcount(hi & lo);
+    int64_t c2 = __builtin_popcount(hi & ~lo);
+    int64_t c1 = __builtin_popcount(lo & ~hi);
+    int64_t c0 = __builtin_popcount(vm & ~hi & ~lo);
+    b0 += c0; b1 += c1; b2 += c2; b3 += c3;
+    if (i < kw) {
+      a0 += c0; a1 += c1; a2 += c2; a3 += c3;
+    } else if (i == kw) {
+      if (kw == lw && kb == 15) {  // k's word fully counted above iff full
+        a0 += c0; a1 += c1; a2 += c2; a3 += c3;
+      } else {
+        uint32_t km = ~((kb == 15) ? 0u : ((1u << ((15 - kb) << 1)) - 1u));
+        uint32_t kword = w[i] & km;
+        uint32_t kvm = km & 0x55555555u;
+        uint32_t khi = (kword >> 1) & 0x55555555u, klo = kword & 0x55555555u;
+        a3 += __builtin_popcount(khi & klo);
+        a2 += __builtin_popcount(khi & ~klo);
+        a1 += __builtin_popcount(klo & ~khi);
+        a0 += __builtin_popcount(kvm & ~khi & ~klo);
+      }
+    }
+  }
+  const int64_t *cp = g_blk_cnt(g, blk);
+  cntk[0] = cp[0] + a0; cntk[1] = cp[1] + a1;
+  cntk[2] = cp[2] + a2; cntk[3] = cp[3] + a3;
+  cntl[0] = cp[0] + b0; cntl[1] = cp[1] + b1;
+  cntl[2] = cp[2] + b2; cntl[3] = cp[3] + b3;
 }
 
 // BWT character at $-removed position x (bwt_B0, bwt.h:71).
@@ -153,6 +216,7 @@ static int build_read_bwt(const uint8_t *seq, int len, ReadBwt *b) {
 
 // bwtl_occ4 (bwt_lite.c:72-86); k is uint32 with (uint32_t)-1 meaning "-1".
 static void r_occ4(const ReadBwt &b, uint32_t k, uint32_t cnt[4]) {
+  ++g_prof_cnt[1];
   if (k == (uint32_t)-1) {
     cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0;
     return;
@@ -579,7 +643,9 @@ int64_t bsw2_core_run(const uint8_t *g_inter,
       const int *curr_score_mat = score_mat + tj * 4;
 
       for (int i = 0; i < (int)v->cells.size(); ++i) {  // v grows in-loop
+        ++g_prof_cnt[2];
         if (v->cells[i].ql == 0) continue;
+        ++g_prof_cnt[3];
         const Cell pc = v->cells[i];  // snapshot of DP fields
         Cell x = kDefaultCell;
         x.G = kMinusInf;
@@ -625,8 +691,7 @@ int64_t bsw2_core_run(const uint8_t *g_inter,
           if (v->cells[i].cpos[0] == -1 || v->cells[i].cpos[1] == -1 ||
               v->cells[i].cpos[2] == -1 || v->cells[i].cpos[3] == -1) {
             int64_t qcntk[4], qcntl[4];
-            g_occ4(g, pc.qk - 1, qcntk);
-            g_occ4(g, pc.ql, qcntl);
+            g_2occ4(g, pc.qk - 1, pc.ql, qcntk, qcntl);
             for (int qj = 0; qj < 4; ++qj) {
               if (v->cells[i].cpos[qj] != -1) continue;
               int64_t nk = g.L2[qj] + qcntk[qj] + 1;
@@ -1192,7 +1257,26 @@ static void chain_filter_c(int max_chain_gap, int bw, int t_seeds,
 
 }  // namespace
 
+// phase profiling accumulators (ns), read via bsw2_prof_read
+static int64_t g_prof[8];
+struct ProfTimer {
+  int slot;
+  std::chrono::steady_clock::time_point t0;
+  explicit ProfTimer(int s)
+      : slot(s), t0(std::chrono::steady_clock::now()) {}
+  ~ProfTimer() {
+    g_prof[slot] += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                        std::chrono::steady_clock::now() - t0)
+                        .count();
+  }
+};
+
 extern "C" {
+
+void bsw2_prof_read(int64_t *out) {
+  for (int i = 0; i < 8; ++i) out[i] = g_prof[i];
+  for (int i = 0; i < 8; ++i) out[8 + i] = g_prof_cnt[i];
+}
 
 // Full native aln1 for one read.  seq0/seq1: forward / revcomp codes.
 // rows_out: 10-int64 Hit records; returns count, -1 if cap_out too small
@@ -1213,15 +1297,18 @@ int64_t bsw2_aln1_run(const uint8_t *g_inter, int64_t g_seq_len,
   int64_t cap1 = std::max(4 * l, 256);
   std::vector<int64_t> out_b1;
   int64_t n1;
-  for (;;) {
-    out_b1.assign((size_t)cap1 * 10, 0);
-    std::fill(out_b.begin(), out_b.end(), 0);
-    n1 = bsw2_core_run(g_inter, g_seq_len, g_primary, g_L2, seq0, l, a,
-                       b_pen, q_pen, r_pen, t_thres, z_best, is_intv, bw,
-                       out_b.data(), out_b1.data(), cap1);
-    if (n1 == -1) { cap1 *= 4; continue; }
-    if (n1 < 0) return -2;
-    break;
+  {
+    ProfTimer pt(0);  // DAG core
+    for (;;) {
+      out_b1.assign((size_t)cap1 * 10, 0);
+      std::fill(out_b.begin(), out_b.end(), 0);
+      n1 = bsw2_core_run(g_inter, g_seq_len, g_primary, g_L2, seq0, l, a,
+                         b_pen, q_pen, r_pen, t_thres, z_best, is_intv, bw,
+                         out_b.data(), out_b1.data(), cap1);
+      if (n1 == -1) { cap1 *= 4; continue; }
+      if (n1 < 0) return -2;
+      break;
+    }
   }
   auto resolve_rows = [&](const int64_t *rows, int64_t n,
                           std::vector<Hit> &out) -> bool {
@@ -1240,8 +1327,12 @@ int64_t bsw2_aln1_run(const uint8_t *g_inter, int64_t g_seq_len,
     }
   };
   std::vector<Hit> B, B1;
-  if (!resolve_rows(out_b.data(), 2 * l, B)) return -2;
-  if (!resolve_rows(out_b1.data(), n1, B1)) return -2;
+  {
+    ProfTimer pt(1);  // SA-resolve/dedup
+    if (!resolve_rows(out_b.data(), 2 * l, B)) return -2;
+    if (!resolve_rows(out_b1.data(), n1, B1)) return -2;
+  }
+  ProfTimer pt_rest(2);  // extends + overlap resolution + bookkeeping
 
   // ---- strand split (reverse hits get read-space coordinates)
   std::vector<Hit> bb[2][2];

@@ -199,15 +199,18 @@ static void init_log_n() {
   done = true;
 }
 
-// bwa_cal_maxdiff (bwtaln.c:42-54)
+// bwa_cal_maxdiff (bwtaln.c:42-54).  The reference's factorial lives in
+// a C int and wraps (observable from k=13; exactly 0 at k=34 where the
+// division yields inf) — keep the int32 wraparound so mapQ matches for
+// long reads with fractional -n.
 static int cal_maxdiff(int l, double err, double thres) {
   double elambda = std::exp(-l * err);
   double y = 1.0, total = elambda;
-  double x = 1;
+  uint32_t x = 1;
   for (int k = 1; k < 1000; ++k) {
     y *= l * err;
-    x *= k;
-    total += elambda * y / x;
+    x *= (uint32_t)k;
+    total += elambda * y / (double)(int32_t)x;
     if (1.0 - total < thres) return k;
   }
   return 2;

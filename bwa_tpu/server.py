@@ -81,7 +81,7 @@ def client_run(prefix: str, argv: list[str], out_fp=None) -> int:
             buf.write(chunk)
     f.close()
     s.close()
-    return 0
+    return int(status.get("ok", 0))
 
 
 def _warm(fm, engine) -> None:
