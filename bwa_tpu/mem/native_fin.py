@@ -99,7 +99,7 @@ class RefBlob:
 
 def finalize_se_batch(opt, fm, ref_blob: RefBlob, reads, codes_list,
                       mems_list, caches, n_processed: int,
-                      rg_id: str | None) -> list[str]:
+                      rg_id: str | None, device_ext: bool = False) -> list[str]:
     """Run the full post-seeding SE pipeline in C++; returns SAM per read."""
     n = len(reads)
     iv_off = np.zeros(n + 1, np.int32)
@@ -128,14 +128,18 @@ def finalize_se_batch(opt, fm, ref_blob: RefBlob, reads, codes_list,
         opt, fm, ref_blob, reads, codes_list,
         iv_off, np.array(iv_x2, np.int64), np.array(iv_start, np.int32),
         np.array(iv_end, np.int32), np.array(rbegs, np.int64),
-        np.array(rb_off, np.int32), n_processed, rg_id)
+        np.array(rb_off, np.int32), n_processed, rg_id,
+        device_ext=device_ext)
 
 
 def finalize_se_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
                        iv_off, iv_x2, iv_start, iv_end, rbegs_a, rb_off_a,
-                       n_processed: int, rg_id: str | None) -> list[str]:
+                       n_processed: int, rg_id: str | None,
+                       device_ext: bool = False) -> list[str]:
     """The ctypes call itself, over pre-flattened seed/occurrence arrays
-    (either from the tuple path above or collect_se_flat)."""
+    (either from the tuple path above or collect_se_flat).  device_ext
+    routes the chain2aln seed extensions through the batched Pallas
+    kernel (mem/ext_device.py) instead of the scalar C++ DP."""
     lib = _lib()
     n = len(reads)
     blob = pack_opt(opt)
@@ -196,9 +200,17 @@ def finalize_se_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
             out, cap, out_off.ctypes.data_as(i64p))
         return rc, out
 
-    rc, out = run(cap)
-    if rc < 0:
-        rc, out = run(-rc)
+    if device_ext:
+        from bwa_tpu.mem.ext_device import DeviceExtContext
+
+        with DeviceExtContext(opt, fm, codes_flat):
+            rc, out = run(cap)
+            if rc < 0:
+                rc, out = run(-rc)
+    else:
+        rc, out = run(cap)
+        if rc < 0:
+            rc, out = run(-rc)
     assert rc >= 0
     raw = out.raw[:rc].decode()
     return [raw[out_off[i]:out_off[i + 1]] for i in range(n)]
@@ -206,7 +218,8 @@ def finalize_se_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
 
 def finalize_pe_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
                        iv_off, iv_x2, iv_start, iv_end, rbegs_a, rb_off_a,
-                       n_processed: int, pes0, rg_id: str | None) -> list[str]:
+                       n_processed: int, pes0, rg_id: str | None,
+                       device_ext: bool = False) -> list[str]:
     """Full post-seeding PE pipeline in C++ (mem_finalize_pe_batch)."""
     lib = _lib()
     n = len(reads)
@@ -277,9 +290,17 @@ def finalize_pe_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
             out, cap, out_off.ctypes.data_as(i64p))
         return rc, out
 
-    rc, out = run(cap)
-    if rc < 0:
-        rc, out = run(-rc)
+    if device_ext:
+        from bwa_tpu.mem.ext_device import DeviceExtContext
+
+        with DeviceExtContext(opt, fm, codes_flat):
+            rc, out = run(cap)
+            if rc < 0:
+                rc, out = run(-rc)
+    else:
+        rc, out = run(cap)
+        if rc < 0:
+            rc, out = run(-rc)
     assert rc >= 0
     raw = out.raw[:rc].decode()
     return [raw[out_off[i]:out_off[i + 1]] for i in range(n)]

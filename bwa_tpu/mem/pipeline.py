@@ -157,6 +157,23 @@ def _flatten_tuple_seeds(opt, mems_list, caches):
             np.array(rb_off, np.int32))
 
 
+def _use_device_ext(engine, codes) -> bool:
+    """Route chain2aln extensions through the banded Pallas kernel?  On
+    for long-read batches on a device engine (where the scalar C++ DP
+    dominates finalize); short reads keep the host DP (problems are tiny
+    and the per-call device round-trip would dominate)."""
+    import os
+
+    mode = os.environ.get("BWA_TPU_EXT", "auto")
+    if mode == "host" or not codes:
+        return False
+    if not hasattr(engine, "dev"):
+        return False
+    if mode == "device":
+        return True
+    return max(len(c) for c in codes) >= 512
+
+
 def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
                  pes0=None, rg_id: str | None = None) -> None:
     """mem_process_seqs (bwamem.c:1235-1264): fills read.sam."""
@@ -164,6 +181,7 @@ def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
 
     codes = to_codes_batch(reads)
     use_native = os.environ.get("BWA_TPU_FINALIZE", "native") == "native"
+    dev_ext = _use_device_ext(engine, codes)
     if (opt.flag & MEM_F_PE) and use_native and reads:
         # PE fast path: rescue/pairing/SAM in the C++ extension
         from bwa_tpu.mem.native_fin import RefBlob, finalize_pe_arrays
@@ -179,7 +197,8 @@ def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
             mems_list, caches = _collect_batch(opt, engine, fm, codes)
             flat = _flatten_tuple_seeds(opt, mems_list, caches)
         sams = finalize_pe_arrays(opt, fm, fm._ref_blob, reads, codes,
-                                  *flat, n_processed, pes0, rg_id)
+                                  *flat, n_processed, pes0, rg_id,
+                                  device_ext=dev_ext)
         for r, s in zip(reads, sams):
             r.sam = s
         return
@@ -203,13 +222,14 @@ def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
                 if flat is not None:
                     sams = finalize_se_arrays(
                         opt, fm, fm._ref_blob, reads[sl], codes[sl], *flat,
-                        n_processed + lo, rg_id)
+                        n_processed + lo, rg_id, device_ext=dev_ext)
                 else:  # exactness fallback for an overflowing bucket
                     mems_list, caches = _collect_batch(opt, engine, fm,
                                                        codes[sl])
                     sams = finalize_se_batch(
                         opt, fm, fm._ref_blob, reads[sl], codes[sl],
-                        mems_list, caches, n_processed + lo, rg_id)
+                        mems_list, caches, n_processed + lo, rg_id,
+                        device_ext=dev_ext)
                 for r, s in zip(reads[sl], sams):
                     r.sam = s
         else:

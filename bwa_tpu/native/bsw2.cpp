@@ -237,11 +237,12 @@ static void r_occ4(const ReadBwt &b, uint32_t k, uint32_t cnt[4]) {
 // DAG traversal state (bwtsw2_core.c:15-68)
 // ---------------------------------------------------------------------
 
-struct Cell {
+struct Cell {  // 56 bytes: bitfields as in bsw2cell_t (bwtsw2.h:13-20) —
+               // cell traffic dominates the DAG core, density matters
   int64_t qk, ql;          // genome-BWT interval
   int32_t I, D, G;
-  int32_t pj;              // incoming read-trie branch label
-  int32_t qlen, tlen;
+  uint32_t pj : 2;         // incoming read-trie branch label
+  uint32_t qlen : 15, tlen : 15;
   int32_t ppos, upos;
   int32_t cpos[4];
 };

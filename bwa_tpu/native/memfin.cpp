@@ -490,11 +490,13 @@ int cal_max_gap(const MemOpt &o, int qlen) {
   return l < o.w << 1 ? l : o.w << 1;
 }
 
-void chain2aln(const MemOpt &o, const RefView &r, int l_query,
-               const uint8_t *query, const Chain &c, std::vector<Reg> &regs) {
-  const int MAX_BAND_TRY = 2;
-  if (c.seeds.empty()) return;
-  int64_t l_pac = r.l_pac, rmax0 = l_pac << 1, rmax1 = 0;
+// The extension window [rmax0, rmax1) around a chain (bwamem.c:656-670),
+// pre-clamp; the contig clamp happens through fetch_seq/clamp_rmax.
+static void chain_rmax(const MemOpt &o, const RefView &r, int l_query,
+                       const Chain &c, int64_t &rmax0, int64_t &rmax1) {
+  int64_t l_pac = r.l_pac;
+  rmax0 = l_pac << 1;
+  rmax1 = 0;
   for (const Seed &t : c.seeds) {
     int64_t b = t.rbeg - (t.qbeg + cal_max_gap(o, t.qbeg));
     int64_t e = t.rbeg + t.len + (l_query - t.qbeg - t.len) +
@@ -508,18 +510,94 @@ void chain2aln(const MemOpt &o, const RefView &r, int l_query,
     if (c.seeds[0].rbeg < l_pac) rmax1 = l_pac;
     else rmax0 = l_pac;
   }
-  int rid;
-  std::vector<uint8_t> rseq;
-  fetch_seq(r, rmax0, c.seeds[0].rbeg, rmax1, &rid, rseq);
+}
 
+// bns_fetch_seq's coordinate clamp without the sequence copy.
+static void clamp_rmax(const RefView &r, int64_t &beg, int64_t mid,
+                       int64_t &end) {
+  int is_rev;
+  int64_t pos_f = depos(r, mid, &is_rev);
+  int rid = pos2rid(r, pos_f);
+  int64_t far_beg = r.bns.offset[rid];
+  int64_t far_end = far_beg + r.bns.len[rid];
+  if (is_rev) {
+    int64_t tmp = far_beg;
+    far_beg = (r.l_pac << 1) - far_end;
+    far_end = (r.l_pac << 1) - tmp;
+  }
+  beg = beg > far_beg ? beg : far_beg;
+  end = end < far_end ? end : far_end;
+}
+
+// The per-chain seed processing order (score-desc introsort permutation,
+// bwamem.c:684-688) — shared by the job enumeration and the serial loop
+// so speculative extension results line up by a running job counter.
+static void chain_srt(const Chain &c, std::vector<uint64_t> &srt) {
   size_t n = c.seeds.size();
-  std::vector<uint64_t> srt(n);
+  srt.resize(n);
   for (size_t i = 0; i < n; ++i)
     srt[i] = (uint64_t)c.seeds[i].score << 32 | i;
   ks_introsort(n, srt.data(),
                [](uint64_t x, uint64_t y) { return x < y; });
+}
+
+// Speculative-extension job table: one row per (chain, seed-in-srt-order),
+// emitted for EVERY seed (the serial loop's containment skip depends on
+// earlier extension results, but the extension of one seed is a pure
+// function of geometry — skipped seeds' results are simply unused).
+// Row layout (8 int64): q_base, l_query, qbeg, slen, rbeg, rmax0, rmax1,
+// h0 (= slen * o.a).
+static void collect_ext_jobs(const MemOpt &o, const RefView &r, int l_query,
+                             int64_t q_base,
+                             const std::vector<Chain> &chains,
+                             std::vector<int64_t> &meta) {
+  std::vector<uint64_t> srt;
+  for (const Chain &c : chains) {
+    if (c.seeds.empty()) continue;
+    int64_t rmax0, rmax1;
+    chain_rmax(o, r, l_query, c, rmax0, rmax1);
+    clamp_rmax(r, rmax0, c.seeds[0].rbeg, rmax1);
+    chain_srt(c, srt);
+    for (int k = (int)c.seeds.size() - 1; k >= 0; --k) {
+      const Seed &s = c.seeds[(uint32_t)srt[k]];
+      meta.push_back(q_base);
+      meta.push_back(l_query);
+      meta.push_back(s.qbeg);
+      meta.push_back(s.len);
+      meta.push_back(s.rbeg);
+      meta.push_back(rmax0);
+      meta.push_back(rmax1);
+      meta.push_back((int64_t)s.len * o.a);
+    }
+  }
+}
+
+// lres/rres: per-job speculative extension results (6 int32 each:
+// score, qle, tle, gtle, gscore, aw) produced by the batch-extension
+// callback; when non-null the DP calls below are replaced by table reads
+// (job_ctr advances once per seed in srt order, skipped or not).
+void chain2aln(const MemOpt &o, const RefView &r, int l_query,
+               const uint8_t *query, const Chain &c, std::vector<Reg> &regs,
+               const int32_t *lres = nullptr, const int32_t *rres = nullptr,
+               int64_t *job_ctr = nullptr) {
+  const int MAX_BAND_TRY = 2;
+  if (c.seeds.empty()) return;
+  int64_t rmax0, rmax1;
+  chain_rmax(o, r, l_query, c, rmax0, rmax1);
+  int rid;
+  std::vector<uint8_t> rseq;
+  if (lres) {
+    clamp_rmax(r, rmax0, c.seeds[0].rbeg, rmax1);
+  } else {
+    fetch_seq(r, rmax0, c.seeds[0].rbeg, rmax1, &rid, rseq);
+  }
+
+  size_t n = c.seeds.size();
+  std::vector<uint64_t> srt;
+  chain_srt(c, srt);
 
   for (int k = (int)n - 1; k >= 0; --k) {
+    const int64_t job = job_ctr ? (*job_ctr)++ : -1;
     const Seed *s = &c.seeds[(uint32_t)srt[k]];
     size_t i;
     for (i = 0; i < regs.size(); ++i) {
@@ -565,12 +643,17 @@ void chain2aln(const MemOpt &o, const RefView &r, int l_query,
     a.rid = c.rid;
 
     if (s->qbeg) {
+      int qle = 0, tle = 0, gtle = 0, gscore = 0, max_off = 0;
+      if (lres) {
+        const int32_t *L = lres + job * 6;
+        a.score = L[0]; qle = L[1]; tle = L[2]; gtle = L[3]; gscore = L[4];
+        aw0 = L[5];
+      } else {
       std::vector<uint8_t> qs(s->qbeg), rs;
       for (int t = 0; t < s->qbeg; ++t) qs[t] = query[s->qbeg - 1 - t];
       int64_t tmp = s->rbeg - rmax0;
       rs.resize(tmp);
-      for (int64_t t = 0; t < tmp; ++t) rs[t] = rseq[tmp - 1 - t];
-      int qle = 0, tle = 0, gtle = 0, gscore = 0, max_off = 0;
+      for (int t = 0; t < (int)tmp; ++t) rs[t] = rseq[tmp - 1 - t];
       for (int t = 0; t < MAX_BAND_TRY; ++t) {
         int prev = a.score;
         aw0 = o.w << t;
@@ -579,6 +662,7 @@ void chain2aln(const MemOpt &o, const RefView &r, int l_query,
                                  aw0, o.pen_clip5, o.zdrop, s->len * o.a,
                                  &qle, &tle, &gtle, &gscore, &max_off);
         if (a.score == prev || max_off < (aw0 >> 1) + (aw0 >> 2)) break;
+      }
       }
       if (gscore <= 0 || gscore <= a.score - o.pen_clip5) {
         a.qb = s->qbeg - qle;
@@ -600,6 +684,11 @@ void chain2aln(const MemOpt &o, const RefView &r, int l_query,
       int qe = s->qbeg + s->len;
       int64_t re = s->rbeg + s->len - rmax0;
       int qle = 0, tle = 0, gtle = 0, gscore = 0, max_off = 0;
+      if (rres) {
+        const int32_t *R = rres + job * 6;
+        a.score = R[0]; qle = R[1]; tle = R[2]; gtle = R[3]; gscore = R[4];
+        aw1 = R[5];
+      } else {
       for (int t = 0; t < MAX_BAND_TRY; ++t) {
         int prev = a.score;
         aw1 = o.w << t;
@@ -609,6 +698,7 @@ void chain2aln(const MemOpt &o, const RefView &r, int l_query,
                                  o.e_ins, aw1, o.pen_clip3, o.zdrop, sc0,
                                  &qle, &tle, &gtle, &gscore, &max_off);
         if (a.score == prev || max_off < (aw1 >> 1) + (aw1 >> 2)) break;
+      }
       }
       if (gscore <= 0 || gscore <= a.score - o.pen_clip3) {
         a.qe = qe + qle;
@@ -1723,6 +1813,48 @@ int sam_pe(const MemOpt &o, const RefView &r, const PeStat pes[4],
   return n;
 }
 
+// Batch-extension callback (device speculative extension): receives the
+// job table from collect_ext_jobs and fills per-job left/right results
+// (6 int32 each: score, qle, tle, gtle, gscore, band-used).  Installed
+// from Python via mem_set_ext_cb; when set, the finalize entries below
+// run chaining first for the whole batch, hand ALL extension problems to
+// the callback in one call, then run the serial per-read loops with the
+// DP calls replaced by table reads.
+typedef void (*mem_ext_cb_t)(int64_t njobs, const int64_t *meta,
+                             int32_t *lres, int32_t *rres);
+static mem_ext_cb_t g_ext_cb = nullptr;
+
+namespace {
+
+// Phase A for the callback path: chains for every read + the job table.
+void build_chains_and_jobs(
+    const MemOpt &o, const RefView &r, int32_t n_reads,
+    const uint8_t *codes_flat, const int64_t *l_off,
+    const int32_t *iv_off, const int64_t *iv_x2, const int32_t *iv_start,
+    const int32_t *iv_end, const int64_t *rbegs, const int32_t *rb_off,
+    std::vector<std::vector<Chain>> &chains_all,
+    std::vector<int32_t> &lres_v, std::vector<int32_t> &rres_v) {
+  chains_all.resize(n_reads);
+  std::vector<int64_t> meta;
+  for (int32_t i = 0; i < n_reads; ++i) {
+    const uint8_t *codes = codes_flat + l_off[i];
+    int l_query = (int)(l_off[i + 1] - l_off[i]);
+    std::vector<Chain> &chains = chains_all[i];
+    int iv0 = iv_off[i], iv1 = iv_off[i + 1];
+    chain_read(o, r, l_query, iv1 - iv0, iv_x2 + iv0, iv_start + iv0,
+               iv_end + iv0, rbegs, rb_off + iv0, chains);
+    chain_flt(o, chains);
+    flt_chained_seeds(o, r, l_query, codes, chains);
+    collect_ext_jobs(o, r, l_query, l_off[i], chains, meta);
+  }
+  int64_t njobs = (int64_t)meta.size() / 8;
+  lres_v.assign((size_t)njobs * 6, 0);
+  rres_v.assign((size_t)njobs * 6, 0);
+  if (njobs) g_ext_cb(njobs, meta.data(), lres_v.data(), rres_v.data());
+}
+
+}  // namespace
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1732,6 +1864,8 @@ int sam_pe(const MemOpt &o, const RefView &r, const PeStat pes[4],
 extern "C" {
 
 int memfin_opt_size() { return (int)sizeof(MemOpt); }
+
+void mem_set_ext_cb(void *cb) { g_ext_cb = (mem_ext_cb_t)cb; }
 
 // Finalize a batch of SE reads.  Layout:
 //  reads: codes_flat[sum l], l_off[n+1]; names/quals/comments as NUL-
@@ -1764,21 +1898,36 @@ int64_t mem_finalize_se_batch(
   const bool dbg = std::getenv("BWA_TPU_FIN_DEBUG") != nullptr;
   double t_chain = 0, t_flt = 0, t_ext = 0, t_sam = 0;
   auto now = [] { return std::chrono::steady_clock::now(); };
+  const bool use_cb = g_ext_cb != nullptr;
+  std::vector<std::vector<Chain>> chains_all;
+  std::vector<int32_t> lres_v, rres_v;
+  int64_t job_ctr = 0;
+  if (use_cb)
+    build_chains_and_jobs(o, r, n_reads, codes_flat, l_off, iv_off, iv_x2,
+                          iv_start, iv_end, rbegs, rb_off, chains_all,
+                          lres_v, rres_v);
   for (int32_t i = 0; i < n_reads; ++i) {
     const uint8_t *codes = codes_flat + l_off[i];
     int l_query = (int)(l_off[i + 1] - l_off[i]);
-    std::vector<Chain> chains;
+    std::vector<Chain> chains_local;
     int iv0 = iv_off[i], iv1 = iv_off[i + 1];
     auto tc = now();
-    chain_read(o, r, l_query, iv1 - iv0, iv_x2 + iv0, iv_start + iv0,
-               iv_end + iv0, rbegs, rb_off + iv0, chains);
-    chain_flt(o, chains);
+    if (!use_cb) {
+      chain_read(o, r, l_query, iv1 - iv0, iv_x2 + iv0, iv_start + iv0,
+                 iv_end + iv0, rbegs, rb_off + iv0, chains_local);
+      chain_flt(o, chains_local);
+    }
     auto t0 = now();
     if (dbg) t_chain += std::chrono::duration<double>(t0 - tc).count();
-    flt_chained_seeds(o, r, l_query, codes, chains);
+    if (!use_cb) flt_chained_seeds(o, r, l_query, codes, chains_local);
+    std::vector<Chain> &chains = use_cb ? chains_all[i] : chains_local;
     auto t1 = now();
     std::vector<Reg> regs;
-    for (const Chain &c : chains) chain2aln(o, r, l_query, codes, c, regs);
+    for (const Chain &c : chains)
+      chain2aln(o, r, l_query, codes, c, regs,
+                use_cb ? lres_v.data() : nullptr,
+                use_cb ? rres_v.data() : nullptr,
+                use_cb ? &job_ctr : nullptr);
     sort_dedup_patch(o, r, codes, regs);
     auto t2 = now();
     for (Reg &p : regs)
@@ -1831,17 +1980,32 @@ int64_t mem_finalize_pe_batch(
   RefView r{pac, l_pac,
             {ctg_offset, ctg_len, ctg_is_alt, ctg_names, ctg_name_off, n_ctg}};
   // phase 1: per-read alignment regions (worker1)
+  const bool use_cb = g_ext_cb != nullptr;
+  std::vector<std::vector<Chain>> chains_all;
+  std::vector<int32_t> lres_v, rres_v;
+  int64_t job_ctr = 0;
+  if (use_cb)
+    build_chains_and_jobs(o, r, n_reads, codes_flat, l_off, iv_off, iv_x2,
+                          iv_start, iv_end, rbegs, rb_off, chains_all,
+                          lres_v, rres_v);
   std::vector<std::vector<Reg>> regs(n_reads);
   for (int32_t i = 0; i < n_reads; ++i) {
     const uint8_t *codes = codes_flat + l_off[i];
     int l_query = (int)(l_off[i + 1] - l_off[i]);
-    std::vector<Chain> chains;
+    std::vector<Chain> chains_local;
     int iv0 = iv_off[i], iv1 = iv_off[i + 1];
-    chain_read(o, r, l_query, iv1 - iv0, iv_x2 + iv0, iv_start + iv0,
-               iv_end + iv0, rbegs, rb_off + iv0, chains);
-    chain_flt(o, chains);
-    flt_chained_seeds(o, r, l_query, codes, chains);
-    for (const Chain &c : chains) chain2aln(o, r, l_query, codes, c, regs[i]);
+    if (!use_cb) {
+      chain_read(o, r, l_query, iv1 - iv0, iv_x2 + iv0, iv_start + iv0,
+                 iv_end + iv0, rbegs, rb_off + iv0, chains_local);
+      chain_flt(o, chains_local);
+      flt_chained_seeds(o, r, l_query, codes, chains_local);
+    }
+    std::vector<Chain> &chains = use_cb ? chains_all[i] : chains_local;
+    for (const Chain &c : chains)
+      chain2aln(o, r, l_query, codes, c, regs[i],
+                use_cb ? lres_v.data() : nullptr,
+                use_cb ? rres_v.data() : nullptr,
+                use_cb ? &job_ctr : nullptr);
     sort_dedup_patch(o, r, codes, regs[i]);
     for (Reg &p : regs[i])
       if (p.rid >= 0 && r.bns.is_alt[p.rid]) p.is_alt = 1;

@@ -407,6 +407,14 @@ def _mk_band_kernel(P: int, W: int, T: int, o_del: int, e_del: int,
         def wide(p):  # 0/1 [TILE,1] -> bool [TILE,P]
             return p > jnp.zeros_like(colp)
 
+        # grid-step skip: when every lane of this block is frozen (broke
+        # out) or already past its target, the TB-row loop is a no-op —
+        # skip it so callers can use one generous T bucket and sort jobs
+        # by tlen instead of compiling many shapes (pad lanes have
+        # tlen=0 and never go live)
+        done0 = getcol(st0, 8)
+        live = jnp.max(jnp.where(done0 == 0, tlen - tb * TB, 0)) > 0
+
         def row_step(r, carry):
             (H, E, QB, beg, end, mx, mx_i, mx_j, mx_ie, gsc, mx_off,
              done) = carry
@@ -520,30 +528,33 @@ def _mk_band_kernel(P: int, W: int, T: int, o_del: int, e_del: int,
             return (H2, E2, QB, beg, end, mx, mx_i, mx_j, mx_ie, gsc,
                     mx_off, done)
 
-        carry = (H_ref[:], E_ref[:], QB_ref[:], getcol(st0, 0),
-                 getcol(st0, 1), getcol(st0, 2), getcol(st0, 3),
-                 getcol(st0, 4), getcol(st0, 5), getcol(st0, 6),
-                 getcol(st0, 7), getcol(st0, 8))
-        out = lax.fori_loop(0, TB, row_step, carry)
-        (H, E, QB, beg, end, mx, mx_i, mx_j, mx_ie, gsc, mx_off,
-         done) = out
-        H_ref[:] = H
-        E_ref[:] = E
-        QB_ref[:] = QB
-        st = jnp.zeros((TILE, 128), jnp.int32)
-        for c, v in ((0, beg), (1, end), (2, mx), (3, mx_i), (4, mx_j),
-                     (5, mx_ie), (6, gsc), (7, mx_off), (8, done)):
-            st = jnp.where(sid == c, v, st)
-        st_ref[:] = st
+        @pl.when(live)
+        def _():
+            carry = (H_ref[:], E_ref[:], QB_ref[:], getcol(st0, 0),
+                     getcol(st0, 1), getcol(st0, 2), getcol(st0, 3),
+                     getcol(st0, 4), getcol(st0, 5), getcol(st0, 6),
+                     getcol(st0, 7), getcol(st0, 8))
+            out = lax.fori_loop(0, TB, row_step, carry)
+            (H, E, QB, beg, end, mx, mx_i, mx_j, mx_ie, gsc, mx_off,
+             done) = out
+            H_ref[:] = H
+            E_ref[:] = E
+            QB_ref[:] = QB
+            st = jnp.zeros((TILE, 128), jnp.int32)
+            for c, v in ((0, beg), (1, end), (2, mx), (3, mx_i), (4, mx_j),
+                         (5, mx_ie), (6, gsc), (7, mx_off), (8, done)):
+                st = jnp.where(sid == c, v, st)
+            st_ref[:] = st
 
         @pl.when(tb == n_tb - 1)
         def _():
-            o = jnp.where(sid == 0, mx, 0)
-            o = jnp.where(sid == 1, mx_j + 1, o)
-            o = jnp.where(sid == 2, mx_i + 1, o)
-            o = jnp.where(sid == 3, mx_ie + 1, o)
-            o = jnp.where(sid == 4, gsc, o)
-            o = jnp.where(sid == 5, mx_off, o)
+            stf = st_ref[:]
+            o = jnp.where(sid == 0, getcol(stf, 2), 0)
+            o = jnp.where(sid == 1, getcol(stf, 4) + 1, o)
+            o = jnp.where(sid == 2, getcol(stf, 3) + 1, o)
+            o = jnp.where(sid == 3, getcol(stf, 5) + 1, o)
+            o = jnp.where(sid == 4, getcol(stf, 6), o)
+            o = jnp.where(sid == 5, getcol(stf, 7), o)
             out_ref[:] = o
 
     return kernel

@@ -27,11 +27,19 @@ import sys
 from pathlib import Path
 
 
+def fnv1a64(data: bytes) -> int:
+    """FNV-1a 64-bit — shared with the native CLI client (client.c),
+    which must compute the same socket name without Python."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def sock_path(prefix: str) -> Path:
     """Socket path for an index prefix (by absolute path identity)."""
-    import hashlib
-
-    key = hashlib.sha256(os.path.abspath(prefix).encode()).hexdigest()[:16]
+    key = f"{fnv1a64(os.path.abspath(prefix).encode()):016x}"
     base = Path(os.environ.get("BWA_TPU_DAEMON_DIR", "/tmp/bwa_tpu_daemon"))
     base.mkdir(parents=True, exist_ok=True)
     return base / f"engine-{key}.sock"
