@@ -124,3 +124,44 @@ def test_daemon_stdin_runs_locally(oracle_bwa, small_genome, daemon):
     assert b"forwarding" not in rt.stderr  # must not forward stdin
     strip = lambda b: [l for l in b.splitlines() if not l.startswith(b"@")]
     assert strip(rt.stdout) == strip(ro.stdout)
+
+
+# ---------------------------------------------------------------------------
+# native CLI client (native/client.c): forwards without starting Python
+# ---------------------------------------------------------------------------
+
+def _native_client(args, env, stdin=None):
+    from bwa_tpu.native.build import client_exe
+
+    env = dict(env)
+    env["BWA_TPU_PYTHON"] = sys.executable
+    return subprocess.run([str(client_exe()), *args], capture_output=True,
+                          cwd=REPO, env=env, input=stdin)
+
+
+def test_native_client_daemon_forward(oracle_bwa, small_genome, daemon):
+    """client.c connects to the daemon socket directly (no interpreter)
+    and streams the SAM payload + exit code."""
+    fq = _reads_fq(small_genome)
+    ro = subprocess.run([str(oracle_bwa), "mem", str(small_genome), str(fq)],
+                        capture_output=True)
+    rt = _native_client(["mem", str(small_genome), str(fq)], daemon)
+    strip = lambda b: [l for l in b.splitlines() if not l.startswith(b"@")]
+    assert strip(rt.stdout) == strip(ro.stdout)
+    assert rt.returncode == 0
+
+
+def test_native_client_exit_code(small_genome, daemon):
+    bogus = DATA / "daemon_missing.fq"
+    bogus.write_text("not a fastq\n")
+    rt = _native_client(["mem", str(small_genome), str(bogus), str(bogus),
+                         str(bogus)], daemon)
+    assert rt.returncode != 0
+
+
+def test_native_client_python_fallback(small_genome, daemon):
+    """Commands outside FWD_CMDS exec the Python CLI transparently."""
+    rt = _native_client(["xa2multi"], daemon,
+                        stdin=b"@HD\tVN:1.5\n")
+    assert rt.returncode == 0
+    assert rt.stdout == b"@HD\tVN:1.5\n"
