@@ -143,17 +143,20 @@ def bench_backtrack(fa):
     """aln+samse and aln+sampe end-to-end (subprocess CLI, like a user)."""
     import tempfile
 
+    from bwa_tpu.native.build import client_exe
+
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
     env["JAX_PLATFORMS"] = "cpu"
-    fq = BENCH_DIR / "se150.fq"
+    env["BWA_TPU_PYTHON"] = sys.executable
+    client = str(client_exe())  # the production front-end: strips the
+    fq = BENCH_DIR / "se150.fq"  # TPU plugin env for host-only commands
 
     def run_cli(args, out_path):
         t0 = time.perf_counter()
         with open(out_path, "wb") as f:
-            subprocess.run([sys.executable, "-m", "bwa_tpu.cli", *args],
-                           check=True, stdout=f, stderr=subprocess.DEVNULL,
-                           env=env)
+            subprocess.run([client, *args], check=True, stdout=f,
+                           stderr=subprocess.DEVNULL, env=env)
         return time.perf_counter() - t0
 
     with tempfile.TemporaryDirectory() as td:
@@ -219,6 +222,72 @@ def bench_backtrack(fa):
             "byte_identical": ident}))
 
 
+def bench_backtrack_daemon(fa):
+    """Backtrack one-shots through the resident daemon (warm index +
+    warm interpreter; the production path once any daemon is up)."""
+    import tempfile
+
+    from bwa_tpu.native.build import client_exe
+
+    sockdir = tempfile.mkdtemp(prefix="bwa_tpu_bench_daemon")
+    env = dict(os.environ)
+    env.update({"BWA_TPU_DAEMON_DIR": sockdir,
+                "BWA_TPU_DAEMON_NO_WARM": "1",
+                "JAX_PLATFORMS": "cpu",
+                "PYTHONPATH": f"{REPO}:{env.get('PYTHONPATH', '')}",
+                "BWA_TPU_PYTHON": sys.executable})
+    client = str(client_exe())
+    fq = BENCH_DIR / "se150.fq"
+    daemon = subprocess.Popen(
+        [sys.executable, "-m", "bwa_tpu.cli", "daemon", "start", str(fa)],
+        env=env, stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            r = subprocess.run([sys.executable, "-m", "bwa_tpu.cli",
+                                "daemon", "status", str(fa)], env=env,
+                               capture_output=True)
+            if r.returncode == 0:
+                break
+            time.sleep(0.5)
+
+        def run_cli(args, out_path):
+            t0 = time.perf_counter()
+            with open(out_path, "wb") as f:
+                subprocess.run([client, *args], check=True, stdout=f,
+                               stderr=subprocess.DEVNULL, env=env)
+            return time.perf_counter() - t0
+
+        with tempfile.TemporaryDirectory() as td:
+            td = Path(td)
+            o_aln = _time_oracle(["aln", "-t1", str(fa), str(fq)])[0]
+            t_aln = min(run_cli(["aln", "-t1", str(fa), str(fq)],
+                                td / "t.sai") for _ in range(N_REPS))
+            r = subprocess.run([str(ORACLE), "aln", "-t1", str(fa),
+                                str(fq)], capture_output=True, check=True)
+            ident_sai = r.stdout == (td / "t.sai").read_bytes()
+            o_samse, o_sam = _time_oracle(
+                ["samse", str(fa), str(td / "t.sai"), str(fq)])
+            t_samse = min(run_cli(["samse", str(fa), str(td / "t.sai"),
+                                   str(fq)], td / "t.sam")
+                          for _ in range(N_REPS))
+            strip = lambda b: [l for l in b.split(b"\n")
+                               if not l.startswith(b"@")]
+            ident = strip(o_sam) == strip((td / "t.sam").read_bytes())
+            print(json.dumps({
+                "metric": "aln_samse_daemon_s",
+                "value": round(t_aln + t_samse, 3), "unit": "s",
+                "vs_baseline": round((o_aln + o_samse)
+                                     / (t_aln + t_samse), 3),
+                "oracle_s": [round(o_aln, 3), round(o_samse, 3)],
+                "ours_s": [round(t_aln, 3), round(t_samse, 3)],
+                "byte_identical": bool(ident and ident_sai)}))
+    finally:
+        subprocess.run([sys.executable, "-m", "bwa_tpu.cli", "daemon",
+                        "stop", str(fa)], env=env, capture_output=True)
+        daemon.wait(timeout=30)
+
+
 def main():
     assert ORACLE.exists(), "build the oracle first (tests/conftest.py)"
     fa = _ensure_data()
@@ -229,6 +298,8 @@ def main():
         bench_bwasw(fa)
     if "backtrack" in which:
         bench_backtrack(fa)
+    if "backtrack_daemon" in which:
+        bench_backtrack_daemon(fa)
 
 
 if __name__ == "__main__":

@@ -90,11 +90,13 @@ def _aln_batch_native(fm, seqs, opt: GapOpt):
     return out_n, rec[: tot_rec * 8].reshape(tot_rec, 8)
 
 
-def aln_core(prefix, fn_fa, opt: GapOpt, out_fp) -> None:
-    """bwa aln: compute SA intervals, write .sai."""
+def aln_core(prefix, fn_fa, opt: GapOpt, out_fp, fm=None) -> None:
+    """bwa aln: compute SA intervals, write .sai.  fm: a warm FMIndex
+    (the daemon's) to skip the per-process index load."""
     import os
 
-    fm = FMIndex.load(prefix)
+    if fm is None:
+        fm = FMIndex.load(prefix)
     from bwa_tpu.engine import make_engine
 
     engine = make_engine(fm, "host")  # exactness fallback / cross-check
@@ -134,23 +136,10 @@ def aln_core(prefix, fn_fa, opt: GapOpt, out_fp) -> None:
               file=sys.stderr)
 
 
-def _samse_batch_native(fm, seqs, sai_rest: memoryview, opt, n_occ,
-                        rg_id, rng: Rand48) -> tuple[str, int]:
-    """Whole samse finalize for one batch in C++ (native/btsam.cpp):
-    drand48 sampling, SA walks, ksw_global refinement, MD/NM, SAM text.
-    Returns (sam_text, sai_bytes_consumed); the shared drand48 state
-    advances exactly as the Python spec would."""
-    import ctypes
-
-    from bwa_tpu.native.build import get_lib
-    from bwa_tpu.sw2.core import Sw2Index
-
-    lib = get_lib()
-    if not hasattr(fm, "_sw2idx"):
-        fm._sw2idx = Sw2Index(fm)
-    idx = fm._sw2idx
-    bns = fm.bnt
-    if not hasattr(fm, "_bt_ref"):
+def _bt_ref(fm):
+    """Cached flat contig/hole tables for the native finalizers."""
+    if not hasattr(fm, "_bt_ref_v"):
+        bns = fm.bnt
         amb_off = np.array([h.offset for h in bns.holes], np.int64)
         amb_len = np.array([h.length for h in bns.holes], np.int32)
         ctg_off = np.array([c.offset for c in bns.contigs], np.int64)
@@ -163,11 +152,16 @@ def _samse_batch_native(fm, seqs, sai_rest: memoryview, opt, n_occ,
             nb = c.name.encode() + b"\x00"
             name_parts.append(nb)
             pos += len(nb)
-        fm._bt_ref = (np.ascontiguousarray(fm.pac, np.uint8), ctg_off,
-                      ctg_len, name_off, b"".join(name_parts), amb_off,
-                      amb_len)
-    pac, ctg_off, ctg_len, name_off, names_blob, amb_off, amb_len = fm._bt_ref
+        fm._bt_ref_v = (np.ascontiguousarray(fm.pac, np.uint8), ctg_off,
+                        ctg_len, name_off, b"".join(name_parts), amb_off,
+                        amb_len)
+    return fm._bt_ref_v
 
+
+def _pack_reads(seqs):
+    """Flatten one batch of BtSeq inputs for the native finalizers.
+    Returns (codes_flat, codes_off, lens, full_lens, clip_lens, qual_flat,
+    qual_off-or-None, rnames, rname_off, bc_blob, bc_off)."""
     n = len(seqs)
     codes_off = np.zeros(n + 1, np.int64)
     qual_off = np.zeros(n + 1, np.int64)
@@ -201,8 +195,33 @@ def _samse_batch_native(fm, seqs, sai_rest: memoryview, opt, n_occ,
     qual_flat = np.frombuffer(b"".join(qual_parts), np.uint8) if has_qual \
         else np.zeros(0, np.uint8)
     qual_flat = np.ascontiguousarray(qual_flat)
-    rnames = b"".join(name_parts)
-    bc_blob = b"".join(bc_parts)
+    return (codes_flat, codes_off, lens, full_lens, clip_lens, qual_flat,
+            qual_off if has_qual else None, b"".join(name_parts), rname_off,
+            b"".join(bc_parts), bc_off)
+
+
+def _samse_batch_native(fm, seqs, sai_rest: memoryview, opt, n_occ,
+                        rg_id, rng: Rand48) -> tuple[str, int]:
+    """Whole samse finalize for one batch in C++ (native/btsam.cpp):
+    drand48 sampling, SA walks, ksw_global refinement, MD/NM, SAM text.
+    Returns (sam_text, sai_bytes_consumed); the shared drand48 state
+    advances exactly as the Python spec would."""
+    import ctypes
+
+    from bwa_tpu.native.build import get_lib
+    from bwa_tpu.sw2.core import Sw2Index
+
+    lib = get_lib()
+    if not hasattr(fm, "_sw2idx"):
+        fm._sw2idx = Sw2Index(fm)
+    idx = fm._sw2idx
+    pac, ctg_off, ctg_len, name_off, names_blob, amb_off, amb_len = \
+        _bt_ref(fm)
+
+    n = len(seqs)
+    (codes_flat, codes_off, lens, full_lens, clip_lens, qual_flat, qual_off,
+     rnames, rname_off, bc_blob, bc_off) = _pack_reads(seqs)
+    has_qual = qual_off is not None
     sai_arr = np.frombuffer(sai_rest, np.uint8)
 
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -247,7 +266,101 @@ def _samse_batch_native(fm, seqs, sai_rest: memoryview, opt, n_occ,
     return out_buf[: int(r)].tobytes().decode(), int(used[0])
 
 
-def samse_core(prefix, fn_sa, fn_fa, n_occ, rg_id, rg_line, out) -> None:
+def _sampe_batch_native(fm, seqs0, seqs1, sai_rest0, sai_rest1, opt0, opt,
+                        popt, ii_state: np.ndarray, rg_id,
+                        rng: Rand48) -> tuple[str, int, int]:
+    """Whole sampe finalize for one batch in C++ (bt_sampe_batch,
+    native/btsam.cpp): the SE phase, insert-size inference, pairing, SW
+    mate rescue, refinement and paired SAM.  aln/sampe.py is the spec.
+    Returns (sam_text, sai0_used, sai1_used); rng and ii_state advance
+    exactly like the spec's."""
+    import ctypes
+
+    from bwa_tpu.native.build import get_lib
+    from bwa_tpu.sw2.core import Sw2Index
+
+    lib = get_lib()
+    if not getattr(lib, "_sampe_sig", False):
+        lib.bt_sampe_batch.restype = ctypes.c_int64
+        lib._sampe_sig = True
+    if not hasattr(fm, "_sw2idx"):
+        fm._sw2idx = Sw2Index(fm)
+    idx = fm._sw2idx
+    pac, ctg_off, ctg_len, name_off, names_blob, amb_off, amb_len = \
+        _bt_ref(fm)
+    n = len(seqs0)
+    pk0 = _pack_reads(seqs0)
+    pk1 = _pack_reads(seqs1)
+    sai0 = np.frombuffer(sai_rest0, np.uint8)
+    sai1 = np.frombuffer(sai_rest1, np.uint8)
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def read_args(pk):
+        (codes_flat, codes_off, lens, full_lens, clip_lens, qual_flat,
+         qual_off, rnames, rname_off, bc_blob, bc_off) = pk
+        return [codes_flat.ctypes.data_as(u8p),
+                codes_off.ctypes.data_as(i64p), lens.ctypes.data_as(i32p),
+                full_lens.ctypes.data_as(i32p),
+                clip_lens.ctypes.data_as(i32p),
+                qual_flat.ctypes.data_as(u8p),
+                qual_off.ctypes.data_as(i64p) if qual_off is not None
+                else None,
+                rnames, rname_off.ctypes.data_as(i64p), bc_blob,
+                bc_off.ctypes.data_as(i32p)]
+
+    rng_state = np.array([rng.x], np.uint64)
+    ii_snap = ii_state.copy()
+    used = np.zeros(2, np.int64)
+    cap = max(1 << 20, 600 * n)
+    quiet = 0
+    while True:
+        out_buf = np.zeros(cap, np.uint8)
+        rng_state[0] = rng.x  # restore on retry: the call mutates them
+        ii_state[:] = ii_snap
+        r = lib.bt_sampe_batch(
+            fm.occ_inter.ctypes.data_as(u8p),
+            ctypes.c_int64(fm.seq_len), ctypes.c_int64(fm.primary),
+            idx.L2.ctypes.data_as(i64p), idx.ssa64.ctypes.data_as(i64p),
+            ctypes.c_int32(fm.sa_intv),
+            pac.ctypes.data_as(u8p), ctypes.c_int64(fm.l_pac),
+            ctg_off.ctypes.data_as(i64p), ctg_len.ctypes.data_as(i32p),
+            name_off.ctypes.data_as(i32p), names_blob,
+            ctypes.c_int32(len(ctg_off)),
+            amb_off.ctypes.data_as(i64p), amb_len.ctypes.data_as(i32p),
+            ctypes.c_int32(len(amb_off)), ctypes.c_int32(n),
+            *read_args(pk0), *read_args(pk1),
+            sai0.ctypes.data_as(u8p), ctypes.c_int64(sai0.shape[0]),
+            sai1.ctypes.data_as(u8p), ctypes.c_int64(sai1.shape[0]),
+            ctypes.c_int32(opt0.mode), ctypes.c_int32(opt.mode),
+            ctypes.c_int32(opt.max_top2), ctypes.c_int32(opt.s_mm),
+            ctypes.c_int32(opt.max_diff), ctypes.c_double(opt.fnr),
+            ctypes.c_int32(popt.max_isize), ctypes.c_int32(popt.force_isize),
+            ctypes.c_int32(popt.max_occ), ctypes.c_int32(popt.n_multi),
+            ctypes.c_int32(popt.N_multi), ctypes.c_int32(popt.is_sw),
+            ctypes.c_double(popt.ap_prior), ctypes.c_int32(quiet),
+            ii_state.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            rg_id.encode() if rg_id else None,
+            rng_state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            out_buf.ctypes.data_as(u8p), ctypes.c_int64(cap),
+            used.ctypes.data_as(i64p))
+        if r >= 0:
+            break
+        if r == -1:
+            raise RuntimeError("bt_sampe_batch: truncated .sai")
+        if r == -2:
+            raise RuntimeError("paired reads have different names")
+        cap = int(-r)
+        quiet = 1  # don't repeat the isize stderr report on retry
+    rng.x = int(rng_state[0])
+    return (out_buf[: int(r)].tobytes().decode(), int(used[0]),
+            int(used[1]))
+
+
+def samse_core(prefix, fn_sa, fn_fa, n_occ, rg_id, rg_line, out,
+               fm=None) -> None:
     """bwa samse (bwase.c:507-577)."""
     import os
 
@@ -256,7 +369,8 @@ def samse_core(prefix, fn_sa, fn_fa, n_occ, rg_id, rg_line, out) -> None:
     from bwa_tpu import __version__
 
     se.initialize()
-    fm = FMIndex.load(prefix)
+    if fm is None:
+        fm = FMIndex.load(prefix)
     rng = Rand48(fm.bnt.seed)
     use_native = os.environ.get("BWA_TPU_SAMSE", "native") == "native"
     with open(fn_sa, "rb") as fp_sa:

@@ -365,15 +365,18 @@ def paired_sw(fm, seqs, popt: PEOpt, ii: IsizeInfo) -> None:
             p[1 - k].extra_flag |= SAM_FPP
 
 
-def sampe_core(prefix, fn_sa, fn_fa, popt: PEOpt, rg_id, rg_line, out) -> None:
+def sampe_core(prefix, fn_sa, fn_fa, popt: PEOpt, rg_id, rg_line, out,
+               fm=None) -> None:
     """bwa_sai2sam_pe_core (bwape.c:624-731)."""
+    import os
+
     from bwa_tpu.cli import _hdr_lines
     from bwa_tpu.engine import make_engine
     from bwa_tpu import __version__
 
     se.initialize()
-    fm = FMIndex.load(prefix)
-    engine = make_engine(fm, "host")
+    if fm is None:
+        fm = FMIndex.load(prefix)
     rng = Rand48(fm.bnt.seed)
     fps = [open(fn_sa[0], "rb"), open(fn_sa[1], "rb")]
     sais = [SaiReader(fps[0]), SaiReader(fps[1])]
@@ -384,6 +387,28 @@ def sampe_core(prefix, fn_sa, fn_fa, popt: PEOpt, rg_id, rg_line, out) -> None:
     pg = f"@PG\tID:bwa\tPN:bwa-tpu\tVN:{__version__}\tCL:bwa-tpu sampe"
     out.write(_hdr_lines(fm.bnt, rg_line, pg))
 
+    if os.environ.get("BWA_TPU_SAMPE", "native") == "native":
+        import numpy as np
+
+        from bwa_tpu.aln.driver import _sampe_batch_native
+
+        rest = [memoryview(fps[0].read()), memoryview(fps[1].read())]
+        ii_state = np.array([0.0, 0.0, 0.0, -1.0, -1.0, 0.0])
+        while True:
+            seqs0 = read_bt_seqs(readers[0], CHUNK, opt0.mode,
+                                 opt0.trim_qual)
+            if not seqs0:
+                break
+            seqs1 = read_bt_seqs(readers[1], CHUNK, opt.mode, opt.trim_qual)
+            sam, u0, u1 = _sampe_batch_native(
+                fm, seqs0, seqs1, rest[0], rest[1], opt0, opt, popt,
+                ii_state, rg_id, rng)
+            rest[0] = rest[0][u0:]
+            rest[1] = rest[1][u1:]
+            out.write(sam)
+        return
+
+    engine = make_engine(fm, "host")
     while True:
         seqs0 = read_bt_seqs(readers[0], CHUNK, opt0.mode, opt0.trim_qual)
         if not seqs0:

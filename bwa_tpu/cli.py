@@ -45,6 +45,47 @@ def _escape(s: str) -> str:
 _ENGINE_CACHE: dict = {}
 
 
+def _cached_fm(prefix):
+    """The daemon's warm FMIndex for a prefix, or a fresh load."""
+    import os
+
+    from bwa_tpu.index.fmindex import FMIndex
+
+    cached = _ENGINE_CACHE.get(os.path.abspath(prefix))
+    if cached is not None:
+        return cached[0]
+    return FMIndex.load(prefix)
+
+
+def _daemon_forward(cmd: str, argv: list[str], args: list[str],
+                    _in_daemon: bool, opened_out: bool, tag: str,
+                    out_fp=None):
+    """Transparent resident-engine forward shared by mem/fastmap/aln/
+    samse/sampe: returns an exit code when the command was forwarded,
+    None when the caller must run locally.  args = positional tail
+    (prefix first), argv = full post-command argv."""
+    import os
+
+    if (_in_daemon or _ENGINE_CACHE or opened_out
+            or os.environ.get("BWA_TPU_NO_DAEMON") == "1"
+            # stdin ("-"), /dev/stdin, process substitution and other
+            # non-regular files cannot be reopened by the daemon
+            or not all(os.path.isfile(a) for a in args[1:])):
+        return None
+    from bwa_tpu import server
+
+    if not server.daemon_available(args[0]):
+        return None
+    # the daemon runs in its own cwd: rewrite the positional paths
+    # absolute before forwarding (-o/-f runs stay local via opened_out)
+    pos = [os.path.abspath(a) for a in args]
+    n_flags = len(argv) - len(args)
+    fwd = argv[:n_flags] + pos
+    print(f"[M::{tag}] forwarding to the resident engine daemon",
+          file=sys.stderr)
+    return server.client_run(os.path.abspath(args[0]), [cmd, *fwd], out_fp)
+
+
 def main_mem(argv: list[str], out_fp_override=None,
              _in_daemon: bool = False) -> int:
     import getopt as getopt_mod
@@ -376,7 +417,8 @@ def main_fastmap(argv: list[str], out_fp_override=None,
     return 0
 
 
-def main_aln(argv: list[str]) -> int:
+def main_aln(argv: list[str], out_fp_override=None,
+             _in_daemon: bool = False) -> int:
     import getopt as getopt_mod
 
     from bwa_tpu.aln.opts import (BWA_MODE_BAM, BWA_MODE_BAM_READ1,
@@ -429,13 +471,21 @@ def main_aln(argv: list[str]) -> int:
     if len(args) < 2:
         print("Usage: bwa-tpu aln [options] <prefix> <in.fq>", file=sys.stderr)
         return 1
-    aln_core(args[0], args[1], opt, out_fp)
-    if out_fp is not sys.stdout.buffer:
+    opened_out = out_fp is not sys.stdout.buffer
+    if out_fp_override is not None and not opened_out:
+        out_fp = getattr(out_fp_override, "buffer", out_fp_override)
+    rc = _daemon_forward("aln", argv, args, _in_daemon, opened_out,
+                         "main_aln", out_fp)
+    if rc is not None:
+        return rc
+    aln_core(args[0], args[1], opt, out_fp, fm=_cached_fm(args[0]))
+    if opened_out:
         out_fp.close()
     return 0
 
 
-def main_samse(argv: list[str]) -> int:
+def main_samse(argv: list[str], out_fp_override=None,
+               _in_daemon: bool = False) -> int:
     import getopt as getopt_mod
 
     from bwa_tpu.aln.driver import samse_core
@@ -454,13 +504,22 @@ def main_samse(argv: list[str]) -> int:
         print("Usage: bwa-tpu samse [-n max_occ] <prefix> <in.sai> <in.fq>",
               file=sys.stderr)
         return 1
-    samse_core(args[0], args[1], args[2], n_occ, rg_id, rg_line, out)
-    if out is not sys.stdout:
+    opened_out = out is not sys.stdout
+    if out_fp_override is not None and not opened_out:
+        out = out_fp_override
+    rc = _daemon_forward("samse", argv, args, _in_daemon, opened_out,
+                         "main_samse", out)
+    if rc is not None:
+        return rc
+    samse_core(args[0], args[1], args[2], n_occ, rg_id, rg_line, out,
+               fm=_cached_fm(args[0]))
+    if opened_out:
         out.close()
     return 0
 
 
-def main_sampe(argv: list[str]) -> int:
+def main_sampe(argv: list[str], out_fp_override=None,
+               _in_daemon: bool = False) -> int:
     import getopt as getopt_mod
 
     from bwa_tpu.aln.opts import PEOpt
@@ -487,8 +546,16 @@ def main_sampe(argv: list[str]) -> int:
         print("Usage: bwa-tpu sampe [options] <prefix> <in1.sai> <in2.sai> "
               "<in1.fq> <in2.fq>", file=sys.stderr)
         return 1
-    sampe_core(args[0], args[1:3], args[3:5], popt, rg_id, rg_line, out)
-    if out is not sys.stdout:
+    opened_out = out is not sys.stdout
+    if out_fp_override is not None and not opened_out:
+        out = out_fp_override
+    rc = _daemon_forward("sampe", argv, args, _in_daemon, opened_out,
+                         "main_sampe", out)
+    if rc is not None:
+        return rc
+    sampe_core(args[0], args[1:3], args[3:5], popt, rg_id, rg_line, out,
+               fm=_cached_fm(args[0]))
+    if opened_out:
         out.close()
     return 0
 
@@ -602,11 +669,13 @@ def main(argv=None, out_fp=None, _in_daemon: bool = False) -> int:
         return main_fastmap(rest, out_fp_override=out_fp,
                             _in_daemon=_in_daemon)
     if cmd == "aln":
-        return main_aln(rest)
+        return main_aln(rest, out_fp_override=out_fp, _in_daemon=_in_daemon)
     if cmd == "samse":
-        return main_samse(rest)
+        return main_samse(rest, out_fp_override=out_fp,
+                          _in_daemon=_in_daemon)
     if cmd == "sampe":
-        return main_sampe(rest)
+        return main_sampe(rest, out_fp_override=out_fp,
+                          _in_daemon=_in_daemon)
     if cmd in ("fa2pac", "pac2bwt", "pac2bwtgen", "bwtupdate", "bwt2sa",
                "maxk", "pemerge", "xa2multi", "qualfa2fq"):
         from bwa_tpu import tools

@@ -38,10 +38,11 @@ static uint64_t fnv1a64(const char *s) {
   return h;
 }
 
-/* subcommands that can run on the daemon's warm engine (the only two
- * that pay the device program load; host-only commands would hit the
- * daemon's text-stream framing with binary .sai output) */
-static const char *FWD_CMDS[] = {"mem", "fastmap", NULL};
+/* subcommands that can run on the daemon's warm state: mem/fastmap use
+ * the warm device programs; aln/samse/sampe use the warm index + warm
+ * interpreter (binary-safe framing streams .sai byte-exactly) */
+static const char *FWD_CMDS[] = {"mem", "fastmap", "aln", "samse", "sampe",
+                                 NULL};
 /* subcommands that never touch the device: strip the TPU plugin env so
  * the Python fallback starts fast */
 static const char *HOST_CMDS[] = {"aln",     "samse",     "sampe",

@@ -92,6 +92,25 @@ def client_run(prefix: str, argv: list[str], out_fp=None) -> int:
     return int(status.get("ok", 0))
 
 
+class _BinOut:
+    """Bytes accumulator that accepts both str (SAM text) and bytes
+    (.sai) writes — the daemon runs text commands (mem/samse) and binary
+    ones (aln) through one framing."""
+
+    def __init__(self):
+        self._b = io.BytesIO()
+        self.buffer = self  # main_aln writes to out_fp directly
+
+    def write(self, d) -> int:
+        return self._b.write(d.encode() if isinstance(d, str) else d)
+
+    def flush(self) -> None:
+        pass
+
+    def getvalue(self) -> bytes:
+        return self._b.getvalue()
+
+
 def _warm(fm, engine) -> None:
     """Run one synthetic SE batch at the standard bucket shapes before
     accepting requests: on the tunnel backend every program pays a 1-3
@@ -172,13 +191,13 @@ def serve(prefix: str, foreground: bool = True) -> int:
                 break
             argv = req["argv"]
             print(f"[daemon] request: {argv}", file=sys.stderr, flush=True)
-            out = io.StringIO()
+            out = _BinOut()
             try:
                 rc = cli_mod.main(argv, out_fp=out, _in_daemon=True)
                 print(f"[daemon] done rc={rc} bytes={len(out.getvalue())}",
                       file=sys.stderr, flush=True)
                 conn.sendall(json.dumps({"ok": rc}).encode() + b"\n")
-                conn.sendall(out.getvalue().encode())
+                conn.sendall(out.getvalue())
             except Exception as e:  # keep serving
                 conn.sendall(json.dumps({"error": repr(e)}).encode() + b"\n")
             f.close()

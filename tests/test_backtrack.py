@@ -81,3 +81,57 @@ def test_sampe_sam(oracle_bwa, small_genome, bt_reads, tmp_path):
     mine = _nopg(_mine(["sampe", str(small_genome), str(s1), str(s2),
                         str(r1), str(r2)]))
     assert mine == theirs
+
+
+def test_sampe_sam_hard(oracle_bwa, small_genome, tmp_path):
+    """sampe with mate-rescue / discordant / unmapped ends + option
+    variants, native == oracle AND native == Python spec (rng stream)."""
+    import os
+
+    from datagen import random_genome, simulate_reads, write_fastq
+
+    contigs = random_genome(200_000, seed=7, n_contigs=2)
+    a, b = simulate_reads(contigs, 300, read_len=50, seed=41,
+                          err_rate=0.03, indel_rate=0.01, paired=True,
+                          insert_mean=250, insert_std=30)
+    # break pairing: swap some mate2s (discordant), garble others
+    # (unmapped -> bwa_paired_sw rescue)
+    import random
+
+    rnd = random.Random(5)
+    for i in range(0, 60, 3):
+        b[i], b[i + 1] = b[i + 1], b[i]
+        nm0, _, q0 = b[i]
+        nm1, _, q1 = b[i + 1]
+        b[i] = (nm0, b[i][1], q0)
+        b[i + 1] = (nm1, b[i + 1][1], q1)
+    b = [(n, s, q) if i % 7 else
+         (n, bytes(rnd.choice(b"ACGT") for _ in range(len(s))), q)
+         for i, (n, s, q) in enumerate(b)]
+    # fix names after the swap (mates must share names in file order)
+    a = [(f"p{i}", s, q) for i, (n, s, q) in enumerate(a)]
+    b = [(f"p{i}", s, q) for i, (n, s, q) in enumerate(b)]
+    r1 = tmp_path / "h1.fq"
+    r2 = tmp_path / "h2.fq"
+    write_fastq(r1, a)
+    write_fastq(r2, b)
+    s1 = tmp_path / "1.sai"
+    s2 = tmp_path / "2.sai"
+    s1.write_bytes(_oracle(oracle_bwa, ["aln", str(small_genome), str(r1)]))
+    s2.write_bytes(_oracle(oracle_bwa, ["aln", str(small_genome), str(r2)]))
+    for extra in ([], ["-s"], ["-n", "0", "-N", "0"], ["-a", "150"],
+                  ["-A"]):
+        args = ["sampe", *extra, str(small_genome), str(s1), str(s2),
+                str(r1), str(r2)]
+        theirs = _nopg(_oracle(oracle_bwa, args))
+        mine = _nopg(_mine(args))
+        assert mine == theirs, ("native vs oracle", extra)
+    # native == spec (drand48 stream + ii carry identical)
+    env = dict(os.environ)
+    env["BWA_TPU_SAMPE"] = "spec"
+    spec = subprocess.run(
+        [sys.executable, "-m", "bwa_tpu.cli", "sampe", str(small_genome),
+         str(s1), str(s2), str(r1), str(r2)],
+        check=True, capture_output=True, cwd=REPO, env=env).stdout
+    assert _nopg(spec) == _nopg(_mine(
+        ["sampe", str(small_genome), str(s1), str(s2), str(r1), str(r2)]))

@@ -165,3 +165,32 @@ def test_native_client_python_fallback(small_genome, daemon):
                         stdin=b"@HD\tVN:1.5\n")
     assert rt.returncode == 0
     assert rt.stdout == b"@HD\tVN:1.5\n"
+
+
+def test_daemon_backtrack_forward(oracle_bwa, small_genome, daemon,
+                                  tmp_path):
+    """aln/samse/sampe forward to the warm daemon; the binary .sai
+    payload and the SAM must be byte-identical to the oracle's."""
+    fq = _reads_fq(small_genome)
+    o_sai = subprocess.run([str(oracle_bwa), "aln", str(small_genome),
+                            str(fq)], capture_output=True).stdout
+    rt = _client(["aln", str(small_genome), str(fq)], daemon)
+    assert b"forwarding to the resident engine daemon" in rt.stderr, \
+        rt.stderr[-500:]
+    assert rt.stdout == o_sai  # binary .sai through the socket
+    sai = tmp_path / "d.sai"
+    sai.write_bytes(rt.stdout)
+    o_sam = subprocess.run([str(oracle_bwa), "samse", str(small_genome),
+                            str(sai), str(fq)], capture_output=True).stdout
+    rs = _client(["samse", str(small_genome), str(sai), str(fq)], daemon)
+    assert b"forwarding" in rs.stderr
+    strip = lambda b: [l for l in b.splitlines() if not l.startswith(b"@")]
+    assert strip(rs.stdout) == strip(o_sam)
+    # sampe (pair the same file with itself both ends)
+    o_pe = subprocess.run([str(oracle_bwa), "sampe", str(small_genome),
+                           str(sai), str(sai), str(fq), str(fq)],
+                          capture_output=True).stdout
+    rp = _client(["sampe", str(small_genome), str(sai), str(sai), str(fq),
+                  str(fq)], daemon)
+    assert b"forwarding" in rp.stderr
+    assert strip(rp.stdout) == strip(o_pe)
