@@ -10,14 +10,15 @@ from bwa_tpu.aln import samse as se
 from bwa_tpu.aln.opts import BWA_AVG_ERR, GapOpt, cal_maxdiff
 from bwa_tpu.aln.sai import SaiReader, SaiWriter
 from bwa_tpu.aln.search import Aln1, cal_width, match_gap
-from bwa_tpu.aln.seqio import open_reads, read_bt_seqs
+from bwa_tpu.aln.seqio import (PackedReads, open_reads, read_bt_packed,
+                               read_bt_seqs)
 from bwa_tpu.index.fmindex import FMIndex
 from bwa_tpu.utils.rand48 import Rand48
 
 CHUNK = 0x40000
 
 
-def _aln_batch_native(fm, seqs, opt: GapOpt):
+def _aln_batch_native(fm, pk: PackedReads, opt: GapOpt):
     """Batch bt_aln_batch (native/btgap.cpp) call; returns per-read
     list[Aln1] — same results as the Python spec below."""
     import ctypes
@@ -44,27 +45,32 @@ def _aln_batch_native(fm, seqs, opt: GapOpt):
         fm._sw2idx = Sw2Index(fm)
     idx = fm._sw2idx
     inter = fm.occ_inter
-    n = len(seqs)
+    n = pk.n
+    lens64 = pk.lens.astype(np.int64)
     seq_off = np.zeros(n + 1, np.int64)
-    for i, p in enumerate(seqs):
-        seq_off[i + 1] = seq_off[i] + p.len
-    flat = np.concatenate([np.asarray(p.seq[:p.len], np.uint8)
-                           for p in seqs]) if n else np.zeros(0, np.uint8)
-    flat = np.ascontiguousarray(flat, np.uint8)
-    md = np.zeros(n, np.int32)
-    mg = np.zeros(n, np.int32)
-    sl = np.zeros(n, np.int32)
+    np.cumsum(lens64, out=seq_off[1:])
+    # bwtaln.c:116-117 searches the REVERSED read: gather each trimmed
+    # segment of codes_flat back-to-front in one fancy index
+    total = int(seq_off[-1])
+    ends = pk.codes_off[:-1] + lens64 - 1
+    idx_rev = (np.repeat(ends, lens64)
+               - (np.arange(total, dtype=np.int64)
+                  - np.repeat(seq_off[:-1], lens64)))
+    flat = np.ascontiguousarray(pk.codes_flat[idx_rev]) if total \
+        else np.zeros(0, np.uint8)
+    if opt.fnr > 0.0:
+        uniq, inv = np.unique(pk.lens, return_inverse=True)
+        md = np.array([cal_maxdiff(int(l), BWA_AVG_ERR, opt.fnr)
+                       for l in uniq], np.int32)[inv]
+    else:
+        md = np.full(n, opt.max_diff, np.int32)
+    md = np.ascontiguousarray(md, np.int32)
     # local_opt lives OUTSIDE the read loop in the reference
     # (bwtaln.c:88-101), so the max_gapo clamp is sticky across the batch
-    mg_run = opt.max_gapo
-    for i, p in enumerate(seqs):
-        d = (cal_maxdiff(p.len, BWA_AVG_ERR, opt.fnr)
-             if opt.fnr > 0.0 else opt.max_diff)
-        md[i] = d
-        if d < mg_run:
-            mg_run = d
-        mg[i] = mg_run
-        sl[i] = opt.seed_len if opt.seed_len < p.len else 0x7FFFFFFF
+    mg = np.minimum(np.minimum.accumulate(md) if n else md,
+                    np.int32(opt.max_gapo)).astype(np.int32)
+    sl = np.where(pk.lens > opt.seed_len, np.int32(opt.seed_len),
+                  np.int32(0x7FFFFFFF)).astype(np.int32)
     out_n = np.zeros(n, np.int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
@@ -105,16 +111,19 @@ def aln_core(prefix, fn_fa, opt: GapOpt, out_fp, fm=None) -> None:
     writer = SaiWriter(out_fp, opt)
     tot = 0
     while True:
-        seqs = read_bt_seqs(reader, CHUNK, opt.mode, opt.trim_qual)
-        if not seqs:
-            break
         if use_native:
-            out_n, rows = _aln_batch_native(fm, seqs, opt)
+            pk = read_bt_packed(reader, CHUNK, opt.mode, opt.trim_qual)
+            if pk.n == 0:
+                break
+            out_n, rows = _aln_batch_native(fm, pk, opt)
             writer.write_batch_raw(out_n, rows)
-            tot += len(seqs)
+            tot += pk.n
             print(f"[bwa_aln_core] {tot} sequences have been processed.",
                   file=sys.stderr)
             continue
+        seqs = read_bt_seqs(reader, CHUNK, opt.mode, opt.trim_qual)
+        if not seqs:
+            break
         local = GapOpt(**{k: getattr(opt, k) for k in opt.__dataclass_fields__})
         for p in seqs:
             if opt.fnr > 0.0:
@@ -158,50 +167,8 @@ def _bt_ref(fm):
     return fm._bt_ref_v
 
 
-def _pack_reads(seqs):
-    """Flatten one batch of BtSeq inputs for the native finalizers.
-    Returns (codes_flat, codes_off, lens, full_lens, clip_lens, qual_flat,
-    qual_off-or-None, rnames, rname_off, bc_blob, bc_off)."""
-    n = len(seqs)
-    codes_off = np.zeros(n + 1, np.int64)
-    qual_off = np.zeros(n + 1, np.int64)
-    rname_off = np.zeros(n + 1, np.int64)
-    bc_off = np.zeros(n, np.int32)
-    lens = np.zeros(n, np.int32)
-    full_lens = np.zeros(n, np.int32)
-    clip_lens = np.zeros(n, np.int32)
-    has_qual = all(p.qual is not None for p in seqs)
-    codes_parts, qual_parts, name_parts, bc_parts = [], [], [], []
-    bpos = 0
-    for i, p in enumerate(seqs):
-        codes_off[i + 1] = codes_off[i] + p.full_len
-        codes_parts.append(np.asarray(p.full_codes[:p.full_len], np.uint8))
-        if has_qual:
-            qual_off[i + 1] = qual_off[i] + len(p.qual)
-            qual_parts.append(bytes(p.qual))
-        nb = p.name.encode() + b"\x00"
-        rname_off[i + 1] = rname_off[i] + len(nb)
-        name_parts.append(nb)
-        bc_off[i] = bpos
-        bb = p.bc.encode() + b"\x00"
-        bc_parts.append(bb)
-        bpos += len(bb)
-        lens[i] = p.len
-        full_lens[i] = p.full_len
-        clip_lens[i] = p.clip_len
-    codes_flat = (np.concatenate(codes_parts) if codes_parts
-                  else np.zeros(0, np.uint8))
-    codes_flat = np.ascontiguousarray(codes_flat, np.uint8)
-    qual_flat = np.frombuffer(b"".join(qual_parts), np.uint8) if has_qual \
-        else np.zeros(0, np.uint8)
-    qual_flat = np.ascontiguousarray(qual_flat)
-    return (codes_flat, codes_off, lens, full_lens, clip_lens, qual_flat,
-            qual_off if has_qual else None, b"".join(name_parts), rname_off,
-            b"".join(bc_parts), bc_off)
-
-
-def _samse_batch_native(fm, seqs, sai_rest: memoryview, opt, n_occ,
-                        rg_id, rng: Rand48) -> tuple[str, int]:
+def _samse_batch_native(fm, pk: PackedReads, sai_rest: memoryview, opt,
+                        n_occ, rg_id, rng: Rand48) -> tuple[str, int]:
     """Whole samse finalize for one batch in C++ (native/btsam.cpp):
     drand48 sampling, SA walks, ksw_global refinement, MD/NM, SAM text.
     Returns (sam_text, sai_bytes_consumed); the shared drand48 state
@@ -218,10 +185,13 @@ def _samse_batch_native(fm, seqs, sai_rest: memoryview, opt, n_occ,
     pac, ctg_off, ctg_len, name_off, names_blob, amb_off, amb_len = \
         _bt_ref(fm)
 
-    n = len(seqs)
-    (codes_flat, codes_off, lens, full_lens, clip_lens, qual_flat, qual_off,
-     rnames, rname_off, bc_blob, bc_off) = _pack_reads(seqs)
+    n = pk.n
+    (codes_flat, codes_off, lens, full_lens, clip_lens, qual_off,
+     rnames, rname_off, bc_blob, bc_off) = (
+        pk.codes_flat, pk.codes_off, pk.lens, pk.full_lens, pk.clip_lens,
+        pk.qual_off, pk.names_blob, pk.name_off, pk.bc_blob, pk.bc_off)
     has_qual = qual_off is not None
+    qual_flat = pk.qual_flat if has_qual else np.zeros(0, np.uint8)
     sai_arr = np.frombuffer(sai_rest, np.uint8)
 
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -266,9 +236,9 @@ def _samse_batch_native(fm, seqs, sai_rest: memoryview, opt, n_occ,
     return out_buf[: int(r)].tobytes().decode(), int(used[0])
 
 
-def _sampe_batch_native(fm, seqs0, seqs1, sai_rest0, sai_rest1, opt0, opt,
-                        popt, ii_state: np.ndarray, rg_id,
-                        rng: Rand48) -> tuple[str, int, int]:
+def _sampe_batch_native(fm, pk0: PackedReads, pk1: PackedReads, sai_rest0,
+                        sai_rest1, opt0, opt, popt, ii_state: np.ndarray,
+                        rg_id, rng: Rand48) -> tuple[str, int, int]:
     """Whole sampe finalize for one batch in C++ (bt_sampe_batch,
     native/btsam.cpp): the SE phase, insert-size inference, pairing, SW
     mate rescue, refinement and paired SAM.  aln/sampe.py is the spec.
@@ -288,9 +258,7 @@ def _sampe_batch_native(fm, seqs0, seqs1, sai_rest0, sai_rest1, opt0, opt,
     idx = fm._sw2idx
     pac, ctg_off, ctg_len, name_off, names_blob, amb_off, amb_len = \
         _bt_ref(fm)
-    n = len(seqs0)
-    pk0 = _pack_reads(seqs0)
-    pk1 = _pack_reads(seqs1)
+    n = pk0.n
     sai0 = np.frombuffer(sai_rest0, np.uint8)
     sai1 = np.frombuffer(sai_rest1, np.uint8)
 
@@ -299,17 +267,18 @@ def _sampe_batch_native(fm, seqs0, seqs1, sai_rest0, sai_rest1, opt0, opt,
     u8p = ctypes.POINTER(ctypes.c_uint8)
 
     def read_args(pk):
-        (codes_flat, codes_off, lens, full_lens, clip_lens, qual_flat,
-         qual_off, rnames, rname_off, bc_blob, bc_off) = pk
-        return [codes_flat.ctypes.data_as(u8p),
-                codes_off.ctypes.data_as(i64p), lens.ctypes.data_as(i32p),
-                full_lens.ctypes.data_as(i32p),
-                clip_lens.ctypes.data_as(i32p),
+        qual_flat = pk.qual_flat if pk.qual_flat is not None \
+            else np.zeros(0, np.uint8)
+        return [pk.codes_flat.ctypes.data_as(u8p),
+                pk.codes_off.ctypes.data_as(i64p),
+                pk.lens.ctypes.data_as(i32p),
+                pk.full_lens.ctypes.data_as(i32p),
+                pk.clip_lens.ctypes.data_as(i32p),
                 qual_flat.ctypes.data_as(u8p),
-                qual_off.ctypes.data_as(i64p) if qual_off is not None
-                else None,
-                rnames, rname_off.ctypes.data_as(i64p), bc_blob,
-                bc_off.ctypes.data_as(i32p)]
+                pk.qual_off.ctypes.data_as(i64p)
+                if pk.qual_off is not None else None,
+                pk.names_blob, pk.name_off.ctypes.data_as(i64p),
+                pk.bc_blob, pk.bc_off.ctypes.data_as(i32p)]
 
     rng_state = np.array([rng.x], np.uint64)
     ii_snap = ii_state.copy()
@@ -382,10 +351,10 @@ def samse_core(prefix, fn_sa, fn_fa, n_occ, rg_id, rg_line, out,
         if use_native:
             sai_rest = memoryview(fp_sa.read())
             while True:
-                seqs = read_bt_seqs(reader, CHUNK, opt.mode, opt.trim_qual)
-                if not seqs:
+                pk = read_bt_packed(reader, CHUNK, opt.mode, opt.trim_qual)
+                if pk.n == 0:
                     break
-                sam, used = _samse_batch_native(fm, seqs, sai_rest, opt,
+                sam, used = _samse_batch_native(fm, pk, sai_rest, opt,
                                                 n_occ, rg_id, rng)
                 sai_rest = sai_rest[used:]
                 out.write(sam)

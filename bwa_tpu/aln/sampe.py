@@ -391,17 +391,18 @@ def sampe_core(prefix, fn_sa, fn_fa, popt: PEOpt, rg_id, rg_line, out,
         import numpy as np
 
         from bwa_tpu.aln.driver import _sampe_batch_native
+        from bwa_tpu.aln.seqio import read_bt_packed
 
         rest = [memoryview(fps[0].read()), memoryview(fps[1].read())]
         ii_state = np.array([0.0, 0.0, 0.0, -1.0, -1.0, 0.0])
         while True:
-            seqs0 = read_bt_seqs(readers[0], CHUNK, opt0.mode,
+            pk0 = read_bt_packed(readers[0], CHUNK, opt0.mode,
                                  opt0.trim_qual)
-            if not seqs0:
+            if pk0.n == 0:
                 break
-            seqs1 = read_bt_seqs(readers[1], CHUNK, opt.mode, opt.trim_qual)
+            pk1 = read_bt_packed(readers[1], CHUNK, opt.mode, opt.trim_qual)
             sam, u0, u1 = _sampe_batch_native(
-                fm, seqs0, seqs1, rest[0], rest[1], opt0, opt, popt,
+                fm, pk0, pk1, rest[0], rest[1], opt0, opt, popt,
                 ii_state, rg_id, rng)
             rest[0] = rest[0][u0:]
             rest[1] = rest[1][u1:]

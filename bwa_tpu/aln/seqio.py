@@ -330,6 +330,216 @@ class BtReadStream:
         return out
 
 
+class PackedReads:
+    """One batch of backtrack reads as the flat arrays the native
+    finalizers (btsam.cpp/btgap.cpp) consume — built either directly by
+    the native strict-FASTQ parser (bt_fastq_parse, native/txtutil.cpp),
+    which skips per-read Python object construction entirely, or by
+    flattening a list[BtSeq] (from_seqs) on the general-parser path."""
+
+    __slots__ = ("n", "codes_flat", "codes_off", "lens", "full_lens",
+                 "clip_lens", "qual_flat", "qual_off", "names_blob",
+                 "name_off", "bc_blob", "bc_off")
+
+    @classmethod
+    def from_seqs(cls, seqs: list[BtSeq]) -> "PackedReads":
+        pk = cls()
+        n = pk.n = len(seqs)
+        codes_off = np.zeros(n + 1, np.int64)
+        qual_off = np.zeros(n + 1, np.int64)
+        name_off = np.zeros(n + 1, np.int64)
+        bc_off = np.zeros(n, np.int32)
+        lens = np.zeros(n, np.int32)
+        full_lens = np.zeros(n, np.int32)
+        clip_lens = np.zeros(n, np.int32)
+        has_qual = all(p.qual is not None for p in seqs)
+        codes_parts, qual_parts, name_parts, bc_parts = [], [], [], []
+        bpos = 0
+        for i, p in enumerate(seqs):
+            codes_off[i + 1] = codes_off[i] + p.full_len
+            codes_parts.append(np.asarray(p.full_codes[:p.full_len],
+                                          np.uint8))
+            if has_qual:
+                qual_off[i + 1] = qual_off[i] + len(p.qual)
+                qual_parts.append(bytes(p.qual))
+            nb = p.name.encode() + b"\x00"
+            name_off[i + 1] = name_off[i] + len(nb)
+            name_parts.append(nb)
+            bc_off[i] = bpos
+            bb = p.bc.encode() + b"\x00"
+            bc_parts.append(bb)
+            bpos += len(bb)
+            lens[i] = p.len
+            full_lens[i] = p.full_len
+            clip_lens[i] = p.clip_len
+        pk.codes_flat = np.ascontiguousarray(
+            np.concatenate(codes_parts) if codes_parts
+            else np.zeros(0, np.uint8), np.uint8)
+        pk.qual_flat = np.ascontiguousarray(
+            np.frombuffer(b"".join(qual_parts), np.uint8)) if has_qual \
+            else None
+        pk.codes_off, pk.lens, pk.full_lens = codes_off, lens, full_lens
+        pk.clip_lens = clip_lens
+        pk.qual_off = qual_off if has_qual else None
+        pk.names_blob, pk.name_off = b"".join(name_parts), name_off
+        pk.bc_blob, pk.bc_off = b"".join(bc_parts), bc_off
+        return pk
+
+    @classmethod
+    def concat(cls, a: "PackedReads", b: "PackedReads") -> "PackedReads":
+        if a.n == 0:
+            return b
+        if b.n == 0:
+            return a
+        pk = cls()
+        pk.n = a.n + b.n
+        pk.codes_flat = np.concatenate([a.codes_flat, b.codes_flat])
+        pk.codes_off = np.concatenate(
+            [a.codes_off, b.codes_off[1:] + a.codes_off[-1]])
+        for f in ("lens", "full_lens", "clip_lens"):
+            setattr(pk, f, np.concatenate([getattr(a, f), getattr(b, f)]))
+        if a.qual_flat is not None and b.qual_flat is not None:
+            pk.qual_flat = np.concatenate([a.qual_flat, b.qual_flat])
+            pk.qual_off = np.concatenate(
+                [a.qual_off, b.qual_off[1:] + a.qual_off[-1]])
+        else:  # mixed FASTQ/FASTA: same all-or-nothing rule as from_seqs
+            pk.qual_flat = pk.qual_off = None
+        pk.names_blob = a.names_blob + b.names_blob
+        pk.name_off = np.concatenate(
+            [a.name_off, b.name_off[1:] + a.name_off[-1]])
+        pk.bc_blob = a.bc_blob + b.bc_blob
+        pk.bc_off = np.concatenate(
+            [a.bc_off, b.bc_off + np.int32(len(a.bc_blob))])
+        return pk
+
+
+def _txt_native():
+    """ctypes handle with bt_fastq_parse registered, or None."""
+    try:
+        import ctypes
+
+        from bwa_tpu.native.build import get_lib
+
+        lib = get_lib()
+    except Exception:
+        return None
+    if not getattr(lib, "_btfq_sig", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.bt_fastq_parse.restype = ctypes.c_int64
+        lib.bt_fastq_parse.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, u8p, i64p, i32p, i32p, u8p, i64p, u8p, i64p,
+            i64p, i32p]
+        lib._btfq_sig = True
+    return lib
+
+
+def _batch_packed_native(fast: FastBtFastq, lib, n_needed: int,
+                         trim_qual: int):
+    """(PackedReads, ok) via the native strict parser over fast's byte
+    stream; ok=False means the stream must continue through the general
+    parser (take_rest_stream) — records already packed stand."""
+    import ctypes
+
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    parts: list[PackedReads] = []
+    total = 0
+    ok = True
+    while total < n_needed:
+        if not fast.rem and not fast.eof:
+            chunk = fast.f.read(fast.BLOCK)
+            if not chunk:
+                fast.eof = True
+            else:
+                fast.rem = chunk
+        if not fast.rem:
+            break
+        buf = np.frombuffer(fast.rem, np.uint8)
+        ln = buf.shape[0]
+        want = n_needed - total
+        pk = PackedReads()
+        codes = np.empty(ln, np.uint8)
+        codes_off = np.zeros(want + 1, np.int64)
+        lens = np.empty(want, np.int32)
+        full_lens = np.empty(want, np.int32)
+        names = np.empty(ln, np.uint8)
+        name_off = np.zeros(want + 1, np.int64)
+        quals = np.empty(ln, np.uint8)
+        qual_off = np.zeros(want + 1, np.int64)
+        consumed = np.zeros(1, np.int64)
+        okv = np.zeros(1, np.int32)
+        n = int(lib.bt_fastq_parse(
+            buf.ctypes.data_as(u8p), np.int64(ln), np.int64(want),
+            np.int32(1 if fast.eof else 0), np.int32(trim_qual),
+            codes.ctypes.data_as(u8p), codes_off.ctypes.data_as(i64p),
+            lens.ctypes.data_as(i32p), full_lens.ctypes.data_as(i32p),
+            names.ctypes.data_as(u8p), name_off.ctypes.data_as(i64p),
+            quals.ctypes.data_as(u8p), qual_off.ctypes.data_as(i64p),
+            consumed.ctypes.data_as(i64p), okv.ctypes.data_as(i32p)))
+        fast.rem = fast.rem[int(consumed[0]):]
+        if n:
+            pk.n = n
+            pk.codes_flat = codes[: codes_off[n]]
+            pk.codes_off = codes_off[: n + 1]
+            pk.lens, pk.full_lens = lens[:n], full_lens[:n]
+            pk.clip_lens = lens[:n].copy()
+            pk.qual_flat = quals[: qual_off[n]]
+            pk.qual_off = qual_off[: n + 1]
+            pk.names_blob = names[: name_off[n]].tobytes()
+            pk.name_off = name_off[: n + 1]
+            pk.bc_blob = b"\x00" * n
+            pk.bc_off = np.arange(n, dtype=np.int32)
+            parts.append(pk)
+            total += n
+        if not okv[0]:
+            ok = False
+            break
+        if n < want:
+            if fast.eof:
+                fast.rem = b""  # at most trailing whitespace (ok==1)
+                break
+            chunk = fast.f.read(fast.BLOCK)  # partial record: refill
+            if not chunk:
+                fast.eof = True
+            else:
+                fast.rem += chunk
+    if not parts:
+        out = PackedReads.from_seqs([])
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = PackedReads.concat(out, p)
+    return out, ok
+
+
+def read_bt_packed(reader, n_needed: int, mode: int,
+                   trim_qual: int) -> PackedReads:
+    """Batch intake straight to the native finalizers' flat-array form.
+    Uses the native strict-FASTQ parser when the stream is still on the
+    fast path; otherwise packs the general parser's BtSeq list."""
+    if isinstance(reader, BtReadStream) and reader.fast is not None:
+        lib = _txt_native()
+        if lib is not None:
+            pk, ok = _batch_packed_native(reader.fast, lib, n_needed,
+                                          trim_qual)
+            if not ok:
+                reader.fallback = SeqReader(reader.fast.take_rest_stream())
+                reader.fast = None
+                if pk.n < n_needed:
+                    rest = read_bt_seqs(reader, n_needed - pk.n, mode,
+                                        trim_qual)
+                    if rest:
+                        pk = PackedReads.concat(
+                            pk, PackedReads.from_seqs(rest))
+            return pk
+    return PackedReads.from_seqs(
+        read_bt_seqs(reader, n_needed, mode, trim_qual))
+
+
 def _build_bt(recs, is_comp: bool, trim_qual: int) -> list[BtSeq]:
     out = []
     for name_b, seq_b, qual_b in recs:
