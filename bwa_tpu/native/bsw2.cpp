@@ -19,6 +19,7 @@
 #include <algorithm>
 #include <chrono>
 #include <vector>
+#include "occ64.h"
 
 extern "C" int sais_u8_i32(const uint8_t *text, int32_t n, int32_t *sa_out);
 
@@ -34,139 +35,35 @@ constexpr int32_t kMinusInf = -0x3fffffff;
 // Semantics identical to bwt_occ4 (bwt.c:169-186) / ops/fm_host.py.
 // ---------------------------------------------------------------------
 
-struct GenomeFM {
-  // interleaved occ blocks: per 128 bases, 4 int64 counts + 8 uint32
-  // text words (base i of a word at bit (15-(i&15))*2) = exactly one
-  // 64-byte cache line (the reference's bwt.h:73-80 layout rationale);
-  // the split ckpt/words arrays cost two misses per occ and were a
-  // large part of the DAG core's 2x-vs-reference gap.
-  const uint8_t *inter;
-  int64_t seq_len;
-  int64_t primary;
-  const int64_t *L2;      // [5]
-};
+// interleaved occ blocks: per 128 bases, 4 int64 counts + 8 uint32
+// text words = one 64-byte cache line (bwt.h:73-80 rationale); the
+// 64-bit decode lives in occ64.h, shared with btgap/btsam.
+using GenomeFM = occ64::View;
 
-static inline const int64_t *g_blk_cnt(const GenomeFM &g, int64_t blk) {
-  return (const int64_t *)(g.inter + blk * 64);
-}
-static inline const uint32_t *g_blk_words(const GenomeFM &g, int64_t blk) {
-  return (const uint32_t *)(g.inter + blk * 64 + 32);
-}
-
-static void g_occ4(const GenomeFM &g, int64_t k, int64_t cnt[4]) {
+static inline void g_occ4(const GenomeFM &g, int64_t k, int64_t cnt[4]) {
   ++g_prof_cnt[0];
-  if (k == -1) {
-    cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0;
-    return;
-  }
-  if (k == g.seq_len) {
-    for (int c = 0; c < 4; ++c) cnt[c] = g.L2[c + 1] - g.L2[c];
-    return;
-  }
-  if (k >= g.primary) --k;
-  int64_t blk = k >> 7;
-  int kw = (int)((k >> 4) & 7), kb = (int)(k & 15);
-  const uint32_t *w = g_blk_words(g, blk);
-  int64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
-  for (int i = 0; i <= kw; ++i) {
-    int nkeep = (i < kw) ? 16 : kb + 1;
-    uint32_t mask2 = ~((nkeep == 16) ? 0u : ((1u << ((16 - nkeep) << 1)) - 1u));
-    if (nkeep == 16) mask2 = 0xffffffffu;
-    uint32_t word = w[i] & mask2;
-    uint32_t vm = mask2 & 0x55555555u;
-    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
-    a3 += __builtin_popcount(hi & lo);
-    a2 += __builtin_popcount(hi & ~lo);
-    a1 += __builtin_popcount(lo & ~hi);
-    a0 += __builtin_popcount(vm & ~hi & ~lo);
-  }
-  const int64_t *cp = g_blk_cnt(g, blk);
-  cnt[0] = cp[0] + a0;
-  cnt[1] = cp[1] + a1;
-  cnt[2] = cp[2] + a2;
-  cnt[3] = cp[3] + a3;
+  occ64::occ4(g, k, cnt);
 }
 
-// Fused occ4 for the pair (k, l), k <= l — the bwt_2occ4 idea
-// (bwt.c:189-219): when both positions land in the same 128-base block
-// the scan to k is a strict prefix of the scan to l, so one pass over
-// one cache line yields both counts.  Falls back to two g_occ4 calls
-// when the block differs or either position is a boundary sentinel.
-static void g_2occ4(const GenomeFM &g, int64_t k, int64_t l,
-                    int64_t cntk[4], int64_t cntl[4]) {
+// bwt_2occ4 idea (bwt.c:189-219): one pass serves both counts when k
+// and l share a block (occ64::occ4_pair); counter 4 tracks fused pairs
+static inline void g_2occ4(const GenomeFM &g, int64_t k, int64_t l,
+                           int64_t cntk[4], int64_t cntl[4]) {
   int64_t _k = k - (k >= g.primary && k != -1 ? 1 : 0);
   int64_t _l = l - (l >= g.primary ? 1 : 0);
-  if (k == -1 || l == g.seq_len || (_k >> 7) != (_l >> 7)) {
-    g_occ4(g, k, cntk);
-    g_occ4(g, l, cntl);
-    return;
-  }
-  ++g_prof_cnt[4];
-  int64_t blk = _k >> 7;
-  int kw = (int)((_k >> 4) & 7), kb = (int)(_k & 15);
-  int lw = (int)((_l >> 4) & 7), lb = (int)(_l & 15);
-  const uint32_t *w = g_blk_words(g, blk);
-  int64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
-  int64_t b0 = 0, b1 = 0, b2 = 0, b3 = 0;
-  for (int i = 0; i <= lw; ++i) {
-    int nkeep = (i < lw) ? 16 : lb + 1;
-    uint32_t mask2 = (nkeep == 16)
-                         ? 0xffffffffu
-                         : ~((1u << ((16 - nkeep) << 1)) - 1u);
-    uint32_t word = w[i] & mask2;
-    uint32_t vm = mask2 & 0x55555555u;
-    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
-    int64_t c3 = __builtin_popcount(hi & lo);
-    int64_t c2 = __builtin_popcount(hi & ~lo);
-    int64_t c1 = __builtin_popcount(lo & ~hi);
-    int64_t c0 = __builtin_popcount(vm & ~hi & ~lo);
-    b0 += c0; b1 += c1; b2 += c2; b3 += c3;
-    if (i < kw) {
-      a0 += c0; a1 += c1; a2 += c2; a3 += c3;
-    } else if (i == kw) {
-      if (kw == lw && kb == 15) {  // k's word fully counted above iff full
-        a0 += c0; a1 += c1; a2 += c2; a3 += c3;
-      } else {
-        uint32_t km = ~((kb == 15) ? 0u : ((1u << ((15 - kb) << 1)) - 1u));
-        uint32_t kword = w[i] & km;
-        uint32_t kvm = km & 0x55555555u;
-        uint32_t khi = (kword >> 1) & 0x55555555u, klo = kword & 0x55555555u;
-        a3 += __builtin_popcount(khi & klo);
-        a2 += __builtin_popcount(khi & ~klo);
-        a1 += __builtin_popcount(klo & ~khi);
-        a0 += __builtin_popcount(kvm & ~khi & ~klo);
-      }
-    }
-  }
-  const int64_t *cp = g_blk_cnt(g, blk);
-  cntk[0] = cp[0] + a0; cntk[1] = cp[1] + a1;
-  cntk[2] = cp[2] + a2; cntk[3] = cp[3] + a3;
-  cntl[0] = cp[0] + b0; cntl[1] = cp[1] + b1;
-  cntl[2] = cp[2] + b2; cntl[3] = cp[3] + b3;
+  if (!(k == -1 || l == g.seq_len || (_k >> 7) != (_l >> 7)))
+    ++g_prof_cnt[4];
+  occ64::occ4_pair(g, k, l, cntk, cntl);
 }
 
 // BWT character at $-removed position x (bwt_B0, bwt.h:71).
 static inline int g_B0(const GenomeFM &g, int64_t x) {
-  uint32_t word = g_blk_words(g, x >> 7)[(x >> 4) & 7];
-  return (word >> ((15 - (x & 15)) << 1)) & 3;
+  return occ64::B0(g, x);
 }
 
 // One inverse-Psi step (bwt_invPsi, bwt.c:53-59).
 static inline int64_t g_inv_psi(const GenomeFM &g, int64_t k) {
-  int64_t x = k - (k > g.primary);
-  int c = g_B0(g, x);
-  int64_t occ_kc;
-  if (k == g.seq_len) {
-    occ_kc = g.L2[c + 1] - g.L2[c];
-  } else if (k == -1) {
-    occ_kc = 0;
-  } else {
-    int64_t cnt[4];
-    g_occ4(g, k, cnt);
-    occ_kc = cnt[c];
-  }
-  int64_t r = g.L2[c] + occ_kc;
-  return k == g.primary ? 0 : r;
+  return occ64::inv_psi(g, k);
 }
 
 // ---------------------------------------------------------------------

@@ -11,191 +11,21 @@
 #include <cstring>
 #include <vector>
 
+#include "occ64.h"
+
 namespace {
 
-struct FM {
-  // interleaved occ blocks: per 128 bases, 4 int64 counts + 8 uint32
-  // text words = exactly one 64-byte cache line (the reference's
-  // bwt.h:73-80 layout rationale; the split ckpt/words arrays cost two
-  // misses per occ and made the search memory-bound)
-  const uint8_t *inter;
-  int64_t seq_len, primary;
-  const int64_t *L2;
-};
+// interleaved occ blocks: per 128 bases, 4 int64 counts + 8 uint32
+// text words = exactly one 64-byte cache line (the reference's
+// bwt.h:73-80 layout rationale; the split ckpt/words arrays cost two
+// misses per occ and made the search memory-bound).  Decode lives in
+// occ64.h, shared with btsam/bsw2.
+using FM = occ64::View;
+using occ64::occ1;
+using occ64::occ1_pair;
+using occ64::occ4;
+using occ64::occ4_pair;
 
-static inline const int64_t *blk_cnt(const FM &g, int64_t blk) {
-  return (const int64_t *)(g.inter + blk * 64);
-}
-static inline const uint32_t *blk_words(const FM &g, int64_t blk) {
-  return (const uint32_t *)(g.inter + blk * 64 + 32);
-}
-
-static void occ4(const FM &g, int64_t k, int64_t cnt[4]) {
-  if (k == -1) {
-    cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0;
-    return;
-  }
-  if (k == g.seq_len) {
-    for (int c = 0; c < 4; ++c) cnt[c] = g.L2[c + 1] - g.L2[c];
-    return;
-  }
-  if (k >= g.primary) --k;
-  int64_t blk = k >> 7;
-  int kw = (int)((k >> 4) & 7), kb = (int)(k & 15);
-  const uint32_t *w = blk_words(g, blk);
-  int64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
-  for (int i = 0; i <= kw; ++i) {
-    int nkeep = (i < kw) ? 16 : kb + 1;
-    uint32_t mask2 =
-        nkeep == 16 ? 0xffffffffu : ~((1u << ((16 - nkeep) << 1)) - 1u);
-    uint32_t word = w[i] & mask2;
-    uint32_t vm = mask2 & 0x55555555u;
-    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
-    a3 += __builtin_popcount(hi & lo);
-    a2 += __builtin_popcount(hi & ~lo);
-    a1 += __builtin_popcount(lo & ~hi);
-    a0 += __builtin_popcount(vm & ~hi & ~lo);
-  }
-  const int64_t *cp = blk_cnt(g, blk);
-  cnt[0] = cp[0] + a0;
-  cnt[1] = cp[1] + a1;
-  cnt[2] = cp[2] + a2;
-  cnt[3] = cp[3] + a3;
-}
-
-// single-base occ (bwt_occ-style: popcount only base c's pattern)
-static inline int64_t occ1(const FM &g, int64_t k, int c) {
-  if (k == -1) return 0;
-  if (k == g.seq_len) return g.L2[c + 1] - g.L2[c];
-  if (k >= g.primary) --k;
-  int64_t blk = k >> 7;
-  int kw = (int)((k >> 4) & 7), kb = (int)(k & 15);
-  const uint32_t *w = blk_words(g, blk);
-  int64_t acc = 0;
-  uint32_t want_hi = (c & 2) ? 0xffffffffu : 0u;
-  uint32_t want_lo = (c & 1) ? 0xffffffffu : 0u;
-  for (int i = 0; i <= kw; ++i) {
-    int nkeep = (i < kw) ? 16 : kb + 1;
-    uint32_t mask2 =
-        nkeep == 16 ? 0xffffffffu : ~((1u << ((16 - nkeep) << 1)) - 1u);
-    uint32_t word = w[i] & mask2;
-    uint32_t vm = mask2 & 0x55555555u;
-    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
-    acc += __builtin_popcount((hi ^ ~want_hi) & (lo ^ ~want_lo) & vm);
-  }
-  return blk_cnt(g, blk)[c] + acc;
-}
-
-// bwt_2occ-style shared-block single-base pair (bwt.c:132-163): one
-// block decode serves occ(k, c) and occ(l, c) when both land in the
-// same 128-base block — cal_width and match_exact do this per base
-static inline void occ1_pair(const FM &g, int64_t k, int64_t l, int c,
-                             int64_t *ok, int64_t *ol) {
-  int64_t _k = k - (k >= g.primary);
-  int64_t _l = l - (l >= g.primary);
-  if (k == -1 || l == -1 || k == g.seq_len || l == g.seq_len
-      || (_k >> 7) != (_l >> 7)) {
-    *ok = occ1(g, k, c);
-    *ol = occ1(g, l, c);
-    return;
-  }
-  int64_t blk = _k >> 7;
-  int kw = (int)((_k >> 4) & 7), kb = (int)(_k & 15);
-  int lw = (int)((_l >> 4) & 7), lb = (int)(_l & 15);
-  const uint32_t *w = blk_words(g, blk);
-  uint32_t want_hi = (c & 2) ? 0xffffffffu : 0u;
-  uint32_t want_lo = (c & 1) ? 0xffffffffu : 0u;
-  int64_t acc = 0, acck = 0;
-  for (int i = 0; i <= lw; ++i) {
-    int nkeep = (i < lw) ? 16 : lb + 1;
-    uint32_t mask2 =
-        nkeep == 16 ? 0xffffffffu : ~((1u << ((16 - nkeep) << 1)) - 1u);
-    uint32_t word = w[i] & mask2;
-    uint32_t vm = mask2 & 0x55555555u;
-    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
-    uint32_t match = (hi ^ ~want_hi) & (lo ^ ~want_lo) & vm;
-    acc += __builtin_popcount(match);
-    if (i == kw) {
-      int nk = kb + 1;
-      uint32_t maskk =
-          nk == 16 ? 0xffffffffu : ~((1u << ((16 - nk) << 1)) - 1u);
-      acck = acc - __builtin_popcount(match & ~maskk & 0x55555555u
-                                      & (hi ^ ~want_hi) & (lo ^ ~want_lo));
-    }
-  }
-  const int64_t base = blk_cnt(g, blk)[c];
-  *ok = base + acck;
-  *ol = base + acc;
-}
-
-// bwt_2occ4-style shared-block pair (bwt.c:189-220): when k and l land in
-// the same 128-base block, count the block once
-static void occ4_pair(const FM &g, int64_t k, int64_t l, int64_t cntk[4],
-                      int64_t cntl[4]) {
-  int64_t _k = k - (k >= g.primary);
-  int64_t _l = l - (l >= g.primary);
-  if (k == -1 || l == -1 || k == g.seq_len || l == g.seq_len
-      || (_l >> 7) != (_k >> 7)) {
-    occ4(g, k, cntk);
-    occ4(g, l, cntl);
-    return;
-  }
-  int64_t blk = _k >> 7;
-  int kw = (int)((_k >> 4) & 7), kb = (int)(_k & 15);
-  int lw = (int)((_l >> 4) & 7), lb = (int)(_l & 15);
-  const uint32_t *w = blk_words(g, blk);
-  const int64_t *cp = blk_cnt(g, blk);
-  int64_t a[4] = {0, 0, 0, 0};
-  bool k_done = false;
-  for (int i = 0; i <= lw; ++i) {
-    // contribution of word i up to the k boundary
-    if (!k_done && i <= kw) {
-      int nkeep = (i < kw) ? 16 : kb + 1;
-      uint32_t mask2 =
-          nkeep == 16 ? 0xffffffffu : ~((1u << ((16 - nkeep) << 1)) - 1u);
-      uint32_t word = w[i] & mask2;
-      uint32_t vm = mask2 & 0x55555555u;
-      uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
-      a[3] += __builtin_popcount(hi & lo);
-      a[2] += __builtin_popcount(hi & ~lo);
-      a[1] += __builtin_popcount(lo & ~hi);
-      a[0] += __builtin_popcount(vm & ~hi & ~lo);
-      if (i == kw) {
-        for (int c = 0; c < 4; ++c) cntk[c] = cp[c] + a[c];
-        k_done = true;
-        // add the remainder of word kw (beyond kb) toward the l counts
-        if (kb < 15 || lw > kw) {
-          uint32_t full_mask =
-              (i < lw) ? 0xffffffffu
-                       : ~((1u << ((15 - lb) << 1)) - 1u);
-          uint32_t extra = full_mask & ~mask2;
-          uint32_t word2 = w[i] & extra;
-          uint32_t vm2 = extra & 0x55555555u;
-          uint32_t hi2 = (word2 >> 1) & 0x55555555u;
-          uint32_t lo2 = word2 & 0x55555555u;
-          a[3] += __builtin_popcount(hi2 & lo2);
-          a[2] += __builtin_popcount(hi2 & ~lo2);
-          a[1] += __builtin_popcount(lo2 & ~hi2);
-          a[0] += __builtin_popcount(vm2 & ~hi2 & ~lo2);
-        }
-      }
-      continue;
-    }
-    int nkeep = (i < lw) ? 16 : lb + 1;
-    uint32_t mask2 =
-        nkeep == 16 ? 0xffffffffu : ~((1u << ((16 - nkeep) << 1)) - 1u);
-    uint32_t word = w[i] & mask2;
-    uint32_t vm = mask2 & 0x55555555u;
-    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
-    a[3] += __builtin_popcount(hi & lo);
-    a[2] += __builtin_popcount(hi & ~lo);
-    a[1] += __builtin_popcount(lo & ~hi);
-    a[0] += __builtin_popcount(vm & ~hi & ~lo);
-  }
-  if (!k_done)
-    for (int c = 0; c < 4; ++c) cntk[c] = cp[c] + a[c];  // unreachable
-  for (int c = 0; c < 4; ++c) cntl[c] = cp[c] + a[c];
-}
 
 struct Opt {
   int s_mm, s_gapo, s_gape;
@@ -280,6 +110,17 @@ struct GapStack {  // score-bucketed LIFO (bwtgap.c:17-84)
   int best;
   int64_t n = 0;
   explicit GapStack(int n_stacks) : stacks(n_stacks), best(n_stacks) {}
+  // persistent across reads (the reference allocates once per thread and
+  // gap_reset_stack's per read, bwtaln.c:94): keep substack capacity,
+  // just grow the bucket count when a read's score ceiling is higher
+  void reset(int n_stacks) {
+    if ((int)stacks.size() < n_stacks) stacks.resize(n_stacks);
+    if (n) {
+      for (auto &s : stacks) s.clear();
+      n = 0;
+    }
+    best = (int)stacks.size();
+  }
   void push(const Entry &e, int score) {
     stacks[score].push_back(e);
     ++n;
@@ -323,7 +164,7 @@ static int match_exact_alt(const FM &g, const uint8_t *seq, int i,
 static void match_gap(const FM &g, const uint8_t *seq, int length,
                       std::vector<Width> &width,
                       std::vector<Width> *seed_width, int max_diff_in,
-                      int max_gapo, const Opt &opt,
+                      int max_gapo, const Opt &opt, GapStack &stack,
                       std::vector<AlnRec> *alns) {
   int best_score = aln_score(max_diff_in + 1, max_gapo + 1,
                              opt.max_gape + 1, opt);
@@ -336,8 +177,8 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
   for (int p = 0; p < length; ++p) n_amb += seq[p] > 3;
   if (n_amb > max_diff) return;
 
-  GapStack stack(aln_score(max_diff_in + 1, max_gapo + 1,
-                           opt.max_gape + 1, opt));
+  stack.reset(aln_score(max_diff_in + 1, max_gapo + 1,
+                        opt.max_gape + 1, opt));
   stack.push(mkent(length, 0, g.seq_len, 0, 0, 0, 0, 0, ST_M, 0), 0);
 
   while (stack.n) {
@@ -514,6 +355,7 @@ int64_t bt_aln_batch(const uint8_t *g_inter,
   std::vector<Width> width, seed_w;
   std::vector<AlnRec> alns;
   std::vector<uint8_t> q;
+  GapStack stack(0);
   int64_t tot = 0;
   for (int r = 0; r < n_reads; ++r) {
     const uint8_t *seq = seqs_flat + seq_off[r];
@@ -527,7 +369,7 @@ int64_t bt_aln_batch(const uint8_t *g_inter,
     q.resize(len);
     for (int p = 0; p < len; ++p) q[p] = seq[p] > 3 ? 4 : 3 - seq[p];
     match_gap(g, q.data(), len, width, sw, max_diff[r], max_gapo[r], opt,
-              &alns);
+              stack, &alns);
     out_n[r] = (int32_t)alns.size();
     if (tot + (int64_t)alns.size() * 8 <= rec_cap) {
       std::memcpy(out_rec + tot, alns.data(), alns.size() * sizeof(AlnRec));

@@ -15,6 +15,7 @@
 #include <cstring>
 #include <string>
 #include <vector>
+#include "occ64.h"
 
 extern "C" int bt_ksw_global2(int qlen, const uint8_t *query, int tlen,
                               const uint8_t *target, int m, const int8_t *mat,
@@ -40,67 +41,14 @@ struct Rand48 {
   }
 };
 
-// ---- FM view (bsw2.cpp GenomeFM twin) ----
-struct FM {
-  // interleaved occ blocks (64B = 4 int64 counts + 8 uint32 words); see
-  // bsw2.cpp GenomeFM — one cache line per occ
-  const uint8_t *inter;
-  int64_t seq_len, primary;
-  const int64_t *L2;
+// ---- FM view (occ64.h View + the sampled SA) ----
+struct FM : occ64::View {
   const int64_t *ssa;
   int32_t sa_intv;
 };
 
-static inline const int64_t *blk_cnt(const FM &g, int64_t blk) {
-  return (const int64_t *)(g.inter + blk * 64);
-}
-static inline const uint32_t *blk_words(const FM &g, int64_t blk) {
-  return (const uint32_t *)(g.inter + blk * 64 + 32);
-}
-
-static void occ4(const FM &g, int64_t k, int64_t cnt[4]) {
-  if (k == -1) { cnt[0] = cnt[1] = cnt[2] = cnt[3] = 0; return; }
-  if (k == g.seq_len) {
-    for (int c = 0; c < 4; ++c) cnt[c] = g.L2[c + 1] - g.L2[c];
-    return;
-  }
-  if (k >= g.primary) --k;
-  int64_t blk = k >> 7;
-  int kw = (int)((k >> 4) & 7), kb = (int)(k & 15);
-  const uint32_t *w = blk_words(g, blk);
-  int64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
-  for (int i = 0; i <= kw; ++i) {
-    int nkeep = (i < kw) ? 16 : kb + 1;
-    uint32_t mask2 = (nkeep == 16) ? 0xffffffffu
-                                   : ~((1u << ((16 - nkeep) << 1)) - 1u);
-    uint32_t word = w[i] & mask2;
-    uint32_t vm = mask2 & 0x55555555u;
-    uint32_t hi = (word >> 1) & 0x55555555u, lo = word & 0x55555555u;
-    a3 += __builtin_popcount(hi & lo);
-    a2 += __builtin_popcount(hi & ~lo);
-    a1 += __builtin_popcount(lo & ~hi);
-    a0 += __builtin_popcount(vm & ~hi & ~lo);
-  }
-  const int64_t *cp = blk_cnt(g, blk);
-  cnt[0] = cp[0] + a0; cnt[1] = cp[1] + a1;
-  cnt[2] = cp[2] + a2; cnt[3] = cp[3] + a3;
-}
-
-static inline int B0(const FM &g, int64_t x) {
-  uint32_t word = blk_words(g, x >> 7)[(x >> 4) & 7];
-  return (word >> ((15 - (x & 15)) << 1)) & 3;
-}
-
-static inline int64_t inv_psi(const FM &g, int64_t k) {
-  int64_t x = k - (k > g.primary);
-  int c = B0(g, x);
-  int64_t cnt[4], occ_kc;
-  if (k == g.seq_len) occ_kc = g.L2[c + 1] - g.L2[c];
-  else if (k == -1) occ_kc = 0;
-  else { occ4(g, k, cnt); occ_kc = cnt[c]; }
-  int64_t r = g.L2[c] + occ_kc;
-  return k == g.primary ? 0 : r;
-}
+using occ64::inv_psi;
+using occ64::occ4;
 
 static int64_t sa_value(const FM &g, int64_t k) {  // bwt_sa (bwt.c:86-96)
   int64_t mask = g.sa_intv - 1, s = 0;
@@ -1117,7 +1065,7 @@ int64_t bt_samse_batch(
     int64_t out_cap, int64_t *sai_used) {
   using namespace btsam;
   init_log_n();
-  FM g{occ_inter, seq_len, primary, L2, ssa, sa_intv};
+  FM g{{occ_inter, seq_len, primary, L2}, ssa, sa_intv};
   Ref r{pac, l_pac, ctg_off, ctg_len, name_off, names,
         n_ctg, amb_off, amb_len, n_amb};
   Rand48 rng{*rng_state};
@@ -1201,7 +1149,7 @@ int64_t bt_sampe_batch(
     char *out_buf, int64_t out_cap, int64_t *sai_used) {
   using namespace btsam;
   init_log_n();
-  FM g{occ_inter, seq_len, primary, L2, ssa, sa_intv};
+  FM g{{occ_inter, seq_len, primary, L2}, ssa, sa_intv};
   Ref r{pac, l_pac, ctg_off, ctg_len, name_off, names,
         n_ctg, amb_off, amb_len, n_amb};
   Rand48 rng{*rng_state};

@@ -32,6 +32,11 @@ def _source_files():
     return sorted(_SRC_DIR.glob("*.cpp"))
 
 
+def _hash_files():
+    # headers participate in the content hash but are not compiled units
+    return sorted(_SRC_DIR.glob("*.cpp")) + sorted(_SRC_DIR.glob("*.h"))
+
+
 def _build_hash(files) -> str:
     h = hashlib.sha256()
     for f in files:
@@ -57,7 +62,7 @@ def get_lib() -> ctypes.CDLL:
         if _lib is not None:
             return _lib
         files = _source_files()
-        so = _CACHE_DIR / f"bwa_tpu_native_{_build_hash(files)}.so"
+        so = _CACHE_DIR / f"bwa_tpu_native_{_build_hash(_hash_files())}.so"
         if not so.exists():
             _compile(files, so)
         lib = ctypes.CDLL(str(so))
