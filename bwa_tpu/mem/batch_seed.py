@@ -93,13 +93,44 @@ def _pack_bucket(opt, chunk, cap_s: int):
     ambiguous base: the state machine treats N as a hard boundary in
     every pass, so a packed lane behaves exactly like pack_k independent
     reads while per-lane step totals average out (the tail-utilization
-    remedy that keeps ONE executable shape — PERF.md)."""
+    remedy that keeps ONE executable shape — PERF.md).
+
+    Long reads invert the packing: one read SHARDED over n_shard lanes,
+    each covering a slice of the start-cursor range (exact — see
+    seed_machine_seg's lane-sharding note); the per-lane serial SMEM
+    walk over a 2 kb read was the pacbio seeding floor (91% utilization,
+    work-bound).  Returns (q, lens, L, B2, pack_k, cs, shard, n_shard);
+    shard is None when unsharded."""
     nb = len(chunk)
     L = _len_bucket(max(len(c) for c in chunk))
-    bucket = _lane_bucket(L, nb)
     pack_k = int(os.environ.get("BWA_TPU_PACK_K", "2"))
-    if L > 256 or nb < bucket // 2:
+    n_shard = 1
+    if L > 256:
         pack_k = 1  # long reads carry enough work per lane already
+        max_s = int(os.environ.get("BWA_TPU_SEED_SHARD", "8"))
+        n_shard = max(1, min(max_s, _lane_bucket(L) // max(nb, 1)))
+    bucket = _lane_bucket(L, nb * n_shard)
+    if nb < bucket // (2 * n_shard):
+        pack_k = 1
+    if n_shard > 1:
+        B2 = bucket
+        q = np.full((B2, L), 4, np.uint8)
+        lens = np.zeros(B2, np.int32)
+        job_lo = np.zeros(B2, np.int32)
+        hi1 = np.zeros(B2, np.int32)
+        hi3 = np.zeros(B2, np.int32)
+        for r, c in enumerate(chunk):
+            ln = len(c)
+            step = -(-ln // n_shard)
+            for s in range(n_shard):
+                lane = r * n_shard + s
+                q[lane, :ln] = c
+                lens[lane] = ln
+                job_lo[lane] = min(s * step, ln)
+                hi1[lane] = min((s + 1) * step, ln) if s < n_shard - 1 \
+                    else ln
+                hi3[lane] = ln if s == 0 else 0
+        return q, lens, L, B2, pack_k, cap_s, (job_lo, hi1, hi3), n_shard
     B2 = bucket // pack_k
     Lp = pack_k * (L + 1)
     q = np.full((B2, Lp), 4, np.uint8)
@@ -111,34 +142,66 @@ def _pack_bucket(opt, chunk, cap_s: int):
                 c = chunk[ridx]
                 q[i, r * (L + 1):r * (L + 1) + len(c)] = c
                 lens[i] = r * (L + 1) + len(c)
-    return q, lens, L, B2, pack_k, cap_s * pack_k
+    return q, lens, L, B2, pack_k, cap_s * pack_k, None, 1
 
 
-def _demux_bucket(opt, fm, seeds_out, nb, L, B2, cs):
+def _demux_bucket(opt, fm, seeds_out, nb, L, B2, cs, n_shard=1):
     """Demux packed lanes back to per-read flat arrays (bucket-local
     offsets).  Rows are sorted by start within a lane, so a stable sort
     by read id keeps order.  SA lookups go through fm.sa_lookup (dense
-    sidecar on small genomes, native batch walker at scale)."""
+    sidecar on small genomes, native batch walker at scale).
+
+    Sharded long-read lanes (n_shard > 1) instead re-sort per read by
+    (start, end, tag) and drop the cross-lane duplicates: rows equal in
+    (read, start, end, provenance tag) are the same SMEM found from two
+    shards' ranges; duplicates the reference itself produces differ in
+    tag and are kept (ties of (start, end) denote the same interval, so
+    any tie order is output-equivalent — ks_introsort on .info is
+    unstable too)."""
     max_occ = opt.max_occ
-    s0, s1, s2, ss, se, sn = seeds_out
-    sn_l = sn.astype(np.int64)
-    # the seed arrays may come back narrower than cs (D2H width diet
-    # slices to a bucketed max(sn)); mask by the actual width
-    lmask = np.arange(s0.shape[1])[None, :] < sn_l[:, None]
-    lane_id = np.broadcast_to(np.arange(B2)[:, None], lmask.shape)[lmask]
-    start_p = ss[lmask].astype(np.int64)
-    rslot = start_p // (L + 1)
-    read_id = rslot * B2 + lane_id
-    order = np.argsort(read_id, kind="stable")
-    keep = read_id[order] < nb  # drop pad-lane rows
-    order = order[keep]
-    rid_sorted = read_id[order]
-    k0 = s0[lmask][order].astype(np.int64)
-    x2 = s2[lmask][order].astype(np.int64)
-    off_p = (rslot * (L + 1))[order].astype(np.int64)
-    start = (start_p[order] - off_p).astype(np.int32)
-    end = (se[lmask].astype(np.int64)[order] - off_p).astype(np.int32)
-    sn_v = np.bincount(rid_sorted, minlength=nb)[:nb]
+    if n_shard > 1:
+        s0, s1, s2, ss, se, sn, tg = seeds_out
+        sn_l = sn.astype(np.int64)
+        lmask = np.arange(s0.shape[1])[None, :] < sn_l[:, None]
+        lane_id = np.broadcast_to(np.arange(B2)[:, None], lmask.shape)[lmask]
+        rid_all = lane_id // n_shard
+        start_a = ss[lmask].astype(np.int64)
+        end_a = se[lmask].astype(np.int64)
+        tag_a = tg[lmask].astype(np.int64)
+        order = np.lexsort((tag_a, end_a, start_a, rid_all))
+        order = order[rid_all[order] < nb]
+        key = np.stack([rid_all[order], start_a[order], end_a[order],
+                        tag_a[order]], axis=1)
+        dup = np.zeros(len(order), bool)
+        if len(order) > 1:
+            dup[1:] = (key[1:] == key[:-1]).all(axis=1)
+        order = order[~dup]
+        rid_sorted = rid_all[order]
+        k0 = s0[lmask][order].astype(np.int64)
+        x2 = s2[lmask][order].astype(np.int64)
+        start = start_a[order].astype(np.int32)
+        end = end_a[order].astype(np.int32)
+        sn_v = np.bincount(rid_sorted, minlength=nb)[:nb]
+    else:
+        s0, s1, s2, ss, se, sn = seeds_out
+        sn_l = sn.astype(np.int64)
+        # the seed arrays may come back narrower than cs (D2H width diet
+        # slices to a bucketed max(sn)); mask by the actual width
+        lmask = np.arange(s0.shape[1])[None, :] < sn_l[:, None]
+        lane_id = np.broadcast_to(np.arange(B2)[:, None], lmask.shape)[lmask]
+        start_p = ss[lmask].astype(np.int64)
+        rslot = start_p // (L + 1)
+        read_id = rslot * B2 + lane_id
+        order = np.argsort(read_id, kind="stable")
+        keep = read_id[order] < nb  # drop pad-lane rows
+        order = order[keep]
+        rid_sorted = read_id[order]
+        k0 = s0[lmask][order].astype(np.int64)
+        x2 = s2[lmask][order].astype(np.int64)
+        off_p = (rslot * (L + 1))[order].astype(np.int64)
+        start = (start_p[order] - off_p).astype(np.int32)
+        end = (se[lmask].astype(np.int64)[order] - off_p).astype(np.int32)
+        sn_v = np.bincount(rid_sorted, minlength=nb)[:nb]
     counts = np.where(x2 > max_occ, max_occ, x2)
     step = np.where(x2 > max_occ, x2 // max_occ, 1)
     tot = int(counts.sum())
@@ -174,18 +237,19 @@ def se_flat_buckets(opt, engine, fm, codes_list, cap_s: int = 24):
     def _dispatch(idx):
         lo = los[idx]
         chunk = codes_list[lo:lo + bucket0]
-        q, lens, L, B2, pack_k, cs = _pack_bucket(opt, chunk, cap_s)
-        h = engine.collect_seeds_dispatch(q, lens, opt, cs) if can_async \
-            else None
-        packed[idx] = (q, lens, L, B2, pack_k, cs, h, len(chunk))
+        q, lens, L, B2, pack_k, cs, shard, ns = _pack_bucket(opt, chunk,
+                                                             cap_s)
+        h = engine.collect_seeds_dispatch(q, lens, opt, cs, shard=shard) \
+            if can_async else None
+        packed[idx] = (q, lens, L, B2, pack_k, cs, shard, ns, h, len(chunk))
 
     _dispatch(0)
     for idx, lo in enumerate(los):
         if idx + 1 < len(los):
             _dispatch(idx + 1)  # next bucket's seeding in flight
-        q, lens, L, B2, pack_k, cs, h, nb = packed.pop(idx)
+        q, lens, L, B2, pack_k, cs, shard, ns, h, nb = packed.pop(idx)
         out = engine.collect_seeds_wait(h) if h is not None \
-            else engine.collect_seeds(q, lens, opt, cs)
+            else engine.collect_seeds(q, lens, opt, cs, shard=shard)
         if (out[5] > cs).any():
             # seed-rich / deep-stack bucket (repeat regions): climb a
             # cap ladder on DEVICE before any host fallback — on a
@@ -194,13 +258,13 @@ def se_flat_buckets(opt, engine, fm, codes_list, cap_s: int = 24):
             for cs2, sc2 in ((96 * pack_k, 32), (256 * pack_k, 64)):
                 cs = cs2
                 out = engine.collect_seeds(q, lens, opt, cs2,
-                                           stack_cap=sc2)
+                                           stack_cap=sc2, shard=shard)
                 if not (out[5] > cs2).any():
                     break
             else:
                 yield lo, nb, None  # exactness fallback (tuple path)
                 continue
-        yield lo, nb, _demux_bucket(opt, fm, out, nb, L, B2, cs)
+        yield lo, nb, _demux_bucket(opt, fm, out, nb, L, B2, cs, ns)
 
 
 def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):

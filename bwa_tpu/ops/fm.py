@@ -641,6 +641,21 @@ class BatchedFMEngine:
         self.dev = DeviceFMIndex(fm, light=light)
         self.idx = self.dev.tree()
         self._host = None
+        # multi-chip: when more than one device is visible, replicate the
+        # index over a "dp" mesh and run the seeding machine under
+        # shard_map (parallel/mesh.py machine_sharded) — the kt_for
+        # read-parallelism analog, so the production CLI uses every chip
+        self.mesh = None
+        if (os.environ.get("BWA_TPU_MESH", "auto") != "off"
+                and len(jax.devices()) > 1):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from bwa_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            self.idx = jax.device_put(self.idx, rep)
+            self._mesh_step = {}  # keyed by (shape, consts) config
 
     @property
     def host(self):
@@ -676,7 +691,7 @@ class BatchedFMEngine:
 
     def collect_seeds(self, q_pad: np.ndarray, qlen: np.ndarray, opt,
                       cap_s: int, fused: bool = False,
-                      stack_cap: int | None = None):
+                      stack_cap: int | None = None, shard=None):
         """3-pass seed collection on device; one transfer at the end.
 
         Default path: the unified per-lane state machine (ops/fm_machine.py,
@@ -703,7 +718,7 @@ class BatchedFMEngine:
             # dispatch/wait pair (back-to-back here; pipelined callers
             # interleave a host finalize between the halves)
             h = self.collect_seeds_dispatch(q_pad, qlen, opt, cap_s,
-                                            stack_cap)
+                                            stack_cap, shard=shard)
             return self.collect_seeds_wait(h)
 
         # (a 2-bit pack of q + device unpack was tried for the H2D side
@@ -827,7 +842,8 @@ class BatchedFMEngine:
         return self._fetch_seeds(seeds, seed_n, ovf, cap_s)
 
     def collect_seeds_dispatch(self, q_pad: np.ndarray, qlen: np.ndarray,
-                               opt, cap_s: int, stack_cap: int | None = None):
+                               opt, cap_s: int, stack_cap: int | None = None,
+                               shard=None):
         """Async half of collect_seeds (default unified machine): uploads
         the bucket and dispatches the seeding program + sort + packed-meta
         kernels WITHOUT blocking — JAX async dispatch queues them on the
@@ -845,12 +861,34 @@ class BatchedFMEngine:
         use_p3 = bool(opt.max_mem_intv > 0)
         qd = jnp.asarray(q_pad)
         qld = jnp.asarray(qlen.astype(np.int32))
+        if self.mesh is not None and B % self.mesh.devices.size == 0:
+            # multi-chip: reads data-parallel over the mesh, index
+            # replicated (mesh.machine_sharded); per-lane sort included
+            from bwa_tpu.parallel.mesh import machine_sharded
+
+            key = (L, B, cap_s, stack_cap, use_p3, shard is not None,
+                   int(opt.min_seed_len), split_len,
+                   int(opt.split_width), int(opt.max_mem_intv))
+            fn = self._mesh_step.get(key)
+            if fn is None:
+                fn = machine_sharded(
+                    self.idx, self.mesh, opt.min_seed_len, split_len,
+                    opt.split_width, opt.max_mem_intv, cap=stack_cap,
+                    cap_s=cap_s, use_p3=use_p3, tagged=shard is not None)
+                self._mesh_step[key] = fn
+            args = (qd, qld) if shard is None else (
+                qd, qld, jnp.asarray(shard[0].astype(np.int32)),
+                jnp.asarray(shard[1].astype(np.int32)),
+                jnp.asarray(shard[2].astype(np.int32)))
+            seeds, seed_n, ovf, ds1, st1 = fn(*args)
+            meta = _pack_meta(seed_n, ovf, ds1, st1)
+            return (seeds, meta, cap_s)
         nvd = _next_valid_device(qd, qld)
         seeds, seed_n, st1, ovf, ds1 = fm_machine.seed_machine(
             self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
             np.int32(split_len), cdt(opt.split_width),
             cdt(opt.max_mem_intv), cap=stack_cap, cap_s=cap_s,
-            use_p3=use_p3)
+            use_p3=use_p3, shard=shard)
         meta = _pack_meta(seed_n, ovf, ds1, st1)
         seeds = fm_machine.sort_seeds(seeds, seed_n, key64=bool(L >= 32768))
         return (seeds, meta, cap_s)
@@ -884,8 +922,12 @@ class BatchedFMEngine:
                 break
         sd = np.asarray(jax.device_get(seeds[:, :lvl]))
         sn = np.where(ovf, cap_s + 1, sn)  # force the host-redo path
-        return (sd[:, :, 0], sd[:, :, 1], sd[:, :, 2],
-                sd[:, :, 3].astype(np.int32), sd[:, :, 4].astype(np.int32), sn)
+        out = (sd[:, :, 0], sd[:, :, 1], sd[:, :, 2],
+               sd[:, :, 3].astype(np.int32), sd[:, :, 4].astype(np.int32),
+               sn)
+        if sd.shape[2] > 5:  # sharded run: provenance column last
+            out = out + (sd[:, :, 5],)
+        return out
 
     def smem_pass(self, q_pad: np.ndarray, qlen: np.ndarray, x: np.ndarray,
                   min_intv: np.ndarray, max_intv: int, active: np.ndarray,

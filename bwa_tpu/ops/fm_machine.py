@@ -311,17 +311,29 @@ S_P1, S_P2, S_P3 = 0, 1, 2
 SEED_KEYS = ("phase", "stage", "old_n", "job", "x", "minv", "ik",
              "info_end", "i", "j", "stkA", "an", "stkB", "bn", "cur_is_a",
              "rev_read", "last_x2", "call_last_start", "call_mem_n", "ret",
-             "seeds", "seed_n", "qmask", "steps", "ovf", "done_step")
+             "seeds", "seed_n", "qmask", "cur_tag", "steps", "ovf",
+             "done_step")
 
 
-def seed_state_init(B: int, cap: int, cap_s: int, cdt) -> tuple:
-    """Fresh per-lane machine state (lanes start in P_NEXT/pass-1)."""
+def seed_state_init(B: int, cap: int, cap_s: int, cdt,
+                    tagged: bool = False,
+                    job_lo: np.ndarray | None = None) -> tuple:
+    """Fresh per-lane machine state (lanes start in P_NEXT/pass-1).
+
+    tagged: seeds get a 6th provenance column (0 = pass-1, -1 = pass-3,
+    else the pass-2 source seed's (start<<15)|end) so a sharded run's
+    cross-lane duplicates can be removed exactly (same source job AND
+    same interval) while the duplicates the reference itself produces
+    (different jobs, same interval) are kept.  job_lo: per-lane initial
+    start-position cursor (lane sharding of one long read's job range).
+    """
     i32 = jnp.int32
     st = dict(
         phase=jnp.full(B, P_NEXT, i32),
         stage=jnp.zeros(B, i32),
         old_n=jnp.zeros(B, i32),
-        job=jnp.zeros(B, i32),
+        job=(jnp.asarray(job_lo.astype(np.int32)) if job_lo is not None
+             else jnp.zeros(B, i32)),
         x=jnp.zeros(B, i32),
         minv=jnp.ones(B, cdt),
         ik=jnp.zeros((B, 3), cdt),
@@ -336,9 +348,10 @@ def seed_state_init(B: int, cap: int, cap_s: int, cdt) -> tuple:
         call_last_start=jnp.zeros(B, i32),
         call_mem_n=jnp.zeros(B, i32),
         ret=jnp.zeros(B, i32),
-        seeds=jnp.zeros((B, cap_s, 5), cdt),
+        seeds=jnp.zeros((B, cap_s, 6 if tagged else 5), cdt),
         seed_n=jnp.zeros(B, i32),
         qmask=jnp.zeros((B, cap_s), bool),  # row qualifies for pass-2
+        cur_tag=jnp.zeros(B, cdt),
         steps=jnp.zeros((), i32),
         ovf=jnp.zeros(B, bool),
         done_step=jnp.zeros(B, i32),
@@ -346,10 +359,11 @@ def seed_state_init(B: int, cap: int, cap_s: int, cdt) -> tuple:
     return tuple(st[k] for k in SEED_KEYS)
 
 
-@partial(jax.jit, static_argnames=("cap", "cap_s", "use_p3"))
+@partial(jax.jit, static_argnames=("cap", "cap_s", "use_p3", "tagged"))
 def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
                      split_len, split_width, max_intv3, max_steps,
-                     cap: int, cap_s: int, use_p3: bool):
+                     cap: int, cap_s: int, use_p3: bool,
+                     hi1=None, hi3=None, tagged: bool = False):
     """All three seeding passes in ONE while_loop with a per-lane stage
     cursor (pass1 SMEMs -> pass2 re-seeding -> pass3 LAST-like).
 
@@ -360,6 +374,17 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
     max_steps more steps (traced; pass a huge value for run-to-done) so
     the driver can compact away finished lanes between segments.
     Returns the updated state tuple.
+
+    Lane sharding (long reads): hi1/hi3 bound the pass-1/pass-3 start
+    cursors per lane (defaults: qlen).  With K lanes per read, lane k
+    acquires pass-1 jobs in [job_lo_k, hi1_k) — exact because every
+    maximal exact match starting in a lane's range passes through one of
+    that lane's visited positions (the bwt_smem1 chain argument,
+    bwt.c:289-351, applied per range) — and runs pass 2 for the seeds it
+    found; `tagged` provenance lets the demux drop the cross-lane
+    duplicates exactly.  Pass 3's emitted set depends on the visit
+    sequence (bwt.c:358-379), so only lane 0 of a read runs it
+    (hi3 = qlen there, 0 elsewhere).
     """
     cdt = idx["ckpt"].dtype
     B, L = q.shape
@@ -368,6 +393,10 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
     sidx = jnp.arange(cap_s, dtype=i32)
     keys = list(SEED_KEYS)
     stop_at = state[keys.index("steps")] + max_steps
+    if hi1 is None:
+        hi1 = qlen
+    if hi3 is None:
+        hi3 = qlen
 
     def cond(t):
         return jnp.any(t[0] != P_DONE) & (t[keys.index("steps")] < stop_at)
@@ -380,9 +409,10 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
 
         # ---------- P_NEXT: acquire the next job (stage-dependent) ----------
         nx = phase == P_NEXT
-        # stages 1 and 3 walk start positions via the next-valid table
+        # stages 1 and 3 walk start positions via the next-valid table,
+        # bounded by the lane's shard range (hi1/hi3 == qlen unsharded)
         xv = _vec_read(next_valid, jnp.clip(d["job"], 0, L))
-        have_nv = nx & ~st1m & (xv < qlen)
+        have_nv = nx & ~st1m & (xv < jnp.where(st2m, hi3, hi1))
         # stage 2 scans this lane's first old_n seed rows for long, unique
         # SMEMs to re-seed from their midpoints (bwamem.c:160-168); the
         # qualification bit is maintained at push time (qmask)
@@ -395,6 +425,10 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
         have_s1 = nx & st1m & found & (jj < d["old_n"])
         row = _row_read(d["seeds"], k)
         x_s1 = ((row[:, 3] + row[:, 4]) >> 1).astype(i32)
+        if tagged:  # provenance of this pass-2 job = its source seed
+            d["cur_tag"] = jnp.where(have_s1,
+                                     (row[:, 3] << 15) | row[:, 4],
+                                     d["cur_tag"])
 
         have = jnp.where(st1m, have_s1, have_nv)
         x_new = jnp.where(st1m, x_s1, xv)
@@ -542,6 +576,12 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
         # stage-3 hits merge into the same (disjoint-lane) push
         write_any = write | write3
         seed_row = jnp.where(write3[:, None], row3, seed_row)
+        if tagged:  # provenance column: 0 = pass-1, -1 = pass-3, else
+            tag = jnp.where(write3,  # the pass-2 source key
+                            jnp.full_like(d["cur_tag"], -1),
+                            jnp.where(st1m, d["cur_tag"],
+                                      jnp.zeros_like(d["cur_tag"])))
+            seed_row = jnp.concatenate([seed_row, tag[:, None]], axis=1)
         qual_new = ((seed_row[:, 4] - seed_row[:, 3]) >= split_len) \
             & (seed_row[:, 2] <= split_width)
         slot_q = jnp.minimum(d["seed_n"], cap_s - 1)
@@ -600,14 +640,27 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
 
 
 def seed_machine(idx, q, qlen, next_valid, min_seed_len, split_len,
-                 split_width, max_intv3, cap: int, cap_s: int, use_p3: bool):
-    """Single-shot convenience wrapper: init + run to completion."""
+                 split_width, max_intv3, cap: int, cap_s: int, use_p3: bool,
+                 shard=None):
+    """Single-shot convenience wrapper: init + run to completion.
+    shard: optional (job_lo, hi1, hi3) numpy arrays for lane sharding —
+    seeds come back with the provenance column (see seed_machine_seg)."""
     cdt = idx["ckpt"].dtype
-    state = seed_state_init(q.shape[0], cap, cap_s, cdt)
+    if shard is None:
+        state = seed_state_init(q.shape[0], cap, cap_s, cdt)
+        hi1 = hi3 = None
+        tagged = False
+    else:
+        job_lo, hi1, hi3 = shard
+        state = seed_state_init(q.shape[0], cap, cap_s, cdt, tagged=True,
+                                job_lo=job_lo)
+        hi1 = jnp.asarray(hi1.astype(np.int32))
+        hi3 = jnp.asarray(hi3.astype(np.int32))
+        tagged = True
     t = seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
                          split_len, split_width, max_intv3,
                          jnp.int32(0x7fffffff), cap=cap, cap_s=cap_s,
-                         use_p3=use_p3)
+                         use_p3=use_p3, hi1=hi1, hi3=hi3, tagged=tagged)
     d = dict(zip(SEED_KEYS, t))
     return d["seeds"], d["seed_n"], d["steps"], d["ovf"], d["done_step"]
 

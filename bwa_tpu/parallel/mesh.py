@@ -98,6 +98,44 @@ def sharded_seed_machine(idx, mesh: Mesh, opt, cap: int, cap_s: int):
     return jax.jit(partial(smapped, idx))
 
 
+def machine_sharded(idx, mesh: Mesh, min_seed_len, split_len, split_width,
+                    max_intv3, cap: int, cap_s: int, use_p3: bool,
+                    tagged: bool):
+    """The production collect_seeds_dispatch machine step under shard_map:
+    per-shard unified 3-pass seeding + per-lane sort, index replicated,
+    reads sharded over "dp".  This is what `bwa-tpu mem` runs per batch
+    when more than one chip is visible (engine.py wires it up), so the
+    N-chip CLI saturates the mesh the way the reference saturates cores
+    with kt_for (kthread.c:49-61, bwamem.c:1252).
+
+    Returns fn(q, qlen[, job_lo, hi1, hi3]) -> (sorted seeds, seed_n,
+    ovf, done_step, steps); the lane-sharding inputs are per-lane arrays,
+    so they shard like q (omit them when tagged=False)."""
+    from bwa_tpu.ops import fm_machine
+    from bwa_tpu.ops.fm import _next_valid_device
+
+    cdt = idx["ckpt"].dtype
+
+    def step(idx, q, qlen, *lane_shard):
+        nv = _next_valid_device(q, qlen)
+        shard = lane_shard if lane_shard else None
+        seeds, seed_n, steps, ovf, done = fm_machine.seed_machine(
+            idx, q, qlen, nv, jnp.int32(min_seed_len), jnp.int32(split_len),
+            cdt.type(split_width), cdt.type(max_intv3), cap=cap,
+            cap_s=cap_s, use_p3=use_p3, shard=shard)
+        seeds = fm_machine.sort_seeds(seeds, seed_n,
+                                      key64=bool(q.shape[1] >= 32768))
+        steps = jax.lax.pmax(steps, "dp")
+        return seeds, seed_n, ovf, done, steps
+
+    b = P("dp")
+    n_lane_in = 3 if tagged else 0
+    smapped = shard_map(step, mesh=mesh,
+                        in_specs=(P(),) + (b,) * (2 + n_lane_in),
+                        out_specs=(b, b, b, b, P()), check_rep=False)
+    return jax.jit(partial(smapped, idx))
+
+
 def pestat_allgather(mesh: Mesh):
     """The one batch-global collective of the PE pipeline: every shard
     contributes its padded (dir, isize) candidate rows and receives the

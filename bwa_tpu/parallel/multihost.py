@@ -66,14 +66,13 @@ def align_distributed(prefix: str, fq1: str, fq2: str | None,
     host_id, n_hosts = distributed_init()
     n = align_shard(prefix, fq1, fq2, host_id, n_hosts, shard_dir,
                     opt=opt, engine_kind=engine_kind, rg_id=rg_id)
-    if out_path and host_id == 0:
-        # real deployments barrier here (jax.experimental.multihost_utils
-        # sync_global_devices) before the merge; single-process runs and
-        # the test harness merge directly
-        if n_hosts > 1:
-            from jax.experimental import multihost_utils
+    if n_hosts > 1:
+        # EVERY process barriers before host 0 merges (a one-sided
+        # barrier would deadlock the coordinator)
+        from jax.experimental import multihost_utils
 
-            multihost_utils.sync_global_devices("bwa_tpu_merge")
+        multihost_utils.sync_global_devices("bwa_tpu_merge")
+    if out_path and host_id == 0:
         merge_shards(shard_dir, out_path, header)
     return n
 
@@ -120,6 +119,35 @@ def align_shard(prefix: str, fq1: str, fq2: str | None, host_id: int,
     return n_own
 
 
+def _main(argv=None) -> int:
+    """Per-host launcher: `python -m bwa_tpu.parallel.multihost <prefix>
+    <fq1> [fq2] --shard-dir D [--out merged.sam] [--engine host|tpu]`.
+    Run once per host with the standard jax.distributed env
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID); host
+    0 merges after the global barrier."""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="bwa_tpu.parallel.multihost")
+    ap.add_argument("prefix")
+    ap.add_argument("fq1")
+    ap.add_argument("fq2", nargs="?", default=None)
+    ap.add_argument("--shard-dir", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--engine", default=None)
+    ap.add_argument("--chunk-size", type=int, default=None)
+    a = ap.parse_args(argv)
+    opt = None
+    if a.chunk_size:
+        from bwa_tpu.options import MemOptions
+
+        opt = MemOptions()
+        opt.chunk_size = a.chunk_size
+        opt.n_threads = 1
+    align_distributed(a.prefix, a.fq1, a.fq2, a.shard_dir, out_path=a.out,
+                      opt=opt, engine_kind=a.engine)
+    return 0
+
+
 def merge_shards(shard_dir: str, out_path: str, header: str = "") -> int:
     """Ordered merge of every host's batch shards (host-side concatenation
     in chunk order — the ordered kt_pipeline step)."""
@@ -131,3 +159,9 @@ def merge_shards(shard_dir: str, out_path: str, header: str = "") -> int:
         for p in parts:
             out.write(p.read_text())
     return len(parts)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(_main())

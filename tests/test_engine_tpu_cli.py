@@ -25,6 +25,25 @@ def _run_pair(oracle_bwa, args, env=None):
     assert strip(rt.stdout) == strip(ro.stdout), (args, rt.stderr[-300:])
 
 
+def test_mem_pacbio_tpu_engine_sharded(oracle_bwa, small_genome):
+    """Long reads through the device engine: lane-SHARDED seeding (one
+    read's start-cursor range split over n_shard lanes + provenance-
+    tagged dedup, batch_seed._pack_bucket/_demux_bucket) and the
+    speculative device extension — byte-diffed against the oracle."""
+    from datagen import random_genome, simulate_reads, write_fastq
+
+    fq = DATA / "tpu_engine_pb.fq"
+    if not fq.exists():
+        contigs = random_genome(200_000, seed=7, n_contigs=2)
+        reads = simulate_reads(contigs, 24, read_len=1100, seed=93,
+                               err_rate=0.05, indel_rate=0.02)
+        write_fastq(fq, reads)
+    env = {"BWA_TPU_ENGINE": "tpu", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": str(REPO), "BWA_TPU_SEED_SHARD": "4"}
+    _run_pair(oracle_bwa, ["mem", "-x", "pacbio", str(small_genome),
+                           str(fq)], env)
+
+
 def test_mem_fastmap_tpu_engine(oracle_bwa, small_genome):
     from datagen import random_genome, simulate_reads, write_fastq
 

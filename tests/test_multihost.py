@@ -21,6 +21,52 @@ def mh_reads(small_genome):
     return fq
 
 
+def test_two_real_processes_jax_distributed(oracle_bwa, small_genome,
+                                            mh_reads, tmp_path):
+    """Two REAL processes under jax.distributed.initialize (CPU backend,
+    local coordinator): each runs align_distributed, all barrier via
+    sync_global_devices, process 0 merges — merged bytes == oracle with
+    the same -K chunking."""
+    import os
+    import socket
+    import sys
+    from pathlib import Path
+
+    REPO = Path(__file__).resolve().parent.parent
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    shard = tmp_path / "dshards"
+    out = tmp_path / "dmerged.sam"
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": str(REPO),  # no axon plugin in the workers
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        env.pop("XLA_FLAGS", None)
+        args = [sys.executable, "-m", "bwa_tpu.parallel.multihost",
+                str(small_genome), str(mh_reads), "--shard-dir",
+                str(shard), "--engine", "host", "--chunk-size", "20000"]
+        if pid == 0:
+            args += ["--out", str(out)]
+        procs.append(subprocess.Popen(args, env=env, cwd=REPO,
+                                      stderr=subprocess.PIPE))
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+    r = subprocess.run([str(oracle_bwa), "mem", "-K", "20000",
+                        str(small_genome), str(mh_reads)],
+                       check=True, capture_output=True)
+    oracle_body = "".join(l + "\n" for l in r.stdout.decode().splitlines()
+                          if not l.startswith("@"))
+    assert out.read_text() == oracle_body
+
+
 def test_two_host_merge_matches_oracle(oracle_bwa, small_genome, mh_reads,
                                        tmp_path):
     from bwa_tpu.options import MemOptions
