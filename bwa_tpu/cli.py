@@ -343,18 +343,25 @@ def main_index(argv: list[str]) -> int:
 
     prefix = None
     is_64 = False
+    algo = "auto"
+    block_size = 10000000  # reference -b default (bwtindex.c:199)
     opts, args = getopt_mod.getopt(argv, "6a:p:b:")
     for c, a in opts:
         if c == "-p":
             prefix = a
         elif c == "-6":
             is_64 = True
+        elif c == "-a":
+            algo = a  # is/div/auto -> SA-IS; bwtsw -> bounded incremental
+        elif c == "-b":
+            block_size = int(a)
     if not args:
-        print("Usage: bwa-tpu index [-p prefix] <in.fasta>", file=sys.stderr)
+        print("Usage: bwa-tpu index [-a is|bwtsw] [-b blockLen] [-p prefix]"
+              " <in.fasta>", file=sys.stderr)
         return 1
     if prefix is None:
         prefix = args[0] + (".64" if is_64 else "")
-    index_build(args[0], prefix)
+    index_build(args[0], prefix, algo=algo, block_size=block_size)
     return 0
 
 

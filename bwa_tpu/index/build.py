@@ -158,8 +158,18 @@ def write_sa_file(path, primary: int, L2: np.ndarray, sa_intv: int,
         sa_samples[1:].astype(np.uint64).tofile(f)
 
 
-def index_build(fasta_path, prefix=None) -> str:
-    """Equivalent of `bwa index <fasta>`: writes prefix.{pac,ann,amb,bwt,sa}."""
+def index_build(fasta_path, prefix=None, algo: str = "auto",
+                block_size: int = 10000000) -> str:
+    """Equivalent of `bwa index <fasta>`: writes prefix.{pac,ann,amb,bwt,sa}.
+
+    algo selects the BWT constructor like the reference's -a flag
+    (bwtindex.c:215,236): "is"/"div"/"auto" run the one-pass 64-bit SA-IS
+    (fast, ~10 bytes/char peak); "bwtsw" runs the bounded-memory
+    incremental builder (native/bwtinc.cpp — the bwt_gen.c:1431 memory
+    property, ~1.3 bytes/char + O(block_size) peak).  Output bytes are
+    identical either way (the BWT is unique).  block_size is the
+    reference's -b knob (chars merged per incremental round).
+    """
     prefix = str(prefix if prefix is not None else fasta_path)
     log.info("packing FASTA %s", fasta_path)
     bnt, fwd = fasta2bnt(fasta_path)
@@ -170,6 +180,10 @@ def index_build(fasta_path, prefix=None) -> str:
     code2 = revcomp_concat(fwd)
     del fwd
     n = code2.shape[0]
+    if algo == "bwtsw":
+        return _index_build_bounded(prefix, code2, n, block_size)
+    if algo not in ("auto", "is", "div"):
+        raise ValueError(f"unknown BWT construction algorithm: {algo}")
     log.info("building suffix array over %d bases (SA-IS)", n)
     rows_sa = suffix_array_rows(code2)  # (n+1)-row model, rows_sa[0] == n
 
@@ -196,6 +210,55 @@ def index_build(fasta_path, prefix=None) -> str:
     return prefix
 
 
+def _index_build_bounded(prefix: str, code2: np.ndarray, n: int,
+                         block_size: int) -> str:
+    """Bounded-memory .bwt/.sa construction (native/bwtinc.cpp): dynamic-BWT
+    block insertion instead of a suffix array.  Peak ~= two n/2-byte
+    interleaved buffers + the n/4-byte packed text + O(block_size) treap
+    nodes — the property of the reference's blockwise builder
+    (bwt_bwtgen2, bwt_gen.c:1292-1638) without QSufSort.  The .sa samples
+    come from the inverse-Psi walk (bwt_cal_sa, bwt.c:70-84) since no
+    suffix array ever exists."""
+    from bwa_tpu.index.pack import pack_codes
+    from bwa_tpu.native.build import bwt_incremental, bwt_sa_walk
+
+    log.info("building BWT incrementally over %d bases (block=%d)",
+             n, block_size)
+    pac2 = pack_codes(code2)
+    counts = np.bincount(code2, minlength=4).astype(np.uint64)
+    del code2
+    L2 = np.zeros(5, dtype=np.uint64)
+    np.cumsum(counts, out=L2[1:])
+    inter, primary, cnt = bwt_incremental(pac2, n, block_size)
+    del pac2
+    assert np.array_equal(cnt.astype(np.uint64), counts), \
+        "incremental BWT char counts disagree with the text"
+    # full-block in-memory layout -> on-disk ragged stream (interleave_bwt
+    # semantics: only the final block's word slots are truncated, then the
+    # trailing checkpoint)
+    n_words = (n + 15) // 16
+    n_blocks = (n + 127) // 128
+    inter32 = inter.view(np.uint32)
+    body = n_words + n_blocks * 8
+    stream = np.empty(body + 8, dtype=np.uint32)
+    stream[:body] = inter32[:body]
+    stream[body:] = counts.view(np.uint32)  # trailing ckpt: per-char totals
+    write_bwt_file(prefix + ".bwt", primary, L2, stream)
+    del stream
+
+    log.info("deriving sampled SA (inverse-Psi walk)")
+    want_sad = n + 1 <= SAD_MAX_LEN
+    samples, sad = bwt_sa_walk(inter, n, primary, L2.astype(np.int64),
+                               SA_INTV, want_sad)
+    del inter
+    n_sa = (n + SA_INTV) // SA_INTV
+    write_sa_file(prefix + ".sa", primary, L2, SA_INTV, n, samples[:n_sa])
+    if want_sad:
+        write_sad_sidecar(prefix, sad, n)
+    log.info("index written to %s.*", prefix)
+    return prefix
+
+
 # genomes up to this doubled-text size get a dense rank->position sidecar
 SAD_MAX_LEN = 1 << 28
 
@@ -205,7 +268,9 @@ def write_sad_sidecar(prefix: str, rows_sa: np.ndarray, n: int) -> None:
     reference-format .sa stays byte-identical).  sad[k] is exactly what the
     bwt_sa walk returns for rank k — in particular sad[0] = -1, matching
     the reference's bwt->sa[0] = (bwtint_t)-1 (bwt.c:77-84) — so dense
-    lookup and the 31-step inverse-Psi walk are interchangeable."""
+    lookup and the 31-step inverse-Psi walk are interchangeable.  rows_sa
+    is the (n+1)-row model from SA-IS or the dense array from
+    bwt_sa_walk — identical except both need sad[0] forced to -1."""
     if n + 1 > SAD_MAX_LEN:
         return
     cdt = np.int32 if n + 2 < 2**31 else np.int64

@@ -131,6 +131,11 @@ def get_lib() -> ctypes.CDLL:
         lib.bt_ksw_global2.argtypes = [c_i, u8p, c_i, u8p, c_i, i8p,
                                        c_i, c_i, c_i, c_i, c_i,
                                        i32p, u32p, c_i]
+        lib.bwt_inc_build.restype = c_i64
+        lib.bwt_inc_build.argtypes = [u8p, c_i64, c_i64, u8p, i64p]
+        lib.bwt_sa_walk.restype = None
+        lib.bwt_sa_walk.argtypes = [u8p, c_i64, c_i64, i64p,
+                                    ctypes.c_int32, i64p, i64p]
         lib.bt_ksw_align2.restype = None
         lib.bt_ksw_align2.argtypes = [c_i, u8p, c_i, u8p, c_i, i8p,
                                       c_i, c_i, c_i, c_i,
@@ -250,3 +255,37 @@ def suffix_array_rows(text: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"sais failed with rc={rc}")
     return sa
+
+
+def bwt_incremental(pac2: np.ndarray, n: int, block: int = 1 << 22):
+    """Bounded-memory BWT of the 2-bit packed doubled text (native
+    bwtinc.cpp): returns (interleaved occ blocks uint8, primary, counts[4]).
+    Peak memory ~= 2 * n/2 bytes of interleaved buffers + the packed
+    input — the bwt_gen.c:1431 property without a suffix array."""
+    pac2 = np.ascontiguousarray(pac2, np.uint8)
+    lib = get_lib()
+    inter = np.zeros(((n + 127) // 128) * 64, np.uint8)
+    cnt = np.zeros(4, np.int64)
+    primary = lib.bwt_inc_build(
+        pac2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int64(n), np.int64(block),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return inter, int(primary), cnt
+
+
+def bwt_sa_walk(inter: np.ndarray, n: int, primary: int, L2: np.ndarray,
+                intv: int, want_sad: bool):
+    """Sampled .sa values (and the dense sidecar when want_sad) from the
+    finished BWT via the inverse-Psi chain (bwt_cal_sa, bwt.c:70-84)."""
+    lib = get_lib()
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    samples = np.zeros((n + intv) // intv + 1, np.int64)
+    sad = np.zeros(n + 1, np.int64) if want_sad else None
+    L2c = np.ascontiguousarray(L2.astype(np.int64))
+    lib.bwt_sa_walk(
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int64(n), np.int64(primary), L2c.ctypes.data_as(i64p),
+        np.int32(intv), samples.ctypes.data_as(i64p),
+        sad.ctypes.data_as(i64p) if sad is not None else None)
+    return samples, sad

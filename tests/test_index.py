@@ -34,6 +34,30 @@ def test_index_bytes_match_oracle(small_genome, ext, tmp_path):
     assert mine == theirs, f"{ext}: {len(mine)} vs {len(theirs)} bytes"
 
 
+@pytest.mark.parametrize("ext", [".pac", ".ann", ".amb", ".bwt", ".sa"])
+def test_index_bounded_bytes_match_oracle(small_genome, ext, tmp_path):
+    """`-a bwtsw` path (bounded-memory incremental BWT, native/bwtinc.cpp)
+    produces the same bytes as the oracle — with an odd block size so the
+    merge rounds hit ragged boundaries."""
+    ours = tmp_path / "idx"
+    prefix = index_build(small_genome, prefix=ours, algo="bwtsw",
+                         block_size=777)
+    theirs = Path(str(small_genome) + ext).read_bytes()
+    mine = Path(prefix + ext).read_bytes()
+    assert mine == theirs, f"{ext}: {len(mine)} vs {len(theirs)} bytes"
+
+
+def test_index_bounded_sad_sidecar(small_genome, tmp_path):
+    """The bounded path's inverse-Psi-walk .sad sidecar matches SA-IS's."""
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    index_build(small_genome, prefix=a)
+    index_build(small_genome, prefix=b, algo="bwtsw", block_size=1000)
+    sa = np.load(str(a) + ".sad.npy")
+    sb = np.load(str(b) + ".sad.npy")
+    assert sa.dtype == sb.dtype and np.array_equal(sa, sb)
+
+
 def test_load_oracle_index(small_genome):
     # we can parse the oracle-built index
     primary, L2, seq_len, ckpt, words = read_bwt_file(str(small_genome) + ".bwt")
