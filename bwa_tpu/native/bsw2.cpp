@@ -19,6 +19,8 @@
 #include <algorithm>
 #include <chrono>
 #include <vector>
+#include <cstdlib>
+#include <memory>
 #include "occ64.h"
 
 extern "C" int sais_u8_i32(const uint8_t *text, int32_t n, int32_t *sa_out);
@@ -148,9 +150,52 @@ static const Cell kDefaultCell = {0,  0,  kMinusInf, kMinusInf, kMinusInf,
                                   0,  0,  0,         -1,        -1,
                                   {-1, -1, -1, -1}};
 
+// Raw growable Cell array with a speculative tail slot — the reference's
+// push_array_p pattern (bwtsw2_core.c:205-212): the DP loop writes the
+// candidate cell in place and commits with ++n only when it survives,
+// instead of init-copy + push_back (two 56-byte copies per live cell,
+// which dominated the core before this).
+struct CellBuf {
+  Cell *a = nullptr;
+  int n = 0, cap = 0;
+  ~CellBuf() { std::free(a); }
+  CellBuf() = default;
+  CellBuf(const CellBuf &) = delete;
+  CellBuf &operator=(const CellBuf &) = delete;
+  inline void grow(int need) {
+    if (need > cap) {
+      cap = cap ? cap : 16;
+      while (cap < need) cap <<= 1;
+      a = (Cell *)std::realloc(a, (size_t)cap * sizeof(Cell));
+    }
+  }
+  inline Cell *slot() {  // pointer to the uncommitted tail cell
+    grow(n + 1);
+    return a + n;
+  }
+  inline void push_back(const Cell &c) {
+    *slot() = c;
+    ++n;
+  }
+  inline int size() const { return n; }
+  inline bool empty() const { return n == 0; }
+  inline void clear() { n = 0; }
+  inline Cell &operator[](int i) { return a[i]; }
+  inline const Cell &operator[](int i) const { return a[i]; }
+  inline Cell *begin() { return a; }
+  inline Cell *end() { return a + n; }
+  inline const Cell *begin() const { return a; }
+  inline const Cell *end() const { return a + n; }
+  inline void append(const CellBuf &o) {
+    grow(n + o.n);
+    std::memcpy(a + n, o.a, (size_t)o.n * sizeof(Cell));
+    n += o.n;
+  }
+};
+
 struct Entry {
   uint32_t tk = 0, tl = 0;  // read-BWT interval
-  std::vector<Cell> cells;
+  CellBuf cells;
 };
 
 struct Hit {  // mirrors bsw2hit_t output fields (bwtsw2.h:22-27)
@@ -319,13 +364,33 @@ static void connectivity(const ReadBwt &b, FlatMap64 *h) {
 static void cut_tail(Entry *u, int T, std::vector<int32_t> *scratch) {
   int n_cells = (int)u->cells.size();
   if (n_cells <= T) return;
-  scratch->clear();
-  for (int i = 0; i < n_cells; ++i)
-    if (u->cells[i].ql && u->cells[i].G > 0) scratch->push_back(-u->cells[i].G);
-  if ((int)scratch->size() <= T) return;
-  // the reference takes ks_ksmall(.., T): the T-th order statistic
-  std::nth_element(scratch->begin(), scratch->begin() + T, scratch->end());
-  int32_t x = -(*scratch)[T];
+  int32_t x;
+  if (T == 1) {  // fast path for the default -z1: x = 2nd-largest G
+    int32_t m1 = kMinusInf, m2 = kMinusInf;
+    int cnt = 0;
+    for (int i = 0; i < n_cells; ++i) {
+      const Cell &c = u->cells[i];
+      if (!c.ql || c.G <= 0) continue;
+      ++cnt;
+      if (c.G >= m1) {
+        m2 = m1;
+        m1 = c.G;
+      } else if (c.G > m2) {
+        m2 = c.G;
+      }
+    }
+    if (cnt <= T) return;
+    x = m2;
+  } else {
+    scratch->clear();
+    for (int i = 0; i < n_cells; ++i)
+      if (u->cells[i].ql && u->cells[i].G > 0)
+        scratch->push_back(-u->cells[i].G);
+    if ((int)scratch->size() <= T) return;
+    // the reference takes ks_ksmall(.., T): the T-th order statistic
+    std::nth_element(scratch->begin(), scratch->begin() + T, scratch->end());
+    x = -(*scratch)[T];
+  }
   int n = 0;
   for (int i = 0; i < n_cells; ++i) {
     Cell *p = &u->cells[i];
@@ -380,7 +445,7 @@ static void merge_entry(Entry *u, Entry *v) {
     for (int j = 0; j < 4; ++j)
       if (c.cpos[j] >= 0) c.cpos[j] += off;
   }
-  u->cells.insert(u->cells.end(), v->cells.begin(), v->cells.end());
+  u->cells.append(v->cells);
 }
 
 // Record the two best hits per read position (save_hits,
@@ -537,78 +602,79 @@ int64_t bsw2_core_run(const uint8_t *g_inter,
       Entry *u = pool.alloc();
       u->tk = tk;
       u->tl = tl;
-      std::fill(heap.begin(), heap.end(), 0);
+      if (opt.z == 1)
+        heap[0] = 0;
+      else
+        std::fill(heap.begin(), heap.end(), 0);
       const int *curr_score_mat = score_mat + tj * 4;
 
-      for (int i = 0; i < (int)v->cells.size(); ++i) {  // v grows in-loop
+      for (int i = 0; i < v->cells.n; ++i) {  // v grows in-loop
         ++g_prof_cnt[2];
-        if (v->cells[i].ql == 0) continue;
+        Cell *p = v->cells.a + i;
+        if (p->ql == 0) continue;
         ++g_prof_cnt[3];
-        const Cell pc = v->cells[i];  // snapshot of DP fields
-        Cell x = kDefaultCell;
-        x.G = kMinusInf;
-        x.upos = -1;
-        v->cells[i].upos = -1;
+        Cell *x = u->cells.slot();  // speculative slot; ++n commits it
         int is_added = 0;
-        if (pc.ppos >= 0) {  // parent visited: full affine update
-          int par_upos = v->cells[pc.ppos].upos;
-          const Cell *cI = par_upos >= 0 ? &u->cells[par_upos] : nullptr;
-          if (fill_cell(opt, curr_score_mat[pc.pj], &x, cI, &v->cells[i],
-                        &v->cells[pc.ppos]) > 0) {
-            x.ppos = par_upos;
-            int my_upos = (int)u->cells.size();
-            v->cells[i].upos = my_upos;
-            if (x.ppos >= 0) u->cells[x.ppos].cpos[pc.pj] = my_upos;
+        x->G = kMinusInf;
+        p->upos = x->upos = -1;
+        if (p->ppos >= 0) {  // parent visited: full affine update
+          int par_upos = v->cells.a[p->ppos].upos;
+          const Cell *cI = par_upos >= 0 ? &u->cells.a[par_upos] : nullptr;
+          if (fill_cell(opt, curr_score_mat[p->pj], x, cI, p,
+                        &v->cells.a[p->ppos]) > 0) {
+            x->ppos = par_upos;
+            p->upos = u->cells.n++;
+            if (x->ppos >= 0) u->cells.a[x->ppos].cpos[p->pj] = p->upos;
             is_added = 1;
           }
         } else {  // only the deletion path is open
-          x.D = pc.D > pc.G - opt.q ? pc.D - opt.r : pc.G - opt.qr;
-          if (x.D > 0) {
-            x.G = x.D;
-            x.I = kMinusInf;
-            x.ppos = -1;
-            v->cells[i].upos = (int)u->cells.size();
+          x->D = p->D > p->G - opt.q ? p->D - opt.r : p->G - opt.qr;
+          if (x->D > 0) {
+            x->G = x->D;
+            x->I = kMinusInf;
+            x->ppos = -1;
+            p->upos = u->cells.n++;
             is_added = 1;
           }
         }
         if (is_added) {
-          x.cpos[0] = x.cpos[1] = x.cpos[2] = x.cpos[3] = -1;
-          x.pj = pc.pj;
-          x.qk = pc.qk;
-          x.ql = pc.ql;
-          x.qlen = pc.qlen;
-          x.tlen = pc.tlen + 1;
-          u->cells.push_back(x);
-          if (x.G > -heap[0]) {  // Z-best heap (bwtsw2_core.c:544-547)
-            heap[0] = -x.G;
+          x->cpos[0] = x->cpos[1] = x->cpos[2] = x->cpos[3] = -1;
+          x->pj = p->pj;
+          x->qk = p->qk;
+          x->ql = p->ql;
+          x->qlen = p->qlen;
+          x->tlen = p->tlen + 1;
+          if (x->G > -heap[0]) {  // Z-best heap (bwtsw2_core.c:544-547)
+            heap[0] = -x->G;
             heap_adjust(0, opt.z, heap.data());
           }
         }
         // good node in u, or an original node of v: expand the query trie
-        if ((x.G > opt.qr && x.G >= -heap[0]) || i < old_n) {
-          if (v->cells[i].cpos[0] == -1 || v->cells[i].cpos[1] == -1 ||
-              v->cells[i].cpos[2] == -1 || v->cells[i].cpos[3] == -1) {
+        if ((x->G > opt.qr && x->G >= -heap[0]) || i < old_n) {
+          if (p->cpos[0] == -1 || p->cpos[1] == -1 || p->cpos[2] == -1 ||
+              p->cpos[3] == -1) {
             int64_t qcntk[4], qcntl[4];
-            g_2occ4(g, pc.qk - 1, pc.ql, qcntk, qcntl);
+            g_2occ4(g, p->qk - 1, p->ql, qcntk, qcntl);
             for (int qj = 0; qj < 4; ++qj) {
-              if (v->cells[i].cpos[qj] != -1) continue;
+              if (p->cpos[qj] != -1) continue;
               int64_t nk = g.L2[qj] + qcntk[qj] + 1;
               int64_t nl = g.L2[qj] + qcntl[qj];
               if (nk > nl) {
-                v->cells[i].cpos[qj] = -2;
+                p->cpos[qj] = -2;
                 continue;
               }
-              Cell nc = kDefaultCell;
-              nc.G = nc.I = nc.D = kMinusInf;
-              nc.qk = nk;
-              nc.ql = nl;
-              nc.pj = qj;
-              nc.qlen = pc.qlen + 1;
-              nc.ppos = i;
-              nc.tlen = pc.tlen;
-              nc.cpos[0] = nc.cpos[1] = nc.cpos[2] = nc.cpos[3] = -1;
-              v->cells[i].cpos[qj] = (int)v->cells.size();
-              v->cells.push_back(nc);
+              Cell *nc = v->cells.slot();
+              p = v->cells.a + i;  // re-derive: slot() may realloc
+              nc->G = nc->I = nc->D = kMinusInf;
+              nc->upos = -1;
+              nc->qk = nk;
+              nc->ql = nl;
+              nc->pj = qj;
+              nc->qlen = p->qlen + 1;
+              nc->ppos = i;
+              nc->tlen = p->tlen;
+              nc->cpos[0] = nc->cpos[1] = nc->cpos[2] = nc->cpos[3] = -1;
+              p->cpos[qj] = v->cells.n++;
             }
           }
         }
@@ -1193,16 +1259,18 @@ int64_t bsw2_aln1_run(const uint8_t *g_inter, int64_t g_seq_len,
   // ---- raw DAG core + SA-expansion/dedup (reusing the verified entries)
   std::vector<int64_t> out_b((size_t)2 * l * 10, 0);
   int64_t cap1 = std::max(4 * l, 256);
-  std::vector<int64_t> out_b1;
+  std::unique_ptr<int64_t[]> out_b1;  // write-only: one memcpy at core end
   int64_t n1;
   {
     ProfTimer pt(0);  // DAG core
+    bool first = true;
     for (;;) {
-      out_b1.assign((size_t)cap1 * 10, 0);
-      std::fill(out_b.begin(), out_b.end(), 0);
+      out_b1.reset(new int64_t[(size_t)cap1 * 10]);  // uninitialized
+      if (!first) std::fill(out_b.begin(), out_b.end(), 0);
+      first = false;
       n1 = bsw2_core_run(g_inter, g_seq_len, g_primary, g_L2, seq0, l, a,
                          b_pen, q_pen, r_pen, t_thres, z_best, is_intv, bw,
-                         out_b.data(), out_b1.data(), cap1);
+                         out_b.data(), out_b1.get(), cap1);
       if (n1 == -1) { cap1 *= 4; continue; }
       if (n1 < 0) return -2;
       break;
@@ -1211,16 +1279,16 @@ int64_t bsw2_aln1_run(const uint8_t *g_inter, int64_t g_seq_len,
   auto resolve_rows = [&](const int64_t *rows, int64_t n,
                           std::vector<Hit> &out) -> bool {
     int64_t cap = std::max<int64_t>(4 * n + 64, 256);
-    std::vector<int64_t> buf;
+    std::unique_ptr<int64_t[]> buf;  // write-only output of the resolve
     for (;;) {
-      buf.assign((size_t)cap * 10, 0);
+      buf.reset(new int64_t[(size_t)cap * 10]);
       int64_t m = bsw2_resolve_duphits_rows(g_inter, g_seq_len, g_primary,
                                             g_L2, ssa, sa_intv, rows, n,
-                                            is_intv, buf.data(), cap);
+                                            is_intv, buf.get(), cap);
       if (m == -1) { cap *= 4; continue; }
       if (m < 0) return false;
       out.resize((size_t)m);
-      std::memcpy(out.data(), buf.data(), (size_t)m * sizeof(Hit));
+      std::memcpy(out.data(), buf.get(), (size_t)m * sizeof(Hit));
       return true;
     }
   };
@@ -1228,7 +1296,7 @@ int64_t bsw2_aln1_run(const uint8_t *g_inter, int64_t g_seq_len,
   {
     ProfTimer pt(1);  // SA-resolve/dedup
     if (!resolve_rows(out_b.data(), 2 * l, B)) return -2;
-    if (!resolve_rows(out_b1.data(), n1, B1)) return -2;
+    if (!resolve_rows(out_b1.get(), n1, B1)) return -2;
   }
   ProfTimer pt_rest(2);  // extends + overlap resolution + bookkeeping
 

@@ -1865,6 +1865,47 @@ extern "C" {
 
 int memfin_opt_size() { return (int)sizeof(MemOpt); }
 
+// One-hit CIGAR/MD/NM for the BWA-SW SAM writer (bwtsw2_aux.c:173-212
+// delegates to bwa_gen_cigar2, bwa.c:160-230): pac extraction + banded
+// global + MD in one call.  Returns 1 on success, 0 for the reference's
+// "no cigar" cases (query empty / hit bridges the fwd/rev boundary /
+// rlen mismatch), -1 if md_out is too small.  mat is the 5x5
+// match/mismatch matrix fill_scmat(a, b); gap open/extend = q/r on both
+// sides (bwtsw2's scoring has no del/ins asymmetry).
+int bt_gen_cigar2(const uint8_t *pac, int64_t l_pac, int32_t a, int32_t b,
+                  int32_t q_pen, int32_t r_pen, int32_t w_, int32_t l_query,
+                  const uint8_t *query, int64_t rb, int64_t re,
+                  uint32_t *cigar_out, int32_t cigar_cap,
+                  int32_t *n_cigar_out, int32_t *nm_out, char *md_out,
+                  int32_t md_cap, int32_t *score_out) {
+  MemOpt o;
+  std::memset(&o, 0, sizeof o);
+  for (int i = 0; i < 5; ++i)
+    for (int j = 0; j < 5; ++j)
+      o.mat[i * 5 + j] = (i == 4 || j == 4) ? -1 : (i == j ? (int8_t)a
+                                                           : (int8_t)-b);
+  o.a = a;
+  o.b = b;
+  o.o_del = o.o_ins = q_pen;
+  o.e_del = o.e_ins = r_pen;
+  RefView r{pac, l_pac, ContigView{}};
+  std::vector<uint32_t> cigar;
+  std::string md;
+  int NM = -1;
+  bool ok = false;
+  int score = gen_cigar2(o, r, w_, l_query, query, rb, re, true, &cigar,
+                         &NM, &md, &ok);
+  if (!ok) return 0;
+  if ((int32_t)cigar.size() > cigar_cap || (int32_t)md.size() + 1 > md_cap)
+    return -1;
+  std::memcpy(cigar_out, cigar.data(), cigar.size() * sizeof(uint32_t));
+  *n_cigar_out = (int32_t)cigar.size();
+  std::memcpy(md_out, md.c_str(), md.size() + 1);
+  *nm_out = NM;
+  *score_out = score;
+  return 1;
+}
+
 void mem_set_ext_cb(void *cb) { g_ext_cb = (mem_ext_cb_t)cb; }
 
 // Finalize a batch of SE reads.  Layout:

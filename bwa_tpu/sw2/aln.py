@@ -331,22 +331,58 @@ class _CigarOpt:
 
 
 def gen_cigar(opt: Bsw2Opt, lq: int, seq2, fm, b: HitSet) -> None:
-    """bwtsw2_aux.c:173-212: banded global alignment per hit + soft clips."""
-    shim = _CigarOpt(opt)
+    """bwtsw2_aux.c:173-212: banded global alignment per hit + soft clips.
+    Runs the whole per-hit pac-extract + banded-global + NM in one native
+    call (memfin.cpp bt_gen_cigar2 == bwa_gen_cigar2, bwa.c:160-230); the
+    Python gen_cigar2_full in mem/cigar.py is the executable spec."""
+    import ctypes
+
+    from bwa_tpu.native.build import get_lib
+
+    lib = get_lib()
+    if not getattr(lib, "_gencig_sig", False):
+        c32 = ctypes.c_int32
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.bt_gen_cigar2.restype = ctypes.c_int
+        lib.bt_gen_cigar2.argtypes = [
+            _u8p, ctypes.c_int64, c32, c32, c32, c32, c32, c32, _u8p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), c32, i32p, i32p,
+            ctypes.c_char_p, c32, i32p]
+        lib._gencig_sig = True
+    pac = np.ascontiguousarray(fm.pac, np.uint8)
+    pac_p = pac.ctypes.data_as(_u8p)
+    i32 = np.zeros(3, np.int32)  # n_cigar, nm, score
+    i32p_t = ctypes.POINTER(ctypes.c_int32)
+    n_cig_p = i32[0:].ctypes.data_as(i32p_t)
+    nm_p = i32[1:].ctypes.data_as(i32p_t)
+    sc_p = i32[2:].ctypes.data_as(i32p_t)
     for p, q in zip(b.hits, b.aux):
         if p.l:
             continue
         beg = lq - p.end if (p.flag & 0x10) else p.beg
         end = lq - p.beg if (p.flag & 0x10) else p.end
-        query = seq2[1 if (p.flag & 0x10) else 0][beg:end]
-        res = gen_cigar2_full(shim, fm, end - beg, query, p.k, p.k + p.len,
-                              opt.bw)
-        if res is None:
+        query = np.ascontiguousarray(seq2[1 if (p.flag & 0x10) else 0]
+                                     [beg:end], np.uint8)
+        cap = (end - beg) + p.len + 8
+        cig = np.empty(cap, np.uint32)
+        md = ctypes.create_string_buffer(6 * cap + 16)
+        rc = lib.bt_gen_cigar2(
+            pac_p, ctypes.c_int64(fm.l_pac), np.int32(opt.a),
+            np.int32(opt.b), np.int32(opt.q), np.int32(opt.r),
+            np.int32(opt.bw), np.int32(end - beg),
+            query.ctypes.data_as(_u8p), ctypes.c_int64(p.k),
+            ctypes.c_int64(p.k + p.len),
+            cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            np.int32(cap), n_cig_p, nm_p, md, np.int32(len(md)), sc_p)
+        if rc < 0:
+            raise RuntimeError("bt_gen_cigar2 buffer overflow")
+        if rc == 0:
             q.cigar, q.n_cigar, q.nm = None, 0, -1
             continue
-        _, cigar, nm, _ = res
-        q.cigar = list(cigar) if cigar is not None else None
-        q.nm = nm if nm is not None else -1
+        nc = int(i32[0])
+        q.cigar = [(int(v) & 0xF, int(v) >> 4) for v in cig[:nc]]
+        q.nm = int(i32[1])
         if q.cigar and (beg != 0 or end < lq):  # write soft clipping
             if beg != 0:
                 q.cigar.insert(0, (4, beg))
