@@ -14,6 +14,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 namespace {
 
 inline int imax(int a, int b) { return a > b ? a : b; }
@@ -113,6 +117,192 @@ int bt_ksw_extend2(int qlen, const uint8_t *query, int tlen, const uint8_t *targ
   return max;
 }
 
+#ifdef __AVX2__
+// ---------------------------------------------------------------------------
+// Anti-diagonal AVX2 fast path for the banded global DP.  Exact: the same
+// recurrences and direction-bit rules as the scalar loop below, evaluated
+// by anti-diagonals (all band cells of one diagonal are independent, so
+// 16 int16 lanes run at once).  In-band values are bounded (gated), junk
+// beyond the band is pinned near -30000 by saturating arithmetic and can
+// rebound at most one add before mixing with a real operand, so every
+// comparison that decides a score or a z-bit orders identically to the
+// scalar int32 code.  z is stored by diagonal; the backtrack below walks
+// it with (i + j, i - lo[d]) indexing but replicates ksw.c:624-638
+// decision-for-decision.  Returns false -> caller runs the scalar path.
+static bool global2_diag_avx2(int qlen, const uint8_t *query, int tlen,
+                              const uint8_t *target, int m, const int8_t *mat,
+                              int o_del, int e_del, int o_ins, int e_ins,
+                              int w, int *n_cigar_out, uint32_t *cigar_out,
+                              int cigar_cap, int *score_out) {
+  if (m != 5 || qlen < 2 || tlen < 2 || w < 4) return false;
+  const int A = mat[0], B = mat[1], C = mat[24];
+  for (int i = 0; i < 4; ++i)
+    for (int j = 0; j < 4; ++j)
+      if (mat[i * 5 + j] != (i == j ? A : B)) return false;
+  for (int i = 0; i < 5; ++i)
+    if (mat[i * 5 + 4] != C || mat[20 + i] != C) return false;
+  if (w < (qlen > tlen ? qlen - tlen : tlen - qlen) + 1) return false;
+  {  // int16 range check: all in-band values stay within +-27000
+    long bound = (long)(qlen > tlen ? qlen : tlen) + 2;
+    long mabs = imax(imax(A < 0 ? -A : A, B < 0 ? -B : B), C < 0 ? -C : C);
+    if (bound * (mabs + imax(e_del, e_ins)) + imax(o_del, o_ins) > 27000)
+      return false;
+  }
+  const int16_t NEG = -30000;
+  const bool want_cigar = n_cigar_out != nullptr && cigar_out != nullptr;
+  const int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+  const int ndiag = qlen + tlen - 1;
+
+  // per-diagonal band ranges over i (target row): |2i - d| <= w plus edges
+  std::vector<int32_t> lov(ndiag), hiv(ndiag);
+  std::vector<int64_t> zoff(ndiag + 1, 0);
+  for (int d = 0; d < ndiag; ++d) {
+    int lo = 0;
+    if (d - (qlen - 1) > lo) lo = d - (qlen - 1);
+    if (d > w && (d - w + 1) >> 1 > lo) lo = (d - w + 1) >> 1;
+    int hi = tlen - 1;
+    if (d < hi) hi = d;
+    if ((d + w) >> 1 < hi) hi = (d + w) >> 1;
+    if (lo > hi) return false;  // band pinch: let the scalar handle it
+    lov[d] = lo;
+    hiv[d] = hi;
+    zoff[d + 1] = zoff[d] + (hi - lo + 1);
+  }
+  std::vector<uint8_t> z;
+  if (want_cigar) z.resize((size_t)zoff[ndiag] + 64);
+
+  const int PAD = 16, n = tlen + 3 * PAD;
+  std::vector<int16_t> bufs((size_t)7 * n, NEG);
+  int16_t *base = bufs.data() + PAD;
+  int16_t *Hrot[3] = {base, base + n, base + 2 * n};  // Hrot[0]=d-2, [2]=d
+  int16_t *Ep = base + 3 * n, *Ec = base + 4 * n;
+  int16_t *Fp = base + 5 * n, *Fc = base + 6 * n;
+  std::vector<int16_t> t16((size_t)tlen + 2 * PAD, 4),
+      q16r((size_t)qlen + 2 * PAD, 4);
+  for (int i = 0; i < tlen; ++i) t16[i] = target[i];
+  // lane i of diagonal d needs query[d - i] = q16r[qlen - 1 - d + i]
+  for (int j = 0; j < qlen; ++j) q16r[j] = query[qlen - 1 - j];
+
+  const __m256i vA = _mm256_set1_epi16((int16_t)A),
+                vB = _mm256_set1_epi16((int16_t)B),
+                vC = _mm256_set1_epi16((int16_t)C),
+                v3 = _mm256_set1_epi16(3),
+                vEd = _mm256_set1_epi16((int16_t)e_del),
+                vEi = _mm256_set1_epi16((int16_t)e_ins),
+                vOEd = _mm256_set1_epi16((int16_t)oe_del),
+                vOEi = _mm256_set1_epi16((int16_t)oe_ins),
+                k1 = _mm256_set1_epi16(1), k2 = _mm256_set1_epi16(2),
+                k4 = _mm256_set1_epi16(4), k32 = _mm256_set1_epi16(0x20);
+
+  int score = 0;
+  for (int d = 0; d < ndiag; ++d) {
+    const int lo = lov[d], hi = hiv[d];
+    int16_t *Hm2 = Hrot[0], *Hc = Hrot[2];
+    // boundary patches into the input buffers (scalar init semantics:
+    // H(-1,c) = c<0 ? 0 : -(o_ins+e_ins*(c+1)); H(i,-1) = -(o_del+
+    // e_del*(i+1)); E/F outside the band = -inf)
+    if (lo == 0) {
+      int c = d - 1;  // H(-1, d-1) feeds M at lane 0
+      Hm2[-1] = c < 0 ? 0 : (c + 1 <= w ? (int16_t)(-(o_ins + e_ins * (c + 1)))
+                                        : NEG);
+      Ep[-1] = NEG;
+    } else if (d - 2 * lo + 1 > w) {
+      Ep[lo - 1] = NEG;  // top-left neighbour above the band
+    }
+    if (hi == d) {
+      if (d >= 1) Hm2[d - 1] = (int16_t)(-(o_del + e_del * d));  // H(d-1,-1)
+      Fp[d] = NEG;  // row start: F(d, 0) = -inf
+    } else if (d - 1 - 2 * hi < -w) {
+      Fp[hi] = NEG;  // bottom-left neighbour below the band
+    }
+    const int qbase = qlen - 1 - d;
+    uint8_t *zp = want_cigar ? z.data() + zoff[d] - lo : nullptr;
+    for (int i = lo; i <= hi; i += 16) {
+      __m256i t = _mm256_loadu_si256((const __m256i *)(t16.data() + i));
+      __m256i q =
+          _mm256_loadu_si256((const __m256i *)(q16r.data() + qbase + i));
+      __m256i eq = _mm256_cmpeq_epi16(t, q);
+      __m256i amb = _mm256_or_si256(_mm256_cmpgt_epi16(t, v3),
+                                    _mm256_cmpgt_epi16(q, v3));
+      __m256i s = _mm256_blendv_epi8(vB, vA, eq);
+      s = _mm256_blendv_epi8(s, vC, amb);
+      __m256i Hd = _mm256_loadu_si256((const __m256i *)(Hm2 + i - 1));
+      __m256i M = _mm256_adds_epi16(Hd, s);
+      __m256i e = _mm256_loadu_si256((const __m256i *)(Ep + i - 1));
+      __m256i f = _mm256_loadu_si256((const __m256i *)(Fp + i));
+      __m256i mask_e = _mm256_cmpgt_epi16(e, M);        // d bit0
+      __m256i dsel = _mm256_and_si256(mask_e, k1);
+      __m256i h = _mm256_max_epi16(M, e);
+      __m256i mask_f = _mm256_cmpgt_epi16(f, h);        // d <- 2
+      dsel = _mm256_blendv_epi8(dsel, k2, mask_f);
+      h = _mm256_max_epi16(h, f);
+      __m256i esub = _mm256_subs_epi16(e, vEd);
+      __m256i me = _mm256_subs_epi16(M, vOEd);
+      __m256i bit2 = _mm256_and_si256(_mm256_cmpgt_epi16(esub, me), k4);
+      __m256i enew = _mm256_max_epi16(esub, me);
+      __m256i fsub = _mm256_subs_epi16(f, vEi);
+      __m256i mf = _mm256_subs_epi16(M, vOEi);
+      __m256i bit5 = _mm256_and_si256(_mm256_cmpgt_epi16(fsub, mf), k32);
+      __m256i fnew = _mm256_max_epi16(fsub, mf);
+      _mm256_storeu_si256((__m256i *)(Hc + i), h);
+      _mm256_storeu_si256((__m256i *)(Ec + i), enew);
+      _mm256_storeu_si256((__m256i *)(Fc + i), fnew);
+      if (zp) {
+        __m256i dd = _mm256_or_si256(_mm256_or_si256(dsel, bit2), bit5);
+        dd = _mm256_packus_epi16(dd, dd);
+        dd = _mm256_permute4x64_epi64(dd, 0xD8);
+        _mm_storeu_si128((__m128i *)(zp + i), _mm256_castsi256_si128(dd));
+      }
+    }
+    if (d == ndiag - 1) score = Hc[tlen - 1];
+    int16_t *h0 = Hrot[0];
+    Hrot[0] = Hrot[1];
+    Hrot[1] = Hrot[2];
+    Hrot[2] = h0;
+    std::swap(Ep, Ec);
+    std::swap(Fp, Fc);
+  }
+
+  if (want_cigar) {  // backtrack: ksw.c:624-638 over the diagonal z layout
+    std::vector<uint32_t> cig;
+    auto push = [&](int op, int len) {
+      if (cig.empty() || op != (int)(cig.back() & 0xf))
+        cig.push_back((uint32_t)len << 4 | op);
+      else
+        cig.back() += (uint32_t)len << 4;
+    };
+    int i = tlen - 1;
+    int k = (i + w + 1 < qlen ? i + w + 1 : qlen) - 1;
+    int which = 0;
+    while (i >= 0 && k >= 0) {
+      int d = i + k;
+      int col = i - lov[d];
+      if (col < 0 || col > hiv[d] - lov[d]) break;  // infeasible band
+      which = z[(size_t)zoff[d] + col] >> (which << 1) & 3;
+      if (which == 0) {
+        push(0, 1);
+        --i;
+        --k;
+      } else if (which == 1) {
+        push(2, 1);
+        --i;
+      } else {
+        push(1, 1);
+        --k;
+      }
+    }
+    if (i >= 0) push(2, i + 1);
+    if (k >= 0) push(1, k + 1);
+    int nc = (int)cig.size();
+    *n_cigar_out = nc;
+    if (nc <= cigar_cap)
+      for (int x = 0; x < nc; ++x) cigar_out[x] = cig[nc - 1 - x];
+  }
+  *score_out = score;
+  return true;
+}
+#endif  // __AVX2__
+
 // ---------------------------------------------------------------------------
 // Banded global alignment with backtrack (ksw_global2 semantics).
 // cigar_out has capacity cigar_cap uint32s; *n_cigar set to the count
@@ -125,6 +315,15 @@ int bt_ksw_global2(int qlen, const uint8_t *query, int tlen, const uint8_t *targ
   const int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
   const bool want_cigar = n_cigar_out != nullptr && cigar_out != nullptr;
   if (n_cigar_out) *n_cigar_out = 0;
+#ifdef __AVX2__
+  {
+    int sc;
+    if (global2_diag_avx2(qlen, query, tlen, target, m, mat, o_del, e_del,
+                          o_ins, e_ins, w, n_cigar_out, cigar_out, cigar_cap,
+                          &sc))
+      return sc;
+  }
+#endif
 
   const int n_col = imin(qlen, 2 * w + 1);
   std::vector<uint8_t> z;
