@@ -65,6 +65,15 @@ def get_lib() -> ctypes.CDLL:
         so = _CACHE_DIR / f"bwa_tpu_native_{_build_hash(_hash_files())}.so"
         if not so.exists():
             _compile(files, so)
+        # stable name for the native CLI client's dlopen (client.c)
+        link = _CACHE_DIR / "bwa_tpu_native.so"
+        try:
+            if not link.exists() or link.resolve() != so.resolve():
+                if link.is_symlink() or link.exists():
+                    link.unlink()
+                link.symlink_to(so)
+        except OSError:
+            pass
         lib = ctypes.CDLL(str(so))
 
         lib.sais_u8_i32.restype = ctypes.c_int
@@ -149,12 +158,14 @@ def client_exe() -> Path:
     one-shots to the resident daemon without paying Python interpreter +
     TPU-plugin startup (~2.3 s/process on this image).  Returns the
     executable path (content-hash cached like the .so)."""
+    get_lib()  # the client dlopens the lib's stable symlink for native
+    # one-shots (aln/samse/sampe) -- make sure it exists and is current
     src = _SRC_DIR / "client.c"
     exe = _CACHE_DIR / f"bwa-tpu-{_build_hash([src])}"
     if not exe.exists():
         exe.parent.mkdir(parents=True, exist_ok=True)
         tmp = exe.with_suffix(".tmp")
-        subprocess.run(["gcc", "-O2", "-o", str(tmp), str(src)],
+        subprocess.run(["gcc", "-O2", "-o", str(tmp), str(src), "-ldl"],
                        check=True, capture_output=True)
         os.replace(tmp, exe)
     link = _CACHE_DIR / "bwa-tpu"

@@ -18,7 +18,9 @@
  * -o/-f outputs fall back to the Python path, which handles them.
  */
 
+#include <dlfcn.h>
 #include <errno.h>
+#include <libgen.h>
 #include <stdint.h>
 #include <stdio.h>
 #include <stdlib.h>
@@ -57,7 +59,33 @@ static int in_list(const char *cmd, const char **list) {
   return 0;
 }
 
+/* backtrack one-shots run fully native (btcli.cpp bt_cli_main in the
+ * shared lib, symlinked next to this executable by native/build.py):
+ * index load + strict FASTQ + search + finalize with zero Python.  A
+ * return of 100 means "unsupported shape, nothing written": fall
+ * through to the Python CLI. */
+static const char *NATIVE_CMDS[] = {"aln", "samse", "sampe", NULL};
+
+static void try_native(int argc, char **argv) {
+  if (argc < 2 || !in_list(argv[1], NATIVE_CMDS)) return;
+  if (getenv("BWA_TPU_NO_NATIVE_CLI")) return;
+  char exe[PATH_MAX];
+  ssize_t n = readlink("/proc/self/exe", exe, sizeof exe - 1);
+  if (n <= 0) return;
+  exe[n] = 0;
+  char sopath[PATH_MAX + 32];
+  snprintf(sopath, sizeof sopath, "%s/bwa_tpu_native.so", dirname(exe));
+  void *h = dlopen(sopath, RTLD_NOW | RTLD_LOCAL);
+  if (!h) return;
+  int (*entry)(int, char **) = (int (*)(int, char **))
+      dlsym(h, "bt_cli_main");
+  if (!entry) return;
+  int rc = entry(argc, argv);
+  if (rc != 100) exit(rc); /* handled (0/1); 100 = fall back to Python */
+}
+
 static void exec_python(int argc, char **argv, int strip_axon) {
+  try_native(argc, argv);
   if (strip_axon) unsetenv("PALLAS_AXON_POOL_IPS");
   char **pargv = malloc(sizeof(char *) * (argc + 4));
   int n = 0;
