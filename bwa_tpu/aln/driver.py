@@ -167,6 +167,19 @@ def _bt_ref(fm):
     return fm._bt_ref_v
 
 
+def _sad_args(fm):
+    """(pointer, is64) for the dense .sad.npy sidecar, or (None, 0):
+    sad[k] == the inverse-Psi walk's bwt_sa(k) byte-for-byte, so the
+    native finalizers skip ~sa_intv/2 occ lookups per SA resolve."""
+    import ctypes
+
+    sad = fm.sad
+    if sad is None:
+        return None, np.int32(0)
+    return (ctypes.c_void_p(sad.ctypes.data),
+            np.int32(1 if sad.dtype.itemsize == 8 else 0))
+
+
 def _samse_batch_native(fm, pk: PackedReads, sai_rest: memoryview, opt,
                         n_occ, rg_id, rng: Rand48) -> tuple[str, int]:
     """Whole samse finalize for one batch in C++ (native/btsam.cpp):
@@ -200,6 +213,7 @@ def _samse_batch_native(fm, pk: PackedReads, sai_rest: memoryview, opt,
     rng_state = np.array([rng.x], np.uint64)
     used = np.zeros(1, np.int64)
     cap = max(1 << 20, 300 * n)
+    sad_ptr, sad_is64 = _sad_args(fm)
     while True:
         out_buf = np.zeros(cap, np.uint8)
         rng_state[0] = rng.x  # restore on retry: the call mutates it
@@ -226,7 +240,7 @@ def _samse_batch_native(fm, pk: PackedReads, sai_rest: memoryview, opt,
             rg_id.encode() if rg_id else None,
             rng_state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             out_buf.ctypes.data_as(u8p), ctypes.c_int64(cap),
-            used.ctypes.data_as(i64p))
+            used.ctypes.data_as(i64p), sad_ptr, sad_is64)
         if r >= 0:
             break
         if r == -1:
@@ -285,6 +299,7 @@ def _sampe_batch_native(fm, pk0: PackedReads, pk1: PackedReads, sai_rest0,
     used = np.zeros(2, np.int64)
     cap = max(1 << 20, 600 * n)
     quiet = 0
+    sad_ptr, sad_is64 = _sad_args(fm)
     while True:
         out_buf = np.zeros(cap, np.uint8)
         rng_state[0] = rng.x  # restore on retry: the call mutates them
@@ -314,7 +329,8 @@ def _sampe_batch_native(fm, pk0: PackedReads, pk1: PackedReads, sai_rest0,
             rg_id.encode() if rg_id else None,
             rng_state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             out_buf.ctypes.data_as(u8p), ctypes.c_int64(cap),
-            used.ctypes.data_as(i64p))
+            used.ctypes.data_as(i64p), sad_ptr,
+            ctypes.c_int32(int(sad_is64)))
         if r >= 0:
             break
         if r == -1:

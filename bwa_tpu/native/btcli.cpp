@@ -15,6 +15,11 @@
 // Reference parity anchors: bwtaln.c:159-228 (aln driver), bwase.c:507-
 // 577 (samse), bwape.c:624-731 (sampe), bwa.c:407-441 (SAM header).
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -49,7 +54,8 @@ int64_t bt_samse_batch(const uint8_t *, int64_t, int64_t, const int64_t *,
                        const char *, const int64_t *, const char *,
                        const int32_t *, const uint8_t *, int64_t, int32_t,
                        int32_t, int32_t, int32_t, double, const char *,
-                       uint64_t *, char *, int64_t, int64_t *);
+                       uint64_t *, char *, int64_t, int64_t *,
+                       const void *, int32_t);
 int64_t bt_sampe_batch(
     const uint8_t *, int64_t, int64_t, const int64_t *, const int64_t *,
     int32_t, const uint8_t *, int64_t, const int64_t *, const int32_t *,
@@ -64,7 +70,8 @@ int64_t bt_sampe_batch(
     const uint8_t *, int64_t, const uint8_t *, int64_t,
     int32_t, int32_t, int32_t, int32_t, int32_t, double, int32_t, int32_t,
     int32_t, int32_t, int32_t, int32_t, double, int32_t, double *,
-    const char *, uint64_t *, char *, int64_t, int64_t *);
+    const char *, uint64_t *, char *, int64_t, int64_t *,
+    const void *, int32_t);
 }
 
 // ---------------------------------------------------------------------
@@ -116,6 +123,9 @@ struct Idx {
   std::vector<std::string> names;
   std::vector<int64_t> amb_off;
   std::vector<int32_t> amb_len;
+  std::vector<uint8_t> sad_raw;   // .sad.npy bytes (dense SA sidecar)
+  const void *sad = nullptr;      // points into sad_raw, or null
+  int32_t sad_is64 = 0;
 };
 
 static bool read_file(const std::string &p, std::vector<uint8_t> *out) {
@@ -136,7 +146,59 @@ static bool file_exists(const std::string &p) {
   return f != nullptr;
 }
 
-static bool load_idx(std::string prefix, Idx *x) {
+// minimal .npy v1/v2 reader for the dense-SA sidecar ('<i4'/'<i8' 1-D);
+// mmaps the file (it can be GBs on mid-size genomes; only the ranks the
+// batch actually resolves get paged in).  The mapping is intentionally
+// leaked -- the one-shot process exits right after.
+static bool load_sad(const std::string &path, std::vector<uint8_t> *raw,
+                     const void **data, int32_t *is64) {
+  (void)raw;
+  int fd = ::open(path.c_str(), O_RDONLY);
+  if (fd < 0) return false;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 10) {
+    ::close(fd);
+    return false;
+  }
+  uint8_t *m = (uint8_t *)mmap(nullptr, (size_t)st.st_size, PROT_READ,
+                               MAP_PRIVATE, fd, 0);
+  ::close(fd);
+  if (m == MAP_FAILED) return false;
+  bool ok = false;
+  size_t hlen = 0, hoff = 0;
+  if (std::memcmp(m, "\x93NUMPY", 6) == 0) {
+    if (m[6] == 1) {
+      hlen = (size_t)m[8] | ((size_t)m[9] << 8);
+      hoff = 10;
+    } else if (st.st_size >= 12) {
+      hlen = (size_t)m[8] | ((size_t)m[9] << 8) | ((size_t)m[10] << 16) |
+             ((size_t)m[11] << 24);
+      hoff = 12;
+    }
+    if (hoff && (size_t)st.st_size >= hoff + hlen) {
+      std::string hdr((const char *)m + hoff, hlen);
+      if (hdr.find("'fortran_order': False") != std::string::npos) {
+        if (hdr.find("'<i8'") != std::string::npos) {
+          *is64 = 1;
+          ok = true;
+        } else if (hdr.find("'<i4'") != std::string::npos) {
+          *is64 = 0;
+          ok = true;
+        }
+      }
+    }
+  }
+  if (!ok) {
+    munmap(m, (size_t)st.st_size);
+    return false;
+  }
+  *data = m + hoff + hlen;
+  return true;
+}
+
+// bwt_only: `aln` needs nothing but the occ blocks -- skip .sa/.pac/
+// .ann/.amb/.sad (tens of MB of wasted reads per one-shot otherwise)
+static bool load_idx(std::string prefix, Idx *x, bool bwt_only = false) {
   if (file_exists(prefix + ".64.bwt")) prefix += ".64";  // bwa.c:245-269
   std::vector<uint8_t> bwt;
   if (!read_file(prefix + ".bwt", &bwt) || bwt.size() < 40) return false;
@@ -158,7 +220,12 @@ static bool load_idx(std::string prefix, Idx *x) {
   if (full < n_blocks)  // ragged final block: pad the missing words
     std::memcpy(x->inter.data() + full * 64, data + full * 16,
                 (size_t)(body - full * 16) * 4);
+  if (bwt_only) return true;
 
+  if (!load_sad(prefix + ".sad.npy", &x->sad_raw, &x->sad, &x->sad_is64)) {
+    x->sad = nullptr;  // optional: the walk path serves without it
+    x->sad_raw.clear();
+  }
   std::vector<uint8_t> sa;
   if (!read_file(prefix + ".sa", &sa) || sa.size() < 64) return false;
   const uint64_t *sh = (const uint64_t *)sa.data();
@@ -452,7 +519,7 @@ static int cmd_aln(int argc, char **argv) {
   }
   if (o.args.size() < 2) return FALLBACK;  // Python prints the usage
   Idx x;
-  if (!load_idx(o.args[0], &x)) return FALLBACK;
+  if (!load_idx(o.args[0], &x, /*bwt_only=*/true)) return FALLBACK;
   FqStream st;
   if (!load_fq(o.args[1], &st)) return FALLBACK;
 
@@ -593,7 +660,7 @@ static int cmd_samse(int argc, char **argv) {
           (const char *)pk.bc_blob.data(), pk.bc_off.data(), sp, srem,
           opt.mode, opt.max_top2, n_occ, opt.max_diff, (double)opt.fnr,
           rg_id.empty() ? nullptr : rg_id.c_str(), &rng, buf.data(), cap,
-          &used);
+          &used, x.sad, x.sad_is64);
       if (r >= 0) break;
       if (r == -1) return FALLBACK;  // truncated .sai
       cap = -r;
@@ -697,7 +764,7 @@ static int cmd_sampe(int argc, char **argv) {
           max_isize, force_isize, max_occ, n_multi, N_multi, is_sw,
           ap_prior, quiet, ii_state,
           rg_id.empty() ? nullptr : rg_id.c_str(), &rng, buf.data(), cap,
-          used);
+          used, x.sad, x.sad_is64);
       if (r >= 0) break;
       if (r == -1 || r == -2) return FALLBACK;  // truncated/mismatched
       cap = -r;

@@ -45,12 +45,21 @@ struct Rand48 {
 struct FM : occ64::View {
   const int64_t *ssa;
   int32_t sa_intv;
+  // optional dense rank->position sidecar (.sad.npy, index/build.py
+  // write_sad_sidecar): sad[k] is byte-for-byte what the inverse-Psi
+  // walk below returns (incl. sad[0] = -1), so lookups are
+  // interchangeable -- and ~16x fewer cache misses per SA resolve.
+  const void *sad = nullptr;
+  bool sad64 = false;
 };
 
 using occ64::inv_psi;
 using occ64::occ4;
 
 static int64_t sa_value(const FM &g, int64_t k) {  // bwt_sa (bwt.c:86-96)
+  if (g.sad)
+    return g.sad64 ? ((const int64_t *)g.sad)[k]
+                   : (int64_t)((const int32_t *)g.sad)[k];
   int64_t mask = g.sa_intv - 1, s = 0;
   while (k & mask) { ++s; k = inv_psi(g, k); }
   return s + g.ssa[k / g.sa_intv];
@@ -1062,10 +1071,12 @@ int64_t bt_samse_batch(
     const int32_t *bc_off, const uint8_t *sai_bytes, int64_t sai_len,
     int32_t mode, int32_t max_top2, int32_t n_multi, int32_t max_diff_opt,
     double fnr, const char *rg_id, uint64_t *rng_state, char *out_buf,
-    int64_t out_cap, int64_t *sai_used) {
+    int64_t out_cap, int64_t *sai_used, const void *sad,
+    int32_t sad_is64) {
   using namespace btsam;
   init_log_n();
-  FM g{{occ_inter, seq_len, primary, L2}, ssa, sa_intv};
+  FM g{{occ_inter, seq_len, primary, L2}, ssa, sa_intv, sad,
+       sad_is64 != 0};
   Ref r{pac, l_pac, ctg_off, ctg_len, name_off, names,
         n_ctg, amb_off, amb_len, n_amb};
   Rand48 rng{*rng_state};
@@ -1146,10 +1157,12 @@ int64_t bt_sampe_batch(
     int32_t max_isize, int32_t force_isize, int32_t max_occ,
     int32_t n_multi, int32_t N_multi, int32_t is_sw, double ap_prior,
     int32_t quiet, double *ii_state, const char *rg_id, uint64_t *rng_state,
-    char *out_buf, int64_t out_cap, int64_t *sai_used) {
+    char *out_buf, int64_t out_cap, int64_t *sai_used, const void *sad,
+    int32_t sad_is64) {
   using namespace btsam;
   init_log_n();
-  FM g{{occ_inter, seq_len, primary, L2}, ssa, sa_intv};
+  FM g{{occ_inter, seq_len, primary, L2}, ssa, sa_intv, sad,
+       sad_is64 != 0};
   Ref r{pac, l_pac, ctg_off, ctg_len, name_off, names,
         n_ctg, amb_off, amb_len, n_amb};
   Rand48 rng{*rng_state};

@@ -131,7 +131,8 @@ def get_lib() -> ctypes.CDLL:
             u8p, c_i64,                                             # sai
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_double, cp, u64p,
-            u8p, c_i64, i64p]
+            u8p, c_i64, i64p,
+            ctypes.c_void_p, ctypes.c_int32]                        # dense SA
         lib.bt_ksw_extend2.restype = c_i
         lib.bt_ksw_extend2.argtypes = [c_i, u8p, c_i, u8p, c_i, i8p,
                                        c_i, c_i, c_i, c_i, c_i, c_i, c_i, c_i,
