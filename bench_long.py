@@ -222,6 +222,37 @@ def bench_backtrack(fa):
             "byte_identical": ident}))
 
 
+def bench_fastmap(fa):
+    """fastmap one-shot (CLI subprocess, like a user): the native client
+    runs the SMEM dump fully in C (btcli.cpp cmd_fastmap)."""
+    import tempfile
+
+    from bwa_tpu.native.build import client_exe
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BWA_TPU_PYTHON"] = sys.executable
+    client = str(client_exe())
+    fq = BENCH_DIR / "se150.fq"
+    with tempfile.TemporaryDirectory() as td:
+        env["BWA_TPU_DAEMON_DIR"] = td  # measure the cold one-shot
+        o_best, o_out = _time_oracle(["fastmap", str(fa), str(fq)])
+        best = 1e9
+        out = None
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            r = subprocess.run([client, "fastmap", str(fa), str(fq)],
+                               check=True, capture_output=True, env=env)
+            best = min(best, time.perf_counter() - t0)
+            out = r.stdout
+        print(json.dumps({
+            "metric": "fastmap_8192_s", "value": round(best, 3),
+            "unit": "s", "vs_baseline": round(o_best / best, 3),
+            "oracle_s": round(o_best, 3),
+            "byte_identical": out == o_out}))
+
+
 def bench_backtrack_daemon(fa):
     """Backtrack one-shots through the resident daemon (warm index +
     warm interpreter; the production path once any daemon is up)."""
@@ -298,6 +329,8 @@ def main():
         bench_bwasw(fa)
     if "backtrack" in which:
         bench_backtrack(fa)
+    if "fastmap" in which:
+        bench_fastmap(fa)
     if "backtrack_daemon" in which:
         bench_backtrack_daemon(fa)
 

@@ -28,6 +28,8 @@
 #include <string>
 #include <vector>
 
+#include "occ64.h"
+
 namespace {
 
 constexpr int FALLBACK = 100;  // client.c execs the Python CLI on this
@@ -779,6 +781,203 @@ static int cmd_sampe(int argc, char **argv) {
   return write_out(out_path, out) ? 0 : 1;
 }
 
+// ---------------------------------------------------------------------
+// fastmap (fastmap.c:408-483; mem/fastmap.py fastmap_lines is the spec)
+// ---------------------------------------------------------------------
+
+struct BI {  // bidirectional interval + info (bwtintv_t, bwt.h:20-23)
+  int64_t x0, x1, x2, info;
+};
+
+// bwt_extend (bwt.c:262-275) over the occ64 blocks; ops/fm_host.py
+// extend() is the executable spec
+static void fm_extend(const occ64::View &g, const BI &ik, int is_back,
+                      BI ok[4]) {
+  int64_t fwd = is_back ? ik.x0 : ik.x1;
+  int64_t tk[4], tl[4];
+  occ64::occ4_pair(g, fwd - 1, fwd - 1 + ik.x2, tk, tl);
+  int64_t bk = is_back ? ik.x1 : ik.x0;
+  int64_t span =
+      (fwd <= g.primary && g.primary <= fwd + ik.x2 - 1) ? 1 : 0;
+  int64_t sz[4];
+  for (int c = 0; c < 4; ++c) sz[c] = tl[c] - tk[c];
+  int64_t b3 = bk + span, b2 = b3 + sz[3], b1 = b2 + sz[2], b0 = b1 + sz[1];
+  int64_t bks[4] = {b0, b1, b2, b3};
+  for (int c = 0; c < 4; ++c) {
+    int64_t nb = g.L2[c] + 1 + tk[c];
+    ok[c] = is_back ? BI{nb, bks[c], sz[c], 0} : BI{bks[c], nb, sz[c], 0};
+  }
+}
+
+// bwt_smem1a (bwt.c:289-351); mirrors ops/fm_host.py smem1a line by line
+static int smem1a(const occ64::View &g, const uint8_t *q, int length,
+                  int x, int min_intv_in, int64_t max_intv,
+                  std::vector<BI> *mems, std::vector<BI> *prev,
+                  std::vector<BI> *curr) {
+  mems->clear();
+  if (q[x] > 3) return x + 1;
+  int64_t min_intv = min_intv_in < 1 ? 1 : min_intv_in;
+  BI ik{g.L2[q[x]] + 1, g.L2[3 - q[x]] + 1, g.L2[q[x] + 1] - g.L2[q[x]], 0};
+  int64_t ik_info = x + 1;
+  curr->clear();
+  BI ok[4];
+  int i = x + 1;
+  for (; i < length; ++i) {
+    if (ik.x2 < max_intv) {  // small enough interval
+      curr->push_back({ik.x0, ik.x1, ik.x2, ik_info});
+      break;
+    }
+    if (q[i] < 4) {
+      int c = 3 - q[i];
+      fm_extend(g, ik, 0, ok);
+      if (ok[c].x2 != ik.x2) {
+        curr->push_back({ik.x0, ik.x1, ik.x2, ik_info});
+        if (ok[c].x2 < min_intv) break;
+      }
+      ik.x0 = ok[c].x0;
+      ik.x1 = ok[c].x1;
+      ik.x2 = ok[c].x2;
+      ik_info = i + 1;
+    } else {
+      curr->push_back({ik.x0, ik.x1, ik.x2, ik_info});
+      break;
+    }
+  }
+  if (i == length) curr->push_back({ik.x0, ik.x1, ik.x2, ik_info});
+  for (size_t a = 0, b = curr->size() - 1; a < b; ++a, --b)
+    std::swap((*curr)[a], (*curr)[b]);
+  int ret = (int)(*curr)[0].info;
+  std::swap(*prev, *curr);
+  int64_t ik_x2 = ik.x2;  // the reference reuses ik across the loops
+  for (i = x - 1; i >= -1; --i) {
+    int c = (i < 0 || q[i] >= 4) ? -1 : q[i];
+    curr->clear();
+    for (const BI &p : *prev) {
+      if (c >= 0 && ik_x2 >= max_intv) fm_extend(g, p, 1, ok);
+      if (c < 0 || ik_x2 < max_intv || ok[c].x2 < min_intv) {
+        if (curr->empty()) {
+          if (mems->empty() ||
+              i + 1 < (int)(mems->back().info >> 32)) {
+            ik_x2 = p.x2;
+            mems->push_back({p.x0, p.x1, p.x2,
+                             (p.info & 0xFFFFFFFF) |
+                                 ((int64_t)(i + 1) << 32)});
+          }
+        }
+      } else if (curr->empty() || ok[c].x2 != curr->back().x2) {
+        curr->push_back({ok[c].x0, ok[c].x1, ok[c].x2, p.info});
+      }
+    }
+    if (curr->empty()) break;
+    std::swap(*prev, *curr);
+  }
+  for (size_t a = 0, b = mems->size(); b > a + 1; ++a, --b)
+    std::swap((*mems)[a], (*mems)[b - 1]);
+  return ret;
+}
+
+static int64_t sa_lookup(const Idx &x, int64_t k) {  // bwt_sa (bwt.c:86-96)
+  if (x.sad)
+    return x.sad_is64 ? ((const int64_t *)x.sad)[k]
+                      : (int64_t)((const int32_t *)x.sad)[k];
+  occ64::View g{x.inter.data(), x.seq_len, x.primary, x.L2};
+  int64_t mask = x.sa_intv - 1, s = 0;
+  while (k & mask) {
+    ++s;
+    k = occ64::inv_psi(g, k);
+  }
+  return s + x.ssa[k / x.sa_intv];
+}
+
+static int fm_pos2rid(const Idx &x, int64_t pos_f) {
+  int left = 0, right = (int)x.ctg_off.size();
+  while (right - left > 1) {
+    int mid = (left + right) >> 1;
+    if (x.ctg_off[mid] <= pos_f) left = mid;
+    else right = mid;
+  }
+  return left;
+}
+
+static int cmd_fastmap(int argc, char **argv) {
+  int min_iwidth = 20, min_len = 17, min_intv = 1;
+  int64_t max_intv = 0;
+  Opts o;
+  if (!parse_opts(argc, argv, "w:l:pi:I:L:", &o)) return FALLBACK;
+  for (auto &fl : o.flags) {
+    switch (fl.first) {
+      case 'w': min_iwidth = std::atoi(fl.second); break;
+      case 'l': min_len = std::atoi(fl.second); break;
+      case 'i': min_intv = std::atoi(fl.second); break;
+      case 'I': max_intv = std::atoll(fl.second); break;
+      case 'L': break;  // accepted and ignored, like the Python CLI
+      case 'p': return FALLBACK;  // -p needs the raw sequence text
+      default: return FALLBACK;
+    }
+  }
+  if (o.args.size() < 2) return FALLBACK;
+  Idx x;
+  if (!load_idx(o.args[0], &x)) return FALLBACK;
+  FqStream st;
+  if (!load_fq(o.args[1], &st)) return FALLBACK;
+  occ64::View g{x.inter.data(), x.seq_len, x.primary, x.L2};
+
+  std::string out;
+  out.reserve(st.buf.size());
+  char buf[256];
+  std::vector<BI> mems, prev, curr;
+  while (true) {
+    Packed pk;
+    if (!next_batch(&st, 0, &pk)) return FALLBACK;
+    if (pk.n == 0) break;
+    for (int64_t ri = 0; ri < pk.n; ++ri) {
+      const uint8_t *q = pk.codes.data() + pk.codes_off[ri];
+      int length = pk.lens[ri];
+      const char *name = (const char *)pk.names.data() + pk.name_off[ri];
+      out += "SQ\t";
+      out += name;
+      std::snprintf(buf, sizeof buf, "\t%d\n", length);
+      out += buf;
+      int start = 0;
+      while (start < length) {
+        if (q[start] > 3) {
+          ++start;
+          continue;
+        }
+        start = smem1a(g, q, length, start, min_intv, max_intv, &mems,
+                       &prev, &curr);
+        for (const BI &m : mems) {
+          int64_t mb = m.info >> 32, me = m.info & 0xFFFFFFFF;
+          if (me - mb < min_len) continue;
+          std::snprintf(buf, sizeof buf, "EM\t%ld\t%ld\t%ld",
+                        (long)mb, (long)me, (long)m.x2);
+          out += buf;
+          if (m.x2 <= min_iwidth) {
+            for (int64_t t = 0; t < m.x2; ++t) {
+              int64_t pos = sa_lookup(x, m.x0 + t);
+              bool is_rev = pos >= x.l_pac;
+              int64_t pos_f = is_rev ? x.seq_len - 1 - pos : pos;
+              if (is_rev) pos_f -= (me - mb) - 1;
+              int rid = fm_pos2rid(x, pos_f);
+              out += '\t';
+              out += x.names[rid];
+              std::snprintf(buf, sizeof buf, ":%c%ld",
+                            is_rev ? '-' : '+',
+                            (long)(pos_f - x.ctg_off[rid] + 1));
+              out += buf;
+            }
+          } else {
+            out += "\t*";
+          }
+          out += '\n';
+        }
+      }
+      out += "//\n";
+    }
+  }
+  return write_out(nullptr, out) ? 0 : 1;
+}
+
 }  // namespace
 
 extern "C" {
@@ -793,6 +992,8 @@ int bt_cli_main(int argc, char **argv) {
     return cmd_samse(argc - 2, argv + 2);
   if (std::strcmp(argv[1], "sampe") == 0)
     return cmd_sampe(argc - 2, argv + 2);
+  if (std::strcmp(argv[1], "fastmap") == 0)
+    return cmd_fastmap(argc - 2, argv + 2);
   return FALLBACK;
 }
 

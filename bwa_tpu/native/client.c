@@ -64,7 +64,8 @@ static int in_list(const char *cmd, const char **list) {
  * index load + strict FASTQ + search + finalize with zero Python.  A
  * return of 100 means "unsupported shape, nothing written": fall
  * through to the Python CLI. */
-static const char *NATIVE_CMDS[] = {"aln", "samse", "sampe", NULL};
+static const char *NATIVE_CMDS[] = {"aln", "samse", "sampe", "fastmap",
+                                    NULL};
 
 static void try_native(int argc, char **argv) {
   if (argc < 2 || !in_list(argv[1], NATIVE_CMDS)) return;

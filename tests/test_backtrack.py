@@ -185,3 +185,12 @@ def test_native_client_one_shots(oracle_bwa, small_genome, bt_reads,
     out = subprocess.run([client, "aln", "-n", "0.04", fa, str(se)],
                          check=True, capture_output=True, env=env).stdout
     assert out == _oracle(oracle_bwa, ["aln", "-n", "0.04", fa, str(se)])
+    # native fastmap one-shot (btcli.cpp cmd_fastmap)
+    fm = subprocess.run([client, "fastmap", fa, str(se)], check=True,
+                        capture_output=True, env=env).stdout
+    assert fm == _oracle(oracle_bwa, ["fastmap", fa, str(se)])
+    fm = subprocess.run([client, "fastmap", "-w", "3", "-l", "20", fa,
+                         str(se)], check=True, capture_output=True,
+                        env=env).stdout
+    assert fm == _oracle(oracle_bwa, ["fastmap", "-w", "3", "-l", "20",
+                                      fa, str(se)])
