@@ -72,6 +72,7 @@ static inline int64_t occ_prefix(const uint8_t *inter, int64_t s, int c) {
 
 struct Writer {  // streaming builder of the interleaved layout
   uint8_t *buf;
+  int64_t cap_blocks = 0;  // buffer capacity in 64-byte blocks
   int64_t n = 0;          // chars emitted
   int64_t cnt[4] = {0, 0, 0, 0};
   uint32_t word = 0;
@@ -94,6 +95,11 @@ struct Writer {  // streaming builder of the interleaved layout
   }
   void finish() {  // flush the ragged tail word (left-aligned like
     if (n == 0) return;
+    // when the stream ends exactly on a 128-char boundary, the NEXT
+    // block's checkpoint must still be written: occ_prefix(cur, s, c)
+    // with s == n reads it (s is a block multiple -> within == 0), and
+    // the ping-pong buffer holds a stale round's bytes there otherwise
+    if ((n & 127) == 0 && (n >> 7) < cap_blocks) start_block();
     int64_t blk = (n - 1) >> 7;
     uint32_t *w = (uint32_t *)(buf + blk * 64 + 32);
     if (n & 15)  // pack_bwt_words: base i at bits (15-(i&15))*2
@@ -210,10 +216,12 @@ struct Treap {
     split(root, (int32_t)nb, &a, &b);
     root = merge(merge(a, id), b);
   }
+  std::vector<int32_t> path;  // assign_char scratch (no per-call alloc)
+
   // assign char c to the node at combined coordinate p (the current $)
   void assign_char(int64_t p, int c) {
     // descend to the node whose combined coord == p, updating counts
-    std::vector<int32_t> path;
+    path.clear();
     int32_t x = root;
     int64_t acc = 0;
     while (x >= 0) {
@@ -315,6 +323,7 @@ int64_t bwt_inc_build(const uint8_t *pac2, int64_t n, int64_t block,
     treap.inorder(&pend);
     Writer w;
     w.buf = nxt;
+    w.cap_blocks = n_blk_bytes / 64;
     size_t pi = 0;
     for (int64_t r = 0; r <= old_m; ++r) {  // old rows incl old $
       while (pi < pend.size() && pend[pi].first == r) {
