@@ -71,6 +71,22 @@ static inline int aln_score(int m, int o, int e, const Opt &opt) {
   return m * opt.s_mm + o * opt.s_gapo + e * opt.s_gape;
 }
 
+// Touch the occ cache lines a pushed entry will read when popped
+// (occ4_pair over k-1 and l).  The LIFO stack pops same-score pushes
+// next, so the lines arrive ahead of the dependent load; the search is
+// memory-bound on these 64-byte blocks.
+static inline void pf_occ(const FM &g, int64_t k, int64_t l) {
+  int64_t a = k - 1;
+  if (a >= 0 && a < g.seq_len) {
+    if (a >= g.primary) --a;
+    __builtin_prefetch(g.inter + (a >> 7) * 64);
+  }
+  if (l >= 0 && l < g.seq_len) {
+    if (l >= g.primary) --l;
+    __builtin_prefetch(g.inter + (l >> 7) * 64);
+  }
+}
+
 // bwt_cal_width over seq (stored orientation)
 static void cal_width(const FM &g, const uint8_t *seq, int len,
                       std::vector<Width> *out) {
@@ -279,10 +295,12 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
           for (int j = 0; j < 4; ++j) {
             int64_t kk = g.L2[j] + cnt_k[j] + 1;
             int64_t ll = g.L2[j] + cnt_l[j];
-            if (kk <= ll)
+            if (kk <= ll) {
               stack.push(mkent(i + 1, kk, ll, e.n_mm, e.n_gapo + 1,
                                e.n_gape, e.n_ins, e.n_del + 1, ST_D, i + 1),
                          aln_score(e.n_mm, e.n_gapo + 1, e.n_gape, opt));
+              pf_occ(g, kk, ll);
+            }
           }
         }
       } else if (e.state == ST_I) {
@@ -296,11 +314,13 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
             for (int j = 0; j < 4; ++j) {
               int64_t kk = g.L2[j] + cnt_k[j] + 1;
               int64_t ll = g.L2[j] + cnt_l[j];
-              if (kk <= ll)
+              if (kk <= ll) {
                 stack.push(mkent(i + 1, kk, ll, e.n_mm, e.n_gapo,
                                  e.n_gape + 1, e.n_ins, e.n_del + 1, ST_D,
                                  i + 1),
                            aln_score(e.n_mm, e.n_gapo, e.n_gape + 1, opt));
+                pf_occ(g, kk, ll);
+              }
             }
           }
         }
@@ -312,19 +332,23 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
         int is_mm = (j != 4 || seq[i] > 3) ? 1 : 0;
         int64_t kk = g.L2[c] + cnt_k[c] + 1;
         int64_t ll = g.L2[c] + cnt_l[c];
-        if (kk <= ll)
+        if (kk <= ll) {
           stack.push(mkent(i, kk, ll, e.n_mm + is_mm, e.n_gapo, e.n_gape,
                            e.n_ins, e.n_del, ST_M, is_mm ? i : 0),
                      aln_score(e.n_mm + is_mm, e.n_gapo, e.n_gape, opt));
+          pf_occ(g, kk, ll);
+        }
       }
     } else if (seq[i] < 4) {
       int c = seq[i] & 3;
       int64_t kk = g.L2[c] + cnt_k[c] + 1;
       int64_t ll = g.L2[c] + cnt_l[c];
-      if (kk <= ll)
+      if (kk <= ll) {
         stack.push(mkent(i, kk, ll, e.n_mm, e.n_gapo, e.n_gape, e.n_ins,
                          e.n_del, ST_M, 0),
                    aln_score(e.n_mm, e.n_gapo, e.n_gape, opt));
+        pf_occ(g, kk, ll);
+      }
     }
   }
 }
