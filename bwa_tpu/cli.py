@@ -344,7 +344,7 @@ def main_index(argv: list[str]) -> int:
     prefix = None
     is_64 = False
     algo = "auto"
-    block_size = 10000000  # reference -b default (bwtindex.c:199)
+    block_size = None  # auto-scale (reference -b default 10M, bwtindex.c:199)
     opts, args = getopt_mod.getopt(argv, "6a:p:b:")
     for c, a in opts:
         if c == "-p":

@@ -159,7 +159,7 @@ def write_sa_file(path, primary: int, L2: np.ndarray, sa_intv: int,
 
 
 def index_build(fasta_path, prefix=None, algo: str = "auto",
-                block_size: int = 10000000) -> str:
+                block_size: int | None = None) -> str:
     """Equivalent of `bwa index <fasta>`: writes prefix.{pac,ann,amb,bwt,sa}.
 
     algo selects the BWT constructor like the reference's -a flag
@@ -168,7 +168,11 @@ def index_build(fasta_path, prefix=None, algo: str = "auto",
     incremental builder (native/bwtinc.cpp — the bwt_gen.c:1431 memory
     property, ~1.3 bytes/char + O(block_size) peak).  Output bytes are
     identical either way (the BWT is unique).  block_size is the
-    reference's -b knob (chars merged per incremental round).
+    reference's -b knob (chars merged per incremental round); None
+    auto-scales it as max(10M, n/96): merge traffic is O(n^2/block), so
+    a fixed 10M block would spend GRCh38-scale builds mostly re-copying
+    (620 rounds x ~3.1e9 chars), while n/96 keeps it ~65 rounds at
+    ~0.7 GB of extra B-tree (still well inside the bounded envelope).
     """
     prefix = str(prefix if prefix is not None else fasta_path)
     log.info("packing FASTA %s", fasta_path)
@@ -181,6 +185,8 @@ def index_build(fasta_path, prefix=None, algo: str = "auto",
     del fwd
     n = code2.shape[0]
     if algo == "bwtsw":
+        if block_size is None:
+            block_size = max(10_000_000, n // 96)
         return _index_build_bounded(prefix, code2, n, block_size)
     if algo not in ("auto", "is", "div"):
         raise ValueError(f"unknown BWT construction algorithm: {algo}")

@@ -17,14 +17,15 @@
 //   rank(c·S) = 1 + C[c] + Occ_c(rows < primary)        (LF step)
 //
 // computed over (immutable old structure + this block's pending
-// inserts).  Pending inserts live in a treap ordered by combined row
-// coordinate with per-char subtree counts, so each insert and each
-// Occ decomposition is O(log b).  At block end one linear pass merges
-// old chars + pending into a fresh interleaved buffer and rebuilds the
-// checkpoints.  Peak memory = 2 interleaved buffers (~n/2 bytes each)
-// + the packed input text (n/4) + O(block) treap nodes — ~9 GB at
-// GRCh38 vs 63 GB for the full SA, with byte-identical output
-// (tests/test_index.py fuzzes it against the SA-IS path).
+// inserts).  Pending inserts live in a counted B+-tree ordered by
+// combined row coordinate with per-char subtree counts, so each insert
+// and each Occ decomposition is O(log b) over high-fanout nodes.  At
+// block end one linear pass merges old chars + pending into a fresh
+// interleaved buffer and rebuilds the checkpoints.  Peak memory =
+// 2 interleaved buffers (~n/2 bytes each) + the packed input text
+// (n/4) + O(block) tree nodes — ~9-10 GB at GRCh38 vs 63 GB for the
+// full SA, with byte-identical output (tests/test_index.py fuzzes it
+// against the SA-IS path).
 //
 // The companion bwt_sa_walk derives the sampled .sa (and the dense
 // sidecar when requested) from the finished BWT by the inverse-Psi
@@ -112,152 +113,298 @@ struct Writer {  // streaming builder of the interleaved layout
   }
 };
 
-// ---- pending-insert treap (combined row order, per-char counts) ----
-struct Node {
-  int32_t left = -1, right = -1;
-  uint32_t pri;
-  int64_t gap;        // number of OLD rows before this node
-  int32_t cnt_total;  // subtree node count
-  int32_t cnt[4];     // subtree counts per assigned char
-  int8_t ch;          // 0..3 assigned, 4 = pending $ (uncounted)
+// ---- pending-insert counted B+-tree (combined row order) ----
+//
+// Replaces a treap: the per-char hot path is 3-4 tree descents over a
+// pool far larger than cache, and a binary treap pays one DRAM miss per
+// LEVEL (~23 at block=10M).  A high-fanout counted B+-tree is ~5 levels
+// of sequentially-scanned nodes, and the three logical operations per
+// inserted char collapse into ONE descent:
+//   * insert_dollar(p) computes (n, per-char counts) before p on the
+//     way down — exactly what the NEXT iteration's count_before needs
+//     (nothing mutates the tree in between), so the query is cached;
+//   * the element assign_char targets is always the $ placed by the
+//     previous insert, so the insert records its leaf path and the
+//     assign walks that path instead of re-descending.
+//
+// Elements store (gap, ch) where gap = absolute number of OLD rows
+// before the element; combined coordinate of element j = gap_j + j.
+// Coordinates are strictly increasing, hence gaps are nondecreasing.
+// ch in 0..3 counts toward cnt[]; ch = 4 is the pending $ (uncounted,
+// at most one alive at a time).
+
+constexpr int LEAF_CAP = 48;  // elements per leaf
+constexpr int INT_CAP = 16;   // children per internal node
+constexpr int MAX_DEPTH = 16;
+
+struct Leaf {
+  int64_t gap[LEAF_CAP];
+  int8_t ch[LEAF_CAP];
+  int16_t n;
 };
 
-struct Treap {
-  std::vector<Node> pool;
-  int32_t root = -1;
-  uint64_t rng = 0x9E3779B97F4A7C15ull;
-  uint32_t rnd() {
-    rng ^= rng << 13;
-    rng ^= rng >> 7;
-    rng ^= rng << 17;
-    return (uint32_t)rng;
-  }
-  void reset() {
-    pool.clear();
-    root = -1;
-  }
-  static void pull(Treap &t, int32_t x) {
-    Node &nx = t.pool[x];
-    nx.cnt_total = 1;
-    for (int c = 0; c < 4; ++c) nx.cnt[c] = 0;
-    if (nx.ch < 4) nx.cnt[nx.ch] = 1;
-    for (int32_t s : {nx.left, nx.right})
-      if (s >= 0) {
-        nx.cnt_total += t.pool[s].cnt_total;
-        for (int c = 0; c < 4; ++c) nx.cnt[c] += t.pool[s].cnt[c];
-      }
-  }
-  // split by "first k nodes" (in-order)
-  void split(int32_t x, int32_t k, int32_t *a, int32_t *b) {
-    if (x < 0) {
-      *a = *b = -1;
-      return;
-    }
-    int32_t lc = pool[x].left >= 0 ? pool[pool[x].left].cnt_total : 0;
-    if (lc < k) {
-      *a = x;
-      split(pool[x].right, k - lc - 1, &pool[x].right, b);
-      pull(*this, x);
-    } else {
-      *b = x;
-      split(pool[x].left, k, a, &pool[x].left);
-      pull(*this, x);
-    }
-  }
-  int32_t merge(int32_t a, int32_t b) {
-    if (a < 0) return b;
-    if (b < 0) return a;
-    if (pool[a].pri < pool[b].pri) {
-      pool[a].right = merge(pool[a].right, b);
-      pull(*this, a);
-      return a;
-    }
-    pool[b].left = merge(a, pool[b].left);
-    pull(*this, b);
-    return b;
-  }
-  // number of pending nodes with combined coordinate < p, plus their
-  // per-char counts (combined coord of a node = gap + nodes before it)
-  void count_before(int64_t p, int64_t *n_before, int64_t cnt_c[4]) const {
-    int64_t nb = 0;
-    for (int c = 0; c < 4; ++c) cnt_c[c] = 0;
-    int32_t x = root;
-    int64_t acc = 0;  // nodes before the current subtree
-    while (x >= 0) {
-      const Node &nx = pool[x];
-      int32_t lc = nx.left >= 0 ? pool[nx.left].cnt_total : 0;
-      int64_t node_comb = nx.gap + acc + lc;
-      if (node_comb < p) {  // node and its left subtree are before p
-        nb += lc + 1;
-        if (nx.left >= 0)
-          for (int c = 0; c < 4; ++c) cnt_c[c] += pool[nx.left].cnt[c];
-        if (nx.ch < 4) ++cnt_c[nx.ch];
-        acc += lc + 1;
-        x = nx.right;
-      } else {
-        x = nx.left;
-      }
-    }
-    *n_before = nb;
-  }
-  // insert a pending-$ node so that exactly `p` combined rows precede it
-  void insert_dollar(int64_t p) {
-    int64_t nb, cc[4];
-    count_before(p, &nb, cc);  // nodes strictly before the new one
-    Node nn;
-    nn.pri = rnd();
-    nn.gap = p - nb;
-    nn.ch = 4;
-    nn.cnt_total = 1;
-    for (int c = 0; c < 4; ++c) nn.cnt[c] = 0;
-    pool.push_back(nn);
-    int32_t id = (int32_t)pool.size() - 1;
-    int32_t a, b;
-    split(root, (int32_t)nb, &a, &b);
-    root = merge(merge(a, id), b);
-  }
-  std::vector<int32_t> path;  // assign_char scratch (no per-call alloc)
+struct Inner {
+  int64_t last_gap[INT_CAP];  // gap of each child's LAST element
+  int32_t child[INT_CAP];
+  int32_t n[INT_CAP];         // elements per child subtree
+  int32_t cnt[INT_CAP][4];    // assigned chars per child subtree
+  int16_t nc;                 // children
+  int16_t leaf_kids;          // children are leaves?
+};
 
-  // assign char c to the node at combined coordinate p (the current $)
-  void assign_char(int64_t p, int c) {
-    // descend to the node whose combined coord == p, updating counts
-    path.clear();
-    int32_t x = root;
-    int64_t acc = 0;
-    while (x >= 0) {
-      path.push_back(x);
-      Node &nx = pool[x];
-      int32_t lc = nx.left >= 0 ? pool[nx.left].cnt_total : 0;
-      int64_t node_comb = nx.gap + acc + lc;
-      if (node_comb == p) {
-        nx.ch = (int8_t)c;
+struct BTree {
+  std::vector<Leaf> leaves;
+  std::vector<Inner> inners;
+  int32_t root = 0;    // inner id, or leaf id when root_leaf
+  bool root_leaf = true;
+  int64_t n_elems = 0;
+  // path of the last-inserted $ (assign_last_dollar walks it)
+  int32_t path_node[MAX_DEPTH];
+  int16_t path_slot[MAX_DEPTH];
+  int path_len = 0;         // inner levels on the path
+  int32_t dollar_leaf = -1;
+  int16_t dollar_idx = 0;
+
+  void reset() {
+    leaves.clear();
+    inners.clear();
+    root = 0;
+    root_leaf = true;
+    n_elems = 0;
+    path_len = 0;
+    dollar_leaf = -1;
+  }
+
+  static int64_t leaf_last_gap(const Leaf &l) { return l.gap[l.n - 1]; }
+  int64_t node_last_gap(int32_t id, bool is_leaf) const {
+    if (is_leaf) return leaf_last_gap(leaves[id]);
+    const Inner &x = inners[id];
+    return x.last_gap[x.nc - 1];
+  }
+
+  int32_t new_leaf() {
+    leaves.emplace_back();
+    leaves.back().n = 0;
+    return (int32_t)leaves.size() - 1;
+  }
+  int32_t new_inner() {
+    inners.emplace_back();
+    inners.back().nc = 0;
+    return (int32_t)inners.size() - 1;
+  }
+
+  // split full child k of inner x (child arrays may reallocate!)
+  void split_child(int32_t xi, int k) {
+    Inner &x0 = inners[xi];
+    bool leaf_kids = x0.leaf_kids;
+    int32_t cid = x0.child[k];
+    int32_t nid;
+    int32_t mv_n = 0, mv_cnt[4] = {0, 0, 0, 0};
+    int64_t left_last, right_last;
+    if (leaf_kids) {
+      nid = new_leaf();  // may realloc leaves
+      Leaf &a = leaves[cid];
+      Leaf &b = leaves[nid];
+      int half = a.n / 2;
+      b.n = (int16_t)(a.n - half);
+      std::memcpy(b.gap, a.gap + half, sizeof(int64_t) * b.n);
+      std::memcpy(b.ch, a.ch + half, sizeof(int8_t) * b.n);
+      a.n = (int16_t)half;
+      mv_n = b.n;
+      for (int j = 0; j < b.n; ++j)
+        if (b.ch[j] < 4) ++mv_cnt[b.ch[j]];
+      left_last = leaf_last_gap(a);
+      right_last = leaf_last_gap(b);
+    } else {
+      nid = new_inner();  // may realloc inners
+      Inner &a = inners[cid];
+      Inner &b = inners[nid];
+      int half = a.nc / 2;
+      b.nc = (int16_t)(a.nc - half);
+      b.leaf_kids = a.leaf_kids;
+      for (int j = 0; j < b.nc; ++j) {
+        b.child[j] = a.child[half + j];
+        b.n[j] = a.n[half + j];
+        b.last_gap[j] = a.last_gap[half + j];
+        for (int c = 0; c < 4; ++c) b.cnt[j][c] = a.cnt[half + j][c];
+        mv_n += b.n[j];
+        for (int c = 0; c < 4; ++c) mv_cnt[c] += b.cnt[j][c];
+      }
+      a.nc = (int16_t)half;
+      left_last = a.last_gap[a.nc - 1];
+      right_last = b.last_gap[b.nc - 1];
+    }
+    Inner &x = inners[xi];  // re-ref after potential inner realloc
+    for (int j = x.nc; j > k + 1; --j) {
+      x.child[j] = x.child[j - 1];
+      x.n[j] = x.n[j - 1];
+      x.last_gap[j] = x.last_gap[j - 1];
+      for (int c = 0; c < 4; ++c) x.cnt[j][c] = x.cnt[j - 1][c];
+    }
+    ++x.nc;
+    x.child[k + 1] = nid;
+    x.n[k + 1] = mv_n;
+    x.last_gap[k + 1] = right_last;
+    x.n[k] -= mv_n;
+    x.last_gap[k] = left_last;
+    for (int c = 0; c < 4; ++c) {
+      x.cnt[k + 1][c] = mv_cnt[c];
+      x.cnt[k][c] -= mv_cnt[c];
+    }
+  }
+
+  // Insert the pending $ so that exactly `p` combined rows precede it.
+  // Returns via (nb_out, cnt_out) the pending elements strictly before
+  // coordinate p and their per-char counts == count_before(p), and
+  // records the new element's path for assign_last_dollar.
+  void insert_dollar(int64_t p, int64_t *nb_out, int64_t cnt_out[4]) {
+    if (leaves.empty()) {
+      root = new_leaf();
+      root_leaf = true;
+    }
+    // grow the root if full (preemptive split needs a non-full parent)
+    if (root_leaf) {
+      int32_t lid = root;
+      if (leaves[lid].n == LEAF_CAP) {
+        int32_t ri = new_inner();
+        Inner &r = inners[ri];
+        r.nc = 1;
+        r.leaf_kids = 1;
+        r.child[0] = lid;
+        r.n[0] = (int32_t)leaves[lid].n;
+        r.last_gap[0] = leaf_last_gap(leaves[lid]);
+        int32_t cc[4] = {0, 0, 0, 0};
+        for (int j = 0; j < leaves[lid].n; ++j)
+          if (leaves[lid].ch[j] < 4) ++cc[leaves[lid].ch[j]];
+        for (int c = 0; c < 4; ++c) r.cnt[0][c] = cc[c];
+        split_child(ri, 0);
+        root = ri;
+        root_leaf = false;
+      }
+    } else if (inners[root].nc == INT_CAP) {
+      int32_t ri = new_inner();
+      Inner &r = inners[ri];
+      Inner &old = inners[root];
+      r.nc = 1;
+      r.leaf_kids = 0;
+      r.child[0] = root;
+      int32_t tn = 0, tc[4] = {0, 0, 0, 0};
+      for (int j = 0; j < old.nc; ++j) {
+        tn += old.n[j];
+        for (int c = 0; c < 4; ++c) tc[c] += old.cnt[j][c];
+      }
+      r.n[0] = tn;
+      r.last_gap[0] = old.last_gap[old.nc - 1];
+      for (int c = 0; c < 4; ++c) r.cnt[0][c] = tc[c];
+      split_child(ri, 0);
+      root = ri;
+    }
+
+    int64_t acc_n = 0;  // elements before the current subtree
+    int64_t cc[4] = {0, 0, 0, 0};
+    path_len = 0;
+    int32_t lid = root;
+    int32_t x = root_leaf ? -1 : root;
+    while (x >= 0) {  // inner levels
+      Inner &nx = inners[x];
+      int k = 0;
+      // first child whose last coord >= p (else the last child)
+      while (k < nx.nc - 1) {
+        int64_t last_coord = nx.last_gap[k] + acc_n + nx.n[k] - 1;
+        if (last_coord >= p) break;
+        acc_n += nx.n[k];
+        for (int c = 0; c < 4; ++c) cc[c] += nx.cnt[k][c];
+        ++k;
+      }
+      // preemptive split of a full child keeps this a single pass
+      bool child_full = nx.leaf_kids
+                            ? leaves[nx.child[k]].n == LEAF_CAP
+                            : inners[nx.child[k]].nc == INT_CAP;
+      if (child_full) {
+        split_child(x, k);
+        Inner &nx2 = inners[x];
+        int64_t last_coord = nx2.last_gap[k] + acc_n + nx2.n[k] - 1;
+        if (last_coord < p) {
+          acc_n += nx2.n[k];
+          for (int c = 0; c < 4; ++c) cc[c] += nx2.cnt[k][c];
+          ++k;
+        }
+      }
+      Inner &nx3 = inners[x];
+      ++nx3.n[k];  // the new element lands in this subtree
+      path_node[path_len] = x;
+      path_slot[path_len] = (int16_t)k;
+      ++path_len;
+      int32_t ch = nx3.child[k];
+      if (nx3.leaf_kids) {
+        lid = ch;
         break;
       }
-      if (node_comb < p) {
-        acc += lc + 1;
-        x = nx.right;
-      } else {
-        x = nx.left;
-      }
+      x = ch;
     }
-    for (auto it = path.rbegin(); it != path.rend(); ++it)
-      pull(*this, *it);  // leaf -> root so parents see updated children
+    Leaf &lf = leaves[lid];
+    int j = 0;
+    while (j < lf.n && lf.gap[j] + acc_n + j < p) {
+      if (lf.ch[j] < 4) ++cc[lf.ch[j]];
+      ++j;
+    }
+    int64_t nb = acc_n + j;
+    std::memmove(lf.gap + j + 1, lf.gap + j, sizeof(int64_t) * (lf.n - j));
+    std::memmove(lf.ch + j + 1, lf.ch + j, sizeof(int8_t) * (lf.n - j));
+    lf.gap[j] = p - nb;
+    lf.ch[j] = 4;
+    ++lf.n;
+    ++n_elems;
+    dollar_leaf = lid;
+    dollar_idx = (int16_t)j;
+    // refresh last_gap up the path (the new element may be the last)
+    for (int d = path_len - 1; d >= 0; --d) {
+      Inner &nx = inners[path_node[d]];
+      int k = path_slot[d];
+      nx.last_gap[k] = nx.leaf_kids
+                           ? leaf_last_gap(leaves[nx.child[k]])
+                           : inners[nx.child[k]]
+                                 .last_gap[inners[nx.child[k]].nc - 1];
+    }
+    *nb_out = nb;
+    for (int c = 0; c < 4; ++c) cnt_out[c] = cc[c];
   }
+
+  // assign char c to the $ placed by the previous insert_dollar
+  void assign_last_dollar(int c) {
+    leaves[dollar_leaf].ch[dollar_idx] = (int8_t)c;
+    for (int d = 0; d < path_len; ++d)
+      ++inners[path_node[d]].cnt[path_slot[d]][c];
+  }
+
   // in-order traversal -> (gap, ch) stream
   void inorder(std::vector<std::pair<int64_t, int8_t>> *out) const {
     out->clear();
-    out->reserve(pool.size());
-    std::vector<int32_t> st;
-    int32_t x = root;
-    while (x >= 0 || !st.empty()) {
-      while (x >= 0) {
-        st.push_back(x);
-        x = pool[x].left;
+    out->reserve((size_t)n_elems);
+    if (n_elems == 0) return;
+    struct Fr {
+      int32_t id;  // inner id or ~leaf id
+      int k;
+    };
+    std::vector<Fr> st;
+    st.push_back({root_leaf ? ~root : root, 0});
+    while (!st.empty()) {
+      Fr &f = st.back();
+      if (f.id < 0) {
+        const Leaf &lf = leaves[~f.id];
+        for (int j = 0; j < lf.n; ++j)
+          out->push_back({lf.gap[j], lf.ch[j]});
+        st.pop_back();
+        continue;
       }
-      x = st.back();
-      st.pop_back();
-      out->push_back({pool[x].gap, pool[x].ch});
-      x = pool[x].right;
+      const Inner &nx = inners[f.id];
+      if (f.k >= nx.nc) {
+        st.pop_back();
+        continue;
+      }
+      int32_t ch = nx.child[f.k];
+      ++f.k;
+      st.push_back({nx.leaf_kids ? ~ch : ch, 0});
     }
   }
 };
@@ -280,29 +427,33 @@ int64_t bwt_inc_build(const uint8_t *pac2, int64_t n, int64_t block,
   int64_t primary = 0;     // current $ row (rows model)
   int64_t C[5] = {0, 0, 0, 0, 0};  // cumulative: C[c] = #chars < c
   int64_t cnt[4] = {0, 0, 0, 0};
-  Treap treap;
+  BTree tree;
   std::vector<std::pair<int64_t, int8_t>> pend;
 
   int64_t h = n;
   while (h > 0) {
     int64_t s = h - block;
     if (s < 0) s = 0;
-    treap.reset();
+    tree.reset();
     int64_t old_primary = primary;
     int64_t old_m = m;
     int dollar_patch = -1;     // char assigned to the old $ row
     int64_t dollar_coord = primary;  // combined row coord of current $
     bool dollar_is_old = true;
+    // count_before(dollar_coord) over the pending structure: the tree
+    // is empty at round start, and after each insert_dollar(rank) it
+    // equals the counts that insert computed on its way down (nothing
+    // mutates the tree in between, and the $ itself sits AT rank, not
+    // before it) — so the query result is carried, never re-descended.
+    int64_t nb_c = 0, pc_c[4] = {0, 0, 0, 0};
     for (int64_t i = h - 1; i >= s; --i) {
       int c = pac_at(pac2, i);
       // rank(c·S) = 1 + C[c] + Occ_c(rows < dollar_coord), over the
       // combined (old + pending) structure
-      int64_t nb, pc[4];
-      treap.count_before(dollar_coord, &nb, pc);
-      int64_t k_old = dollar_coord - nb;  // old rows before $
+      int64_t k_old = dollar_coord - nb_c;  // old rows before $
       // old rows -> old stored chars (+ patched old $ row)
       int64_t stored = k_old - (k_old > old_primary ? 1 : 0);
-      int64_t occv = occ_prefix(cur, stored, c) + pc[c];
+      int64_t occv = occ_prefix(cur, stored, c) + pc_c[c];
       if (dollar_patch == c && k_old > old_primary) ++occv;
       int64_t rank = 1 + C[c] + occv;
       // the current $ row gains char c ...
@@ -310,17 +461,24 @@ int64_t bwt_inc_build(const uint8_t *pac2, int64_t n, int64_t block,
         dollar_patch = c;
         dollar_is_old = false;
       } else {
-        treap.assign_char(dollar_coord, c);
+        tree.assign_last_dollar(c);
       }
       ++cnt[c];
       for (int cc = c + 1; cc < 4; ++cc) ++C[cc];
       // ... and the new $ row appears at `rank`
-      treap.insert_dollar(rank);
+      tree.insert_dollar(rank, &nb_c, pc_c);
       dollar_coord = rank;
       ++m;
+      // hide next iteration's occ_prefix DRAM miss behind this one's
+      // remaining work (k_old/stored for the next step are known now)
+      if (i > s) {
+        int64_t k2 = rank - nb_c;
+        int64_t s2 = k2 - (k2 > old_primary ? 1 : 0);
+        if (s2 > 0) __builtin_prefetch(cur + (s2 >> 7) * 64);
+      }
     }
     // merge old + pending into nxt
-    treap.inorder(&pend);
+    tree.inorder(&pend);
     Writer w;
     w.buf = nxt;
     w.cap_blocks = n_blk_bytes / 64;
