@@ -145,6 +145,87 @@ def _pack_bucket(opt, chunk, cap_s: int):
     return q, lens, L, B2, pack_k, cap_s * pack_k, None, 1
 
 
+def _demux_refill(opt, fm, seeds_out, nb):
+    """Demux retire-and-refill lanes: the provenance column carries the
+    read id, so a global stable lexsort by (read, start, end) restores
+    exactly the static path's per-read order (a read lives in one lane;
+    its rows leave the device already (start, end, emission)-sorted, and
+    np.lexsort's stability preserves that tiebreak)."""
+    max_occ = opt.max_occ
+    s0, s1, s2, ss, se, sn, tg = seeds_out
+    sn_l = sn.astype(np.int64)
+    lmask = np.arange(s0.shape[1])[None, :] < sn_l[:, None]
+    rid_all = tg[lmask].astype(np.int64)
+    start_a = ss[lmask].astype(np.int64)
+    end_a = se[lmask].astype(np.int64)
+    order = np.lexsort((end_a, start_a, rid_all))
+    rid_sorted = rid_all[order]
+    k0 = s0[lmask][order].astype(np.int64)
+    x2 = s2[lmask][order].astype(np.int64)
+    start = start_a[order].astype(np.int32)
+    end = end_a[order].astype(np.int32)
+    sn_v = np.bincount(rid_sorted, minlength=nb)[:nb]
+    counts = np.where(x2 > max_occ, max_occ, x2)
+    step = np.where(x2 > max_occ, x2 // max_occ, 1)
+    tot = int(counts.sum())
+    csum = np.cumsum(counts)
+    grp = np.repeat(np.arange(len(counts)), counts)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(csum - counts, counts)
+    ranks = k0[grp] + step[grp] * within
+    rbegs = fm.sa_lookup(ranks)
+    iv_off = np.zeros(nb + 1, np.int32)
+    iv_off[1:] = np.cumsum(sn_v)
+    rb_off = np.zeros(len(counts) + 1, np.int32)
+    rb_off[1:] = csum
+    return (iv_off, x2, start, end, rbegs, rb_off)
+
+
+def _se_flat_refill(opt, engine, fm, codes_list, cap_s):
+    """se_flat_buckets' retire-and-refill variant (BWA_TPU_SEED_REFILL):
+    big read chunks feed a fixed lane pool that draws from a shared
+    queue (ops/fm.py collect_seeds_refill); the cap ladder doubles the
+    per-lane seed buffer on overflow OR when lanes filled up before the
+    queue drained (n_drawn < n)."""
+    B = len(codes_list)
+    RB = int(os.environ.get("BWA_TPU_REFILL_BUCKET", str(4 * BATCH_BUCKET)))
+    los = list(range(0, B, RB))
+    pend = {}
+
+    def _dispatch(i):
+        lo = los[i]
+        chunk = codes_list[lo:lo + RB]
+        n = len(chunk)
+        L = _len_bucket(max(len(c) for c in chunk))
+        lanes = _lane_bucket(L, n)
+        if os.environ.get("BWA_TPU_REFILL_LANES"):
+            lanes = min(lanes, int(os.environ["BWA_TPU_REFILL_LANES"]))
+        q, lens = _pad_reads(chunk, L)
+        per_lane = -(-n // lanes)
+        cs_tot = max(4 * cap_s, (per_lane + 1) * cap_s)
+        h = engine.collect_seeds_refill_dispatch(q, lens, opt, cs_tot,
+                                                 cap_s, lanes)
+        pend[i] = (h, n, q, lens, lanes, cs_tot)
+
+    _dispatch(0)
+    for i, lo in enumerate(los):
+        if i + 1 < len(los):
+            _dispatch(i + 1)
+        h, n, q, lens, lanes, cs_tot = pend.pop(i)
+        out, n_drawn = engine.collect_seeds_refill_wait(h)
+        if (out[5] > cs_tot).any() or n_drawn < n:
+            for mul, sc2 in ((2, 32), (4, 64)):
+                cs2 = cs_tot * mul
+                out, n_drawn = engine.collect_seeds_refill(
+                    q, lens, opt, cs2, cap_s, lanes, stack_cap=sc2)
+                cs_tot = cs2
+                if not (out[5] > cs2).any() and n_drawn == n:
+                    break
+            else:
+                yield lo, n, None  # exactness fallback (tuple path)
+                continue
+        yield lo, n, _demux_refill(opt, fm, out, n)
+
+
 def _demux_bucket(opt, fm, seeds_out, nb, L, B2, cs, n_shard=1):
     """Demux packed lanes back to per-read flat arrays (bucket-local
     offsets).  Rows are sorted by start within a lane, so a stable sort
@@ -226,6 +307,12 @@ def se_flat_buckets(opt, engine, fm, codes_list, cap_s: int = 24):
     even at the roomy retry cap) — redo that bucket via the tuple path."""
     B = len(codes_list)
     if B == 0:
+        return
+    if (os.environ.get("BWA_TPU_SEED_REFILL")
+            and _len_bucket(max(len(c) for c in codes_list)) <= 256
+            and hasattr(engine, "collect_seeds_refill_dispatch")
+            and getattr(engine, "mesh", None) is None):
+        yield from _se_flat_refill(opt, engine, fm, codes_list, cap_s)
         return
     can_async = hasattr(engine, "collect_seeds_dispatch") and \
         os.environ.get("BWA_TPU_SEED_MACHINE", "unified") != "split" and \

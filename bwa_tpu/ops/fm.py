@@ -173,6 +173,15 @@ def _next_valid_device(q, qlen):
     return jnp.minimum(nv, qlen[:, None])
 
 
+@jax.jit
+def _refill_table(q, qlen):
+    """Per-READ device table for the retire-and-refill machine: one int32
+    row per read = qlen | chars[L] | next-valid[L+1] — so the machine's
+    only per-step indirection is a single row gather by read id."""
+    nv = _next_valid_device(q, qlen)
+    return jnp.concatenate([qlen[:, None], q.astype(jnp.int32), nv], axis=1)
+
+
 @partial(jax.jit, static_argnames=())
 def sa_batch(idx, k):
     """bwt_sa (bwt.c:86-96) over a vector of SA rows k; returns positions."""
@@ -928,6 +937,78 @@ class BatchedFMEngine:
         if sd.shape[2] > 5:  # sharded run: provenance column last
             out = out + (sd[:, :, 5],)
         return out
+
+    def collect_seeds_refill_dispatch(self, q_all: np.ndarray,
+                                      qlen_all: np.ndarray, opt,
+                                      cap_s: int, cap_r: int, lanes: int,
+                                      stack_cap: int | None = None):
+        """Async retire-and-refill seeding: ALL of a bucket's reads go up
+        as one device table and `lanes` machine lanes draw from the shared
+        queue (fm_machine.seed_machine_seg refill mode) — lane utilization
+        is bounded by total-work/longest-read instead of the unluckiest
+        static read->lane packing (~55% measured, PERF.md).  Seeds come
+        back with the read id in the provenance column."""
+        from bwa_tpu.ops import fm_machine
+
+        cdt = self.fm.coord_dtype
+        N, L = q_all.shape
+        split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+        if stack_cap is None:
+            stack_cap = int(os.environ.get("BWA_TPU_STACK_CAP", "16"))
+        stack_cap = min(stack_cap, L + 2)
+        use_p3 = bool(opt.max_mem_intv > 0)
+        qd = jnp.asarray(q_all)
+        qld = jnp.asarray(qlen_all.astype(np.int32))
+        table = _refill_table(qd, qld)
+        B = lanes
+        state = fm_machine.seed_state_init(B, stack_cap, cap_s, cdt,
+                                           tagged=True)
+        d = dict(zip(fm_machine.SEED_KEYS, state))
+        init_n = min(B, N)
+        d["read_idx"] = jnp.asarray(
+            np.minimum(np.arange(B), max(N - 1, 0)).astype(np.int32))
+        phase0 = np.full(B, fm_machine.P_NEXT, np.int32)
+        phase0[init_n:] = fm_machine.P_DONE
+        d["phase"] = jnp.asarray(phase0)
+        d["qctr"] = jnp.asarray(np.int32(init_n))
+        state = tuple(d[k] for k in fm_machine.SEED_KEYS)
+        dummy = jnp.zeros(1, jnp.int32)
+        st = fm_machine.seed_machine_seg(
+            state, self.idx, table, dummy, None,
+            np.int32(opt.min_seed_len), np.int32(split_len),
+            cdt(opt.split_width), cdt(opt.max_mem_intv),
+            jnp.int32(0x7fffffff), cap=stack_cap, cap_s=cap_s,
+            use_p3=use_p3, tagged=True, refill=True,
+            n_queue=jnp.int32(N), cap_r=jnp.int32(cap_r))
+        d = dict(zip(fm_machine.SEED_KEYS, st))
+        seeds = fm_machine.sort_seeds(d["seeds"], d["seed_n"], key64=False)
+        i32 = jnp.int32
+        meta = jnp.concatenate(
+            [_pack_meta(d["seed_n"], d["ovf"], d["done_step"], d["steps"]),
+             jnp.broadcast_to(d["qctr"].astype(i32),
+                              d["seed_n"].shape)[None, :]])
+        return (seeds, meta, cap_s)
+
+    def collect_seeds_refill_wait(self, handle):
+        """Blocking half of the refill dispatch.  Returns the usual
+        7-tuple (tag column = read id) plus n_drawn: how many queue reads
+        were started — a remainder below N means every lane filled its
+        seed buffer, and the caller runs another invocation for the rest."""
+        seeds, meta, cap_s = handle
+        meta = np.asarray(jax.device_get(meta))
+        sn_h = meta[0]
+        ovf_h = meta[1] != 0
+        self.last_done = (meta[2],)
+        self.last_steps = (int(meta[3, 0]),)
+        n_drawn = int(meta[4, 0])
+        return self._fetch_seeds(seeds, sn_h, ovf_h, cap_s), n_drawn
+
+    def collect_seeds_refill(self, q_all, qlen_all, opt, cap_s: int,
+                             cap_r: int, lanes: int,
+                             stack_cap: int | None = None):
+        h = self.collect_seeds_refill_dispatch(q_all, qlen_all, opt, cap_s,
+                                               cap_r, lanes, stack_cap)
+        return self.collect_seeds_refill_wait(h)
 
     def smem_pass(self, q_pad: np.ndarray, qlen: np.ndarray, x: np.ndarray,
                   min_intv: np.ndarray, max_intv: int, active: np.ndarray,

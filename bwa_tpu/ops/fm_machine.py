@@ -312,7 +312,7 @@ SEED_KEYS = ("phase", "stage", "old_n", "job", "x", "minv", "ik",
              "info_end", "i", "j", "stkA", "an", "stkB", "bn", "cur_is_a",
              "rev_read", "last_x2", "call_last_start", "call_mem_n", "ret",
              "seeds", "seed_n", "qmask", "cur_tag", "steps", "ovf",
-             "done_step")
+             "done_step", "read_idx", "seed_base", "qctr")
 
 
 def seed_state_init(B: int, cap: int, cap_s: int, cdt,
@@ -355,15 +355,22 @@ def seed_state_init(B: int, cap: int, cap_s: int, cdt,
         steps=jnp.zeros((), i32),
         ovf=jnp.zeros(B, bool),
         done_step=jnp.zeros(B, i32),
+        # retire-and-refill (refill=True machines): per-lane current read,
+        # first seed slot of that read, and the shared queue cursor
+        read_idx=jnp.zeros(B, i32),
+        seed_base=jnp.zeros(B, i32),
+        qctr=jnp.zeros((), i32),
     )
     return tuple(st[k] for k in SEED_KEYS)
 
 
-@partial(jax.jit, static_argnames=("cap", "cap_s", "use_p3", "tagged"))
+@partial(jax.jit, static_argnames=("cap", "cap_s", "use_p3", "tagged",
+                                   "refill"))
 def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
                      split_len, split_width, max_intv3, max_steps,
                      cap: int, cap_s: int, use_p3: bool,
-                     hi1=None, hi3=None, tagged: bool = False):
+                     hi1=None, hi3=None, tagged: bool = False,
+                     refill: bool = False, n_queue=None, cap_r=None):
     """All three seeding passes in ONE while_loop with a per-lane stage
     cursor (pass1 SMEMs -> pass2 re-seeding -> pass3 LAST-like).
 
@@ -385,10 +392,27 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
     duplicates exactly.  Pass 3's emitted set depends on the visit
     sequence (bwt.c:358-379), so only lane 0 of a read runs it
     (hi3 = qlen there, 0 elsewhere).
+
+    Retire-and-refill (refill=True, short reads): the machine runs at
+    the slowest lane's pace, and static read->lane assignment leaves
+    ~55% mean lane utilization (PERF.md).  Here `q` is instead a device
+    table [N, 2L+2] int32 of per-READ rows (qlen | chars | next-valid),
+    each lane carries read_idx into it, and a lane whose read completes
+    draws the next read from the shared queue cursor instead of going
+    P_DONE — util is bounded by total-work/longest-read, not by the
+    unluckiest static packing.  Requires tagged=True: the provenance
+    column carries the read id for the host demux.  A lane stops
+    drawing when its seed buffer cannot hold another read's cap_r rows;
+    qctr in the final state tells the caller how many reads were drawn
+    (undrawn remainder -> another invocation).
     """
     cdt = idx["ckpt"].dtype
-    B, L = q.shape
     i32 = jnp.int32
+    if refill:
+        L = (q.shape[1] - 2) // 2
+        B = state[0].shape[0]
+    else:
+        B, L = q.shape
     bidx = jnp.arange(B)
     sidx = jnp.arange(cap_s, dtype=i32)
     keys = list(SEED_KEYS)
@@ -407,12 +431,25 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
         st1m = d["stage"] == S_P2
         st2m = d["stage"] == S_P3
 
+        if refill:
+            # one dynamic row gather per step: the lane's current read
+            # (chars + next-valid + length); everything downstream is the
+            # usual one-hot work over the gathered [B, *] rows
+            trow = q[d["read_idx"]]
+            qlen_l = trow[:, 0]
+            qv = trow[:, 1:L + 1]
+            nv = trow[:, L + 1:]
+            hi1_l = hi3_l = qlen_l
+        else:
+            qv, nv, qlen_l = q, next_valid, qlen
+            hi1_l, hi3_l = hi1, hi3
+
         # ---------- P_NEXT: acquire the next job (stage-dependent) ----------
         nx = phase == P_NEXT
         # stages 1 and 3 walk start positions via the next-valid table,
         # bounded by the lane's shard range (hi1/hi3 == qlen unsharded)
-        xv = _vec_read(next_valid, jnp.clip(d["job"], 0, L))
-        have_nv = nx & ~st1m & (xv < jnp.where(st2m, hi3, hi1))
+        xv = _vec_read(nv, jnp.clip(d["job"], 0, L))
+        have_nv = nx & ~st1m & (xv < jnp.where(st2m, hi3_l, hi1_l))
         # stage 2 scans this lane's first old_n seed rows for long, unique
         # SMEMs to re-seed from their midpoints (bwamem.c:160-168); the
         # qualification bit is maintained at push time (qmask)
@@ -449,10 +486,34 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
         d["old_n"] = jnp.where(to_s2, d["seed_n"], d["old_n"])
         d["stage"] = jnp.where(to_s2, S_P2,
                                jnp.where(to_s3, S_P3, d["stage"]))
-        d["job"] = jnp.where(to_s2 | to_s3, 0, d["job"])
+        # pass-2's slot scan covers the CURRENT read's seeds: they start
+        # at seed_base (always 0 without refill)
+        d["job"] = jnp.where(to_s2, d["seed_base"],
+                             jnp.where(to_s3, 0, d["job"]))
         st2m = d["stage"] == S_P3  # refresh after transitions
 
-        qx = _vec_read(q, jnp.clip(d["x"], 0, L - 1))
+        if refill:
+            # retire-and-refill: a finishing lane draws the next queued
+            # read instead of going P_DONE.  Same-step finishers get
+            # consecutive queue slots via an exclusive prefix sum; a lane
+            # without room for another read's cap_r seed rows stops
+            # drawing (the queue remainder is another invocation's job).
+            room = d["seed_n"] <= cap_s - cap_r
+            want = to_done & room
+            wanti = want.astype(i32)
+            rank = jnp.cumsum(wanti) - wanti
+            new_idx = d["qctr"] + rank
+            acq = want & (new_idx < n_queue)
+            d["read_idx"] = jnp.where(acq, new_idx, d["read_idx"])
+            d["seed_base"] = jnp.where(acq, d["seed_n"], d["seed_base"])
+            d["stage"] = jnp.where(acq, S_P1, d["stage"])
+            d["job"] = jnp.where(acq, 0, d["job"])
+            d["qctr"] = d["qctr"] + jnp.sum(acq, dtype=i32)
+            # the acquired lane idles this step (its gathered row is the
+            # old read's) and starts the new read's pass 1 next step
+            to_done = to_done & ~acq
+
+        qx = _vec_read(qv, jnp.clip(d["x"], 0, L - 1))
         startable = have & (qx < 4)
         k0, k1, k2 = _set_intv(idx, qx)
         ik_new = jnp.stack([k0, k1, k2], axis=-1)
@@ -495,10 +556,10 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
         accs = jnp.stack([acc0, acc1, acc2, acc3], axis=-1)
 
         # ---------- P_FWD micro-op (SMEM forward for stages 1/2) ----------
-        qi = _vec_read(q, jnp.clip(d["i"], 0, L - 1))
+        qi = _vec_read(qv, jnp.clip(d["i"], 0, L - 1))
         qb_i = jnp.where(d["i"] >= 0, qi, 4)  # P_BWD's base char (same i)
         fwd_s12 = in_fwd & ~st2m
-        run_f = fwd_s12 & (d["i"] < qlen)
+        run_f = fwd_s12 & (d["i"] < qlen_l)
         off_end = fwd_s12 & ~run_f
         amb = run_f & (qi >= 4)
         ext_m = run_f & ~amb
@@ -536,7 +597,7 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
         # ---------- P_FWD micro-op, stage 3 (bwt_seed_strategy1) ----------
         if use_p3:
             f3 = in_fwd & st2m
-            run3 = f3 & (d["i"] < qlen)
+            run3 = f3 & (d["i"] < qlen_l)
             hit_end3 = f3 & ~run3
             amb3 = run3 & (qi >= 4)
             ext3 = run3 & ~amb3
@@ -551,7 +612,7 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
             d["i"] = jnp.where(adv3, d["i"] + 1, d["i"])
             over3 = amb3 | hit3 | hit_end3
             d["job"] = jnp.where(amb3 | hit3, d["i"] + 1,
-                                 jnp.where(hit_end3, qlen, d["job"]))
+                                 jnp.where(hit_end3, qlen_l, d["job"]))
             d["phase"] = jnp.where(over3, P_NEXT, d["phase"])
         else:
             write3 = jnp.zeros(B, bool)
@@ -577,10 +638,13 @@ def seed_machine_seg(state, idx, q, qlen, next_valid, min_seed_len,
         write_any = write | write3
         seed_row = jnp.where(write3[:, None], row3, seed_row)
         if tagged:  # provenance column: 0 = pass-1, -1 = pass-3, else
-            tag = jnp.where(write3,  # the pass-2 source key
-                            jnp.full_like(d["cur_tag"], -1),
-                            jnp.where(st1m, d["cur_tag"],
-                                      jnp.zeros_like(d["cur_tag"])))
+            if refill:  # the demux key is simply the read id
+                tag = d["read_idx"].astype(cdt)
+            else:
+                tag = jnp.where(write3,  # the pass-2 source key
+                                jnp.full_like(d["cur_tag"], -1),
+                                jnp.where(st1m, d["cur_tag"],
+                                          jnp.zeros_like(d["cur_tag"])))
             seed_row = jnp.concatenate([seed_row, tag[:, None]], axis=1)
         qual_new = ((seed_row[:, 4] - seed_row[:, 3]) >= split_len) \
             & (seed_row[:, 2] <= split_width)
