@@ -105,12 +105,26 @@ def aln_core(prefix, fn_fa, opt: GapOpt, out_fp, fm=None) -> None:
         fm = FMIndex.load(prefix)
     from bwa_tpu.engine import make_engine
 
-    engine = make_engine(fm, "host")  # exactness fallback / cross-check
-    use_native = os.environ.get("BWA_TPU_ALN", "native") == "native"
+    mode = os.environ.get("BWA_TPU_ALN", "native")
+    use_native = mode == "native"
+    use_device = mode == "device"
+    engine = make_engine(fm, "tpu" if use_device else "host")
     reader = open_reads(opt.mode, fn_fa)
     writer = SaiWriter(out_fp, opt)
     tot = 0
     while True:
+        if use_device:
+            from bwa_tpu.aln.batch_search import aln_batch_device
+
+            pk = read_bt_packed(reader, CHUNK, opt.mode, opt.trim_qual)
+            if pk.n == 0:
+                break
+            out_n, rows = aln_batch_device(fm, engine, pk, opt)
+            writer.write_batch_raw(out_n, rows)
+            tot += pk.n
+            print(f"[bwa_aln_core] {tot} sequences have been processed.",
+                  file=sys.stderr)
+            continue
         if use_native:
             pk = read_bt_packed(reader, CHUNK, opt.mode, opt.trim_qual)
             if pk.n == 0:

@@ -1,0 +1,120 @@
+"""Device `aln` search (ops/gap_machine.py): exactness vs the native
+search and .sai bytes vs the oracle through the CLI driver."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+DATA = Path("/tmp/bwa_tpu_testdata")
+
+
+@pytest.fixture(scope="module")
+def gap_reads(small_genome):
+    from datagen import random_genome, simulate_reads, write_fastq
+
+    fq = DATA / "gap_se.fq"
+    if not fq.exists():
+        contigs = random_genome(200_000, seed=7, n_contigs=2)
+        # indel-heavy + higher error so gap states and the exact-match
+        # walk (m == 0) are all exercised; 60 bp so the seed region
+        # (seed_len 32) is active
+        reads = simulate_reads(contigs, 200, read_len=60, seed=41,
+                               err_rate=0.03, indel_rate=0.01)
+        write_fastq(fq, reads)
+    return fq
+
+
+@pytest.fixture(scope="module")
+def gap_env(small_genome):
+    """Small lane pool so CPU tests stay fast."""
+    os.environ["BWA_TPU_ALN_LANES"] = "256"
+    yield
+    os.environ.pop("BWA_TPU_ALN_LANES", None)
+
+
+def _batches(small_genome, fq, opt):
+    from bwa_tpu.aln.batch_search import aln_batch_device
+    from bwa_tpu.aln.driver import _aln_batch_native
+    from bwa_tpu.aln.seqio import open_reads, read_bt_packed
+    from bwa_tpu.engine import make_engine
+    from bwa_tpu.index.fmindex import FMIndex
+
+    fm = FMIndex.load(str(small_genome))
+    eng = make_engine(fm, "tpu")
+    reader = open_reads(opt.mode, str(fq))
+    pk = read_bt_packed(reader, 100000, opt.mode, opt.trim_qual)
+    dev = aln_batch_device(fm, eng, pk, opt)
+    nat = _aln_batch_native(fm, pk, opt)
+    return dev, nat
+
+
+def _assert_equal(dev, nat):
+    on_d, rows_d = dev
+    on_n, rows_n = nat
+    assert np.array_equal(on_d, on_n), "per-read aln counts differ"
+    assert np.array_equal(rows_d, rows_n), "aln records differ"
+
+
+def test_gap_machine_default(small_genome, gap_reads, gap_env):
+    from bwa_tpu.aln.opts import GapOpt
+
+    _assert_equal(*_batches(small_genome, gap_reads, GapOpt()))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(fnr=0.0, max_diff=2),                  # -n 2 (integer max_diff)
+    dict(max_gapo=2, max_gape=3),               # gap-heavy
+    dict(seed_len=20, max_seed_diff=1),         # tighter seed region
+    dict(mode=0x02 | 0x04, fnr=0.0, max_diff=2),  # LOGGAP, no GAPE
+])
+def test_gap_machine_options(small_genome, gap_reads, gap_env, kw):
+    from bwa_tpu.aln.opts import GapOpt
+
+    _assert_equal(*_batches(small_genome, gap_reads, GapOpt(**kw)))
+
+
+def test_gap_machine_cap_ladder(small_genome, gap_reads, gap_env):
+    """Tiny caps force every rung: machine retry + host-spec fallback."""
+    from bwa_tpu.aln.opts import GapOpt
+
+    os.environ["BWA_TPU_ALN_CAPS"] = "8,16"
+    os.environ["BWA_TPU_ALN_CAPA"] = "2"
+    os.environ["BWA_TPU_ALN_MAX_STEPS"] = "120"
+    try:
+        _assert_equal(*_batches(small_genome, gap_reads, GapOpt()))
+    finally:
+        for v in ("BWA_TPU_ALN_CAPS", "BWA_TPU_ALN_CAPA",
+                  "BWA_TPU_ALN_MAX_STEPS"):
+            os.environ.pop(v, None)
+
+
+def test_gap_machine_max_entries(small_genome, gap_reads, gap_env):
+    """A tiny -m makes the stack-size stop (bwtgap.c:143) observable."""
+    from bwa_tpu.aln.opts import GapOpt
+
+    _assert_equal(*_batches(small_genome, gap_reads,
+                            GapOpt(max_entries=20)))
+
+
+def test_aln_device_sai_bytes(oracle_bwa, small_genome, gap_reads,
+                              gap_env, tmp_path):
+    """End-to-end: CLI aln with BWA_TPU_ALN=device == oracle .sai."""
+    theirs = subprocess.run(
+        [str(oracle_bwa), "aln", str(small_genome), str(gap_reads)],
+        check=True, capture_output=True).stdout
+    # minimal env: keep the axon plugin's sitecustomize off PYTHONPATH so
+    # it cannot claim the backend (same pattern as test_engine_tpu_cli)
+    env = {"BWA_TPU_ALN": "device", "BWA_TPU_ALN_LANES": "256",
+           "JAX_PLATFORMS": "cpu", "PYTHONPATH": str(REPO),
+           "PATH": os.environ.get("PATH", ""),
+           "HOME": os.environ.get("HOME", "/root")}
+    mine = subprocess.run(
+        [sys.executable, "-m", "bwa_tpu.cli", "aln", str(small_genome),
+         str(gap_reads)],
+        check=True, capture_output=True, cwd=REPO, env=env).stdout
+    assert mine == theirs
