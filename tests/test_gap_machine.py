@@ -71,6 +71,11 @@ def test_gap_machine_default(small_genome, gap_reads, gap_env):
     dict(max_gapo=2, max_gape=3),               # gap-heavy
     dict(seed_len=20, max_seed_diff=1),         # tighter seed region
     dict(mode=0x02 | 0x04, fnr=0.0, max_diff=2),  # LOGGAP, no GAPE
+    # -N: NONSTOP disables the best-first stop and max_diff narrowing
+    dict(mode=0x03 | 0x10, fnr=0.0, max_diff=2, max_top2=0x7FFFFFFF),
+    dict(trim_qual=20),                         # -q read trimming
+    dict(s_mm=2, s_gapo=5, s_gape=2),           # -M/-O/-E rescaling
+    dict(indel_end_skip=2, max_del_occ=3),      # -i/-d gate variants
 ])
 def test_gap_machine_options(small_genome, gap_reads, gap_env, kw):
     from bwa_tpu.aln.opts import GapOpt
