@@ -76,6 +76,20 @@ def _run_oracle(fa, fq):
     return time.perf_counter() - t0, r.stdout
 
 
+def _backend_alive(timeout_s: int = 120) -> bool:
+    """The axon backend HANGS (rather than raising) when its tunnel is
+    down, which would turn the whole bench into a silent stall.  Probe
+    device init in a killable subprocess first; on timeout/failure the
+    bench degrades to the host engine and still prints its JSON line."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 class Ours:
     """Holds the warm engine; one .run() per timed rep."""
 
@@ -86,6 +100,10 @@ class Ours:
         from bwa_tpu.options import MemOptions
 
         engine_kind = os.environ.get("BWA_TPU_ENGINE", "tpu")
+        if engine_kind == "tpu" and not _backend_alive():
+            print("[bench] device backend unreachable (probe timed out); "
+                  "falling back to the host engine", file=sys.stderr)
+            engine_kind = "host"
         self.fm = FMIndex.load(fa)
         try:
             self.engine = make_engine(self.fm, engine_kind)
