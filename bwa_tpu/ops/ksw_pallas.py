@@ -66,7 +66,6 @@ def _mk_kernel(QP: int, T: int, o_del: int, e_del: int, o_ins: int,
                H_ref, E_ref, st_ref):
         tb = pl.program_id(1)
         col = lax.broadcasted_iota(jnp.int32, (TILE, QP), 1)
-        tcol = lax.broadcasted_iota(jnp.int32, (TILE, TB), 1)
         sid = lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
         qlen = par_ref[:, 0:1]
         tlen = par_ref[:, 1:2]
@@ -119,12 +118,14 @@ def _mk_kernel(QP: int, T: int, o_del: int, e_del: int, o_ins: int,
             return p > jnp.zeros_like(col)
 
         def row_step(r, carry):
-            (H, E, beg, end, mx, mx_i, mx_j, mx_ie, gsc, mx_off,
+            (H, E, tsb_c, beg, end, mx, mx_i, mx_j, mx_ie, gsc, mx_off,
              done) = carry
             i = tb * TB + r
             act = (1 - done) * sel(jnp.ones_like(done) * i < tlen, 1, 0)
-            tci = jnp.sum(jnp.where(tcol == r, tsb, 0), axis=1,
-                          keepdims=True)
+            # this row's target char: column 0 of the rotating carry
+            # (left-shifted one slot per row) — no per-row reduction
+            tci = tsb_c[:, 0:1]
+            tsb_c = pltpu.roll(tsb_c, TB - 1, 1)
             beg_r = jnp.maximum(beg, i - w)
             end_r = jnp.minimum(jnp.minimum(end, i + w + 1), qlen)
             h1 = jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0)
@@ -208,15 +209,16 @@ def _mk_kernel(QP: int, T: int, o_del: int, e_del: int, o_ins: int,
             beg = sel(upd, beg_n, beg)
             end = sel(upd, end_n, end)
             done = jnp.maximum(done, jnp.maximum(brk0, brkz))
-            return (H2, E2, beg, end, mx, mx_i, mx_j, mx_ie, gsc, mx_off,
-                    done)
+            return (H2, E2, tsb_c, beg, end, mx, mx_i, mx_j, mx_ie, gsc,
+                    mx_off, done)
 
-        carry = (H_ref[:], E_ref[:], getcol(st0, 0), getcol(st0, 1),
+        carry = (H_ref[:], E_ref[:], tsb, getcol(st0, 0), getcol(st0, 1),
                  getcol(st0, 2), getcol(st0, 3), getcol(st0, 4),
                  getcol(st0, 5), getcol(st0, 6), getcol(st0, 7),
                  getcol(st0, 8))
         out = lax.fori_loop(0, TB, row_step, carry)
-        (H, E, beg, end, mx, mx_i, mx_j, mx_ie, gsc, mx_off, done) = out
+        (H, E, _tsb_c, beg, end, mx, mx_i, mx_j, mx_ie, gsc, mx_off,
+         done) = out
         H_ref[:] = H
         E_ref[:] = E
         st = jnp.zeros((TILE, 128), jnp.int32)
@@ -365,7 +367,6 @@ def _mk_band_kernel(P: int, W: int, T: int, o_del: int, e_del: int,
                H_ref, E_ref, QB_ref, st_ref):
         tb = pl.program_id(1)
         colp = lax.broadcasted_iota(jnp.int32, (TILE, P), 1)
-        tcol = lax.broadcasted_iota(jnp.int32, (TILE, TB), 1)
         sid = lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
         qlen = par_ref[:, 0:1]
         tlen = par_ref[:, 1:2]
@@ -401,6 +402,12 @@ def _mk_band_kernel(P: int, W: int, T: int, o_del: int, e_del: int,
         def getcol(st, c):
             return jnp.sum(jnp.where(sid == c, st, 0), axis=1, keepdims=True)
 
+        # the 25 score-matrix entries as loop-invariant scalars: the row
+        # loop picks mat[tci][q] with narrow selects instead of 5
+        # one-hot reductions per row (the round-2 bookkeeping
+        # bottleneck, PERF.md §12)
+        ms = [sc_ref[0, k] for k in range(25)]
+
         def sel(p, a, b):
             return b + p * (a - b)
 
@@ -416,17 +423,22 @@ def _mk_band_kernel(P: int, W: int, T: int, o_del: int, e_del: int,
         live = jnp.max(jnp.where(done0 == 0, tlen - tb * TB, 0)) > 0
 
         def row_step(r, carry):
-            (H, E, QB, beg, end, mx, mx_i, mx_j, mx_ie, gsc, mx_off,
-             done) = carry
+            (H, E, QB, tsb_c, qnb_c, beg, end, mx, mx_i, mx_j, mx_ie, gsc,
+             mx_off, done) = carry
             i = tb * TB + r
+            # this row's target char / entering query char: column 0 of
+            # the rotating carries (left-shifted one slot per row) —
+            # a static slice instead of a per-row one-hot reduction
+            tci = tsb_c[:, 0:1]
+            qnew = qnb_c[:, 0:1]
+            tsb_c = pltpu.roll(tsb_c, TB - 1, 1)
+            qnb_c = pltpu.roll(qnb_c, TB - 1, 1)
             # shift the band one column right: the slot entering at p=P-1
             # carries q[i-W+P-1] and the stale eh-init value for that j
             # (the reference keeps stale eh cells; cells that never saw a
             # write still hold their first-row init)
             shift = jnp.where(jnp.full((TILE, 1), 1, jnp.int32) * i > 0,
                               1, 0)
-            qnew = jnp.sum(jnp.where(tcol == r, qnb, 0), axis=1,
-                           keepdims=True)
             j_ent = i - W + P - 1
             h_ent = eh_init(jnp.full((TILE, 1), 1, jnp.int32) * j_ent)
             # left-shift by one == circular roll by P-1 (pltpu.roll
@@ -441,18 +453,17 @@ def _mk_band_kernel(P: int, W: int, T: int, o_del: int, e_del: int,
 
             act = (1 - done) * sel(jnp.ones_like(done) * i < tlen, 1, 0)
             colj = colp + (i - W)
-            tci = jnp.sum(jnp.where(tcol == r, tsb, 0), axis=1,
-                          keepdims=True)
             beg_r = jnp.maximum(beg, i - w)
             end_r = jnp.minimum(jnp.minimum(end, i + w + 1), qlen)
             h1 = jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0)
             h1_init = sel(sel(beg_r == 0, 1, 0), h1, jnp.zeros_like(h1))
-            # S[p] = mat[tci, QB[p]] (5x5 select; mat row picked per lane)
+            # S[p] = mat[tci, QB[p]]: per-lane row pick over the hoisted
+            # ms entries (narrow selects), then a 5-way band select
             S = jnp.zeros((TILE, P), vt)
             for c in range(5):
-                m_c = jnp.sum(jnp.where(sid == tci * 5 + c,
-                                        sc_ref[0:1, :], 0), axis=1,
-                              keepdims=True)
+                m_c = ms[4 * 5 + c]
+                for t in range(4):
+                    m_c = sel(sel(tci == t, 1, 0), ms[t * 5 + c], m_c)
                 S = jnp.where(QB == c, jnp.broadcast_to(m_c, (TILE, P)), S)
             inband = (colj >= beg_r) & (colj < end_r)
             zero_vt = jnp.zeros((), vt)
@@ -525,18 +536,19 @@ def _mk_band_kernel(P: int, W: int, T: int, o_del: int, e_del: int,
             beg = sel(upd, beg_n, beg)
             end = sel(upd, end_n, end)
             done = jnp.maximum(done, jnp.maximum(brk0, brkz))
-            return (H2, E2, QB, beg, end, mx, mx_i, mx_j, mx_ie, gsc,
-                    mx_off, done)
+            return (H2, E2, QB, tsb_c, qnb_c, beg, end, mx, mx_i, mx_j,
+                    mx_ie, gsc, mx_off, done)
 
         @pl.when(live)
         def _():
-            carry = (H_ref[:], E_ref[:], QB_ref[:], getcol(st0, 0),
+            carry = (H_ref[:], E_ref[:], QB_ref[:], tsb, qnb,
+                     getcol(st0, 0),
                      getcol(st0, 1), getcol(st0, 2), getcol(st0, 3),
                      getcol(st0, 4), getcol(st0, 5), getcol(st0, 6),
                      getcol(st0, 7), getcol(st0, 8))
             out = lax.fori_loop(0, TB, row_step, carry)
-            (H, E, QB, beg, end, mx, mx_i, mx_j, mx_ie, gsc, mx_off,
-             done) = out
+            (H, E, QB, _tsb_c, _qnb_c, beg, end, mx, mx_i, mx_j, mx_ie,
+             gsc, mx_off, done) = out
             H_ref[:] = H
             E_ref[:] = E
             QB_ref[:] = QB
