@@ -106,6 +106,67 @@ def test_gap_machine_max_entries(small_genome, gap_reads, gap_env):
                             GapOpt(max_entries=20)))
 
 
+def test_gap_machine_int64_coords():
+    """GRCh38-scale genomes run the machine with int64 coordinates under
+    jax_enable_x64; the while carry must not drift (the seeding machine
+    once broke on a jnp.sum accumulator promotion) and the results must
+    match the host spec exactly."""
+    import types
+
+    import jax
+
+    old_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from bwa_tpu.aln.batch_search import (_host_fallback, _prep_chunk,
+                                              aln_batch_device)
+        from bwa_tpu.aln.opts import GapOpt
+        from bwa_tpu.engine import make_engine
+        from bwa_tpu.index.fmindex import FMIndex
+
+        rng = np.random.default_rng(17)
+        fwd = rng.integers(0, 4, 60000, dtype=np.uint8)
+        fm = FMIndex.build_in_memory(fwd)
+        fm.ckpt = fm.ckpt.astype(np.int64)
+        fm.ssa = fm.ssa.astype(np.int64)
+        orig_cd = FMIndex.coord_dtype
+        FMIndex.coord_dtype = property(lambda self: np.int64)
+        try:
+            eng = make_engine(fm, "tpu")
+            n, L = 48, 60
+            starts = rng.integers(0, len(fwd) - L, n)
+            reads = fwd[starts[:, None] + np.arange(L)].copy()
+            muts = rng.random((n, L)) < 0.03
+            reads[muts] = (reads[muts]
+                           + rng.integers(1, 4, int(muts.sum()))) % 4
+            reads[0, 5] = 4  # one ambiguous base
+            pk = types.SimpleNamespace(
+                n=n, lens=np.full(n, L, np.int32),
+                codes_off=np.arange(n + 1, dtype=np.int64) * L,
+                codes_flat=reads.reshape(-1))
+            opt = GapOpt()
+            out_n, rows = aln_batch_device(fm, eng, pk, opt)
+            _, md, mg, orig, _, _, _, _, skip = _prep_chunk(pk, opt)
+            off = 0
+            for i in range(n):
+                if skip[i]:
+                    exp = np.zeros((0, 8), np.int64)
+                else:
+                    alns = _host_fallback(eng, opt, orig[i], L,
+                                          md[i], mg[i])
+                    exp = np.array(
+                        [[a.n_mm, a.n_gapo, a.n_gape, a.score, a.n_ins,
+                          a.n_del, a.k, a.l] for a in alns],
+                        np.int64).reshape(-1, 8)
+                got = rows[off:off + out_n[i]]
+                assert np.array_equal(got, exp), f"read {i} differs"
+                off += out_n[i]
+        finally:
+            FMIndex.coord_dtype = orig_cd
+    finally:
+        jax.config.update("jax_enable_x64", old_x64)
+
+
 def test_aln_device_sai_bytes(oracle_bwa, small_genome, gap_reads,
                               gap_env, tmp_path):
     """End-to-end: CLI aln with BWA_TPU_ALN=device == oracle .sai."""
