@@ -112,42 +112,95 @@ class _BinOut:
 
 
 def _warm(fm, engine) -> None:
-    """Run one synthetic SE batch at the standard bucket shapes before
-    accepting requests: on the tunnel backend every program pays a 1-3
-    min FIRST-use load per process, and absorbing that at daemon start
-    is the daemon's whole point.  Best-effort (skipped on any error)."""
+    """Run synthetic batches through every forwardable pipeline shape
+    before accepting requests: on the tunnel backend every program pays
+    a 1-3 min FIRST-use load per process, and absorbing that at daemon
+    start is the daemon's whole point.  Warms SE, PE, fastmap and (set
+    BWA_TPU_DAEMON_WARM=all) pacbio long-read shapes; each stage is
+    best-effort (skipped on any error)."""
     if os.environ.get("BWA_TPU_DAEMON_NO_WARM") == "1":
         return
-    try:
-        import time
+    import time
 
-        import numpy as np
+    import numpy as np
 
-        from bwa_tpu.mem.pipeline import process_seqs
-        from bwa_tpu.mem.types import Read
-        from bwa_tpu.options import MemOptions
+    from bwa_tpu.mem.types import Read
+    from bwa_tpu.options import MEM_F_PE, MemOptions
 
-        t0 = time.time()
-        print("[daemon] warming device programs...", file=sys.stderr,
-              flush=True)
-        rng = np.random.default_rng(0)
-        codes = fm.pac_codes
-        L = 150
-        n = 8192
+    rng = np.random.default_rng(0)
+    codes = fm.pac_codes
+    b5 = np.frombuffer(b"ACGTN", np.uint8)
+
+    def synth(n, L, err=0.0, name_of=lambda i: f"w{i}", off=0):
         reads = []
-        b5 = np.frombuffer(b"ACGTN", np.uint8)
         for i in range(n):
-            s = int(rng.integers(0, max(1, fm.l_pac - L)))
-            frag = np.minimum(codes[s:s + L], 4)
+            s = int(rng.integers(0, max(1, fm.l_pac - L - off)))
+            frag = np.minimum(codes[s + off:s + off + L], 4).copy()
             if frag.shape[0] < L:
                 frag = np.pad(frag, (0, L - frag.shape[0]))
-            reads.append(Read(name=f"w{i}", seq=b5[frag].tobytes()))
-        process_seqs(MemOptions(), engine, fm, reads)
-        print(f"[daemon] warm in {time.time() - t0:.0f}s", file=sys.stderr,
-              flush=True)
-    except Exception as e:  # pragma: no cover - warm-up is best-effort
-        print(f"[daemon] warm-up skipped: {e!r}", file=sys.stderr,
-              flush=True)
+            if err > 0.0:
+                m = rng.random(L) < err
+                frag[m] = (frag[m] + rng.integers(1, 4, int(m.sum()))) % 4
+            reads.append(Read(name=name_of(i), seq=b5[frag].tobytes()))
+        return reads
+
+    def stage(tag, fn):
+        t0 = time.time()
+        print(f"[daemon] warming {tag}...", file=sys.stderr, flush=True)
+        try:
+            fn()
+            print(f"[daemon] {tag} warm in {time.time() - t0:.0f}s",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # pragma: no cover - warm is best-effort
+            print(f"[daemon] {tag} warm-up skipped: {e!r}",
+                  file=sys.stderr, flush=True)
+
+    def warm_se():
+        from bwa_tpu.mem.pipeline import process_seqs
+
+        process_seqs(MemOptions(), engine, fm, synth(8192, 150))
+
+    def warm_pe():
+        from bwa_tpu.mem.pipeline import process_seqs
+
+        # proper FR pairs at insert ~350 so pestat converges like a
+        # real library; read2 is the reverse complement of the mate-end
+        # window (to_codes_batch recomputes codes from seq text)
+        pairs = []
+        rc = {0: b"T", 1: b"G", 2: b"C", 3: b"A", 4: b"N"}
+        for i in range(2048):
+            ins = int(rng.normal(350, 40))
+            ins = max(200, min(500, ins))
+            s = int(rng.integers(0, max(1, fm.l_pac - ins - 1)))
+            f1 = np.minimum(codes[s:s + 150], 4)
+            f2 = np.minimum(codes[s + ins - 150:s + ins], 4)
+            if f1.shape[0] < 150 or f2.shape[0] < 150:
+                continue
+            seq2 = b"".join(rc[int(c)] for c in f2[::-1])
+            pairs.append(Read(name=f"p{i}", seq=b5[f1].tobytes()))
+            pairs.append(Read(name=f"p{i}", seq=seq2))
+        o = MemOptions()
+        o.flag |= MEM_F_PE
+        process_seqs(o, engine, fm, pairs)
+
+    def warm_fastmap():
+        from bwa_tpu.mem.fastmap import fastmap_batch
+
+        list(fastmap_batch(fm, engine, synth(512, 150, name_of=str),
+                           20, 17, False, 1, 0))
+
+    def warm_long():
+        from bwa_tpu.mem.pipeline import process_seqs
+
+        o = MemOptions()
+        o.apply_mode("pacbio")
+        process_seqs(o, engine, fm, synth(256, 1200, err=0.08))
+
+    stage("SE", warm_se)
+    stage("PE", warm_pe)
+    stage("fastmap", warm_fastmap)
+    if os.environ.get("BWA_TPU_DAEMON_WARM", "") == "all":
+        stage("pacbio", warm_long)
 
 
 def serve(prefix: str, foreground: bool = True) -> int:
