@@ -688,7 +688,7 @@ def main(argv=None, out_fp=None, _in_daemon: bool = False) -> int:
         from bwa_tpu import tools
         fn = {"fa2pac": tools.main_fa2pac,
               "pac2bwt": tools.main_pac2bwt,
-              "pac2bwtgen": tools.main_pac2bwt,  # one builder serves both
+              "pac2bwtgen": tools.main_pac2bwtgen,  # bounded-memory builder
               "bwtupdate": tools.main_bwtupdate,
               "bwt2sa": tools.main_bwt2sa,
               "maxk": tools.main_maxk,
@@ -696,7 +696,7 @@ def main(argv=None, out_fp=None, _in_daemon: bool = False) -> int:
               "xa2multi": tools.main_xa2multi,
               "qualfa2fq": tools.main_qualfa2fq}[cmd]
         return fn(rest)
-    if cmd == "bwasw":
+    if cmd in ("bwasw", "bwtsw2", "dbwtsw"):  # aliases per main.c:107-109
         return main_bwasw(rest)
     if cmd == "shm":
         from bwa_tpu.shm import main_shm

@@ -46,7 +46,7 @@ def main_pac2bwt(argv) -> int:
         return 1
     raw = np.fromfile(args[0], dtype=np.uint8)
     last = int(raw[-1])
-    n = (len(raw) - 2) * 4 + (last if last else 4)
+    n = (len(raw) - 2) * 4 + last  # bwa_seq_len (bwtindex.c:51-62)
     from bwa_tpu.index.pack import unpack_pac
     code = unpack_pac(raw, n)
     sa = suffix_array(code)
@@ -59,6 +59,36 @@ def main_pac2bwt(argv) -> int:
         np.uint64(primary).tofile(f)
         L2[1:5].tofile(f)
         words.tofile(f)
+    return 0
+
+
+def main_pac2bwtgen(argv) -> int:
+    """bwa pac2bwtgen <in.pac> <out.bwt> (bwt_bwtgen_main,
+    bwt_gen.c:1606-1615): the bounded-memory blockwise BWT constructor.
+    Output bytes == pac2bwt's (the BWT is unique; both write the
+    pre-bwtupdate format), but peak memory stays O(block) via the native
+    dynamic-BWT builder (native/bwtinc.cpp) instead of a full suffix
+    array — the bwt_gen.c memory property."""
+    from bwa_tpu.native.build import bwt_incremental
+    if len(argv) < 2:
+        print("Usage: bwa-tpu pac2bwtgen <in.pac> <out.bwt>",
+              file=sys.stderr)
+        return 1
+    raw = np.fromfile(argv[0], dtype=np.uint8)
+    last = int(raw[-1])
+    n = (len(raw) - 2) * 4 + last  # bwa_seq_len (bwtindex.c:51-62)
+    block = max(10_000_000, n // 96)
+    inter, primary, cnt = bwt_incremental(raw[: (n + 3) // 4], n, block)
+    L2 = np.zeros(5, dtype=np.uint64)
+    np.cumsum(cnt.astype(np.uint64), out=L2[1:])
+    # de-interleave: each 128-char block is 8 uint32 of occ counts then
+    # 8 uint32 of packed chars; pac2bwtgen's output carries only the chars
+    n_words = (n + 15) >> 4
+    words = inter.view(np.uint32).reshape(-1, 16)[:, 8:].reshape(-1)[:n_words]
+    with open(argv[1], "wb") as f:
+        np.uint64(primary).tofile(f)
+        L2[1:5].tofile(f)
+        np.ascontiguousarray(words).tofile(f)
     return 0
 
 

@@ -86,3 +86,37 @@ def test_index_roundtrip_cross(oracle_bwa, tmp_path):
     assert len(lines) >= 50
     mapped = sum(1 for l in lines if not (int(l.split("\t")[1]) & 4))
     assert mapped >= 45
+
+
+@pytest.mark.parametrize("nbases", [300_000, 150_001])
+def test_pac2bwtgen_bytes_match_oracle(oracle_bwa, tmp_path, nbases):
+    """`pac2bwtgen` (bwt_bwtgen_main, bwt_gen.c:1606-1615) via the bounded
+    builder == oracle bytes.  nbases=300_000 makes the doubled pac length
+    divisible by 4 — the trailer-byte==0 case of bwa_seq_len
+    (bwtindex.c:51-62) that the old length formula got wrong."""
+    import sys
+
+    from datagen import random_genome, write_fasta
+
+    from bwa_tpu import tools
+
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, random_genome(nbases, seed=7, n_contigs=2, with_ns=True))
+    subprocess.run([str(oracle_bwa), "fa2pac", str(fa), str(tmp_path / "p")],
+                   check=True, capture_output=True)
+    subprocess.run([str(oracle_bwa), "pac2bwtgen", str(tmp_path / "p.pac"),
+                    str(tmp_path / "o.bwt")], check=True, capture_output=True)
+    assert tools.main_pac2bwtgen([str(tmp_path / "p.pac"),
+                                  str(tmp_path / "u.bwt")]) == 0
+    assert (tmp_path / "u.bwt").read_bytes() == (tmp_path / "o.bwt").read_bytes()
+
+
+def test_bwtsw2_alias_dispatch(capsys):
+    """`bwtsw2`/`dbwtsw` dispatch to bwasw (main.c:107-109)."""
+    from bwa_tpu.cli import main
+
+    for cmd in ("bwtsw2", "dbwtsw"):
+        rc = main([cmd])  # no args -> usage, rc 1, but NOT "unrecognized"
+        assert rc == 1
+        err = capsys.readouterr().err
+        assert "unrecognized" not in err
