@@ -64,8 +64,28 @@ def align_distributed(prefix: str, fq1: str, fq2: str | None,
     function; batch ownership is j %% n_hosts (the -K-deterministic
     chunking keeps the merged bytes identical to a single-host run)."""
     host_id, n_hosts = distributed_init()
+    offsets = None
+    can_seek = _seekable(fq1) and (fq2 is None or _seekable(fq2))
+    if n_hosts > 1 and can_seek:
+        # scan the -K batch boundaries ONCE (host 0) and share the table,
+        # so each host reads only its own ~1/n_hosts of the input
+        import json
+
+        from jax.experimental import multihost_utils
+
+        from bwa_tpu.options import MemOptions
+
+        tbl = Path(shard_dir) / "offsets.json"
+        if host_id == 0:
+            tbl.parent.mkdir(parents=True, exist_ok=True)
+            offsets = scan_batch_offsets(opt or MemOptions(), fq1, fq2)
+            tbl.write_text(json.dumps(offsets))
+        multihost_utils.sync_global_devices("bwa_tpu_offsets")
+        if host_id != 0:
+            offsets = [tuple(row) for row in json.loads(tbl.read_text())]
     n = align_shard(prefix, fq1, fq2, host_id, n_hosts, shard_dir,
-                    opt=opt, engine_kind=engine_kind, rg_id=rg_id)
+                    opt=opt, engine_kind=engine_kind, rg_id=rg_id,
+                    offsets=offsets)
     if n_hosts > 1:
         # EVERY process barriers before host 0 merges (a one-sided
         # barrier would deadlock the coordinator)
@@ -90,13 +110,160 @@ def iter_batches(opt, fq1: str, fq2: str | None):
         yield reads
 
 
+def _seekable(path) -> bool:
+    """Plain uncompressed regular file (the seek-to-batch fast path);
+    gz/stdin/URL inputs keep the streaming path."""
+    p = str(path)
+    if p == "-" or p.startswith(("http://", "ftp://", "https://")):
+        return False
+    try:
+        with open(p, "rb") as f:
+            return f.read(2) != b"\x1f\x8b"
+    except OSError:
+        return False
+
+
+def _scan_records(path) -> list[tuple[int, int]]:
+    """One sequential lex pass over an uncompressed FASTA/FASTQ: returns
+    (byte offset of record header, sequence length) per record, with
+    exactly SeqReader's record-boundary semantics (multi-line sequences,
+    blank-line skips, qual read until len(qual) >= len(seq))."""
+    out: list[tuple[int, int]] = []
+    with open(str(path), "rb") as f:
+        pos = 0
+        pending: tuple[bytes, int] | None = None  # pushed-back header
+        while True:
+            if pending is not None:
+                line, start = pending
+                pending = None
+            else:
+                start = pos
+                line = f.readline()
+                pos += len(line)
+            if not line:
+                break
+            s = line.rstrip(b"\r\n")
+            if not s:
+                continue
+            if s[:1] not in (b"@", b">"):
+                raise ValueError(f"malformed record header: {s[:40]!r}")
+            seq_len = 0
+            while True:
+                lstart = pos
+                body = f.readline()
+                pos += len(body)
+                if not body:
+                    break
+                b = body.rstrip(b"\r\n")
+                if b[:1] == b"+":
+                    got = 0
+                    while got < seq_len:
+                        ql = f.readline()
+                        if not ql:
+                            break
+                        pos += len(ql)
+                        got += len(ql.rstrip(b"\r\n"))
+                    break
+                if b[:1] in (b"@", b">"):
+                    pending = (body, lstart)
+                    break
+                seq_len += len(b)
+            out.append((start, seq_len))
+    return out
+
+
+def scan_batch_offsets(opt, fq1: str, fq2: str | None):
+    """Pre-scan the -K batch boundaries ONCE: returns one row per batch,
+    (off1, off2, n_records_per_file, n_processed_before).  Row j lets a
+    host seek straight to its own batches instead of parsing the entire
+    input and discarding (n_hosts-1)/n_hosts of it — while preserving
+    bseq_read's exact batch composition (size >= chunk AND even read
+    count, bwa.c:79-112), so the merged output stays byte-identical."""
+    recs1 = _scan_records(fq1)
+    recs2 = _scan_records(fq2) if fq2 else None
+    if recs2 is not None and len(recs2) < len(recs1):
+        import sys
+        print("[W::bseq_read] the 2nd file has fewer sequences.",
+              file=sys.stderr)
+    n = min(len(recs1), len(recs2)) if recs2 is not None else len(recs1)
+    chunk = opt.chunk_size * opt.n_threads
+    batches = []
+    i = 0
+    n_processed = 0
+    while i < n:
+        off1 = recs1[i][0]
+        off2 = recs2[i][0] if recs2 is not None else -1
+        size = 0
+        cnt = 0
+        j = i
+        while j < n:
+            size += recs1[j][1]
+            cnt += 1
+            if recs2 is not None:
+                size += recs2[j][1]
+                cnt += 1
+            j += 1
+            if size >= chunk and cnt % 2 == 0:
+                break
+        batches.append((off1, off2, j - i, n_processed))
+        n_processed += cnt
+        i = j
+    return batches
+
+
+def _read_n(ks1: SeqReader, ks2: SeqReader | None, n: int):
+    """Read exactly n records per file, building the batch exactly like
+    read_batch (interleaved PE, batch-local ids, comments dropped)."""
+    reads = []
+    for _ in range(n):
+        r1 = next(iter(ks1))
+        r1.id = len(reads)
+        r1.comment = None
+        reads.append(r1)
+        if ks2 is not None:
+            r2 = next(iter(ks2))
+            r2.id = len(reads)
+            r2.comment = None
+            reads.append(r2)
+    return reads
+
+
+# bytes of FASTQ consumed by the last align_shard call's alignment phase
+# (excludes any offset pre-scan) — observability for the no-amplification
+# property: host h should read ~1/n_hosts of the input, not all of it
+last_bytes_read = 0
+
+
+class _CountingFile:
+    """Minimal readline wrapper that counts bytes consumed."""
+
+    def __init__(self, f):
+        self.f = f
+        self.n = 0
+
+    def readline(self):
+        l = self.f.readline()
+        self.n += len(l)
+        return l
+
+    def close(self):
+        self.f.close()
+
+
 def align_shard(prefix: str, fq1: str, fq2: str | None, host_id: int,
                 n_hosts: int, shard_dir: str, opt=None,
-                engine_kind: str | None = None, rg_id=None) -> int:
+                engine_kind: str | None = None, rg_id=None,
+                offsets=None) -> int:
     """Align this host's batches; writes <shard_dir>/batch<j>.sam per owned
-    batch.  Returns the number of batches owned."""
-    from bwa_tpu.mem.pipeline import process_seqs
+    batch.  Returns the number of batches owned.
 
+    With seekable inputs the host seeks straight to its own batches via
+    the pre-scanned offset table (`offsets`, or scanned here when None)
+    instead of parsing the whole input and discarding the other hosts'
+    share; gz/stdin/URL inputs fall back to the streaming path (same
+    bytes out either way — batch composition is identical)."""
+    global last_bytes_read
+    from bwa_tpu.mem.pipeline import process_seqs
     from bwa_tpu.options import MemOptions
 
     opt = opt or MemOptions()
@@ -106,8 +273,35 @@ def align_shard(prefix: str, fq1: str, fq2: str | None, host_id: int,
     engine = make_engine(fm, engine_kind)
     shard = Path(shard_dir)
     shard.mkdir(parents=True, exist_ok=True)
-    n_processed = 0
     n_own = 0
+    can_seek = _seekable(fq1) and (fq2 is None or _seekable(fq2))
+    if offsets is None and can_seek and n_hosts > 1:
+        offsets = scan_batch_offsets(opt, fq1, fq2)
+    if offsets is not None and can_seek:
+        last_bytes_read = 0
+        f1 = _CountingFile(open(str(fq1), "rb"))
+        f2 = _CountingFile(open(str(fq2), "rb")) if fq2 else None
+        for j, (off1, off2, n_rec, n_processed) in enumerate(offsets):
+            if j % n_hosts != host_id:
+                continue
+            f1.f.seek(off1)
+            ks1 = SeqReader(f1)
+            ks2 = None
+            if f2 is not None:
+                f2.f.seek(off2)
+                ks2 = SeqReader(f2)
+            reads = _read_n(ks1, ks2, n_rec)
+            process_seqs(opt, engine, fm, reads, n_processed, None, rg_id)
+            with open(shard / f"batch{j:08d}.sam", "w") as f:
+                for r in reads:
+                    f.write(r.sam)
+            n_own += 1
+        last_bytes_read = f1.n + (f2.n if f2 is not None else 0)
+        f1.close()
+        if f2 is not None:
+            f2.close()
+        return n_own
+    n_processed = 0
     for j, reads in enumerate(iter_batches(opt, fq1, fq2)):
         if j % n_hosts == host_id:
             process_seqs(opt, engine, fm, reads, n_processed, None, rg_id)

@@ -103,3 +103,57 @@ def test_two_host_merge_matches_oracle(oracle_bwa, small_genome, mh_reads,
     oracle_body = "".join(l + "\n" for l in r.stdout.decode().splitlines()
                           if not l.startswith("@"))
     assert merged.read_text() == oracle_body
+
+
+def test_seek_path_reads_own_share_only(small_genome, mh_reads, tmp_path):
+    """The pre-scanned offset table (scan_batch_offsets) lets a host seek
+    to its own batches: byte-identical output to the streaming path with
+    each worker's alignment phase reading ~1/2 of the input, not all of
+    it (the round-3 O(n_hosts x input) amplification)."""
+    from bwa_tpu.options import MemOptions
+    from bwa_tpu.parallel import multihost
+    from bwa_tpu.parallel.multihost import (align_shard, merge_shards,
+                                            scan_batch_offsets)
+
+    def mk_opt():
+        o = MemOptions()
+        o.chunk_size = 20_000
+        o.n_threads = 1
+        return o
+
+    total = mh_reads.stat().st_size
+    offsets = scan_batch_offsets(mk_opt(), str(mh_reads), None)
+    assert len(offsets) >= 3
+    shard = tmp_path / "shards"
+    per_host = []
+    for h in range(2):
+        align_shard(str(small_genome), str(mh_reads), None, h, 2,
+                    str(shard), opt=mk_opt(), engine_kind="host",
+                    offsets=offsets)
+        per_host.append(multihost.last_bytes_read)
+    # each host consumed well under the whole file, and the two shares
+    # cover it together (boundary slop: one record of read-ahead/batch)
+    for n in per_host:
+        assert n < 0.75 * total, (n, total)
+    assert sum(per_host) < 1.25 * total
+    merged = tmp_path / "m.sam"
+    merge_shards(str(shard), str(merged))
+
+    # identical to the streaming (parse-everything) path
+    shard2 = tmp_path / "stream"
+    for h in range(2):
+        align_shard(str(small_genome), str(mh_reads), None, h, 2,
+                    str(shard2), opt=mk_opt(), engine_kind="host",
+                    offsets=None)
+    # offsets=None + n_hosts>1 + seekable scans internally; force the
+    # streaming path via a non-seekable stand-in: gzip the input
+    import gzip as _gz
+    gz = tmp_path / "r.fq.gz"
+    gz.write_bytes(_gz.compress(mh_reads.read_bytes()))
+    shard3 = tmp_path / "gz"
+    for h in range(2):
+        align_shard(str(small_genome), str(gz), None, h, 2, str(shard3),
+                    opt=mk_opt(), engine_kind="host")
+    m3 = tmp_path / "m3.sam"
+    merge_shards(str(shard3), str(m3))
+    assert merged.read_text() == m3.read_text()
