@@ -109,6 +109,21 @@ class Ours:
             self.engine = make_engine(self.fm, engine_kind)
         except Exception:
             self.engine = make_engine(self.fm, "host")
+            engine_kind = "host"
+        # Self-describing artifact: record which engine ACTUALLY ran and on
+        # what backend, so a host-degraded run can never masquerade as a
+        # TPU number (VERDICT r3 weak #2).
+        self.engine_kind = engine_kind
+        self.platform = None
+        self.device_kind = None
+        self.n_devices = 0
+        if engine_kind == "tpu":
+            import jax
+
+            devs = jax.devices()
+            self.platform = devs[0].platform
+            self.device_kind = devs[0].device_kind
+            self.n_devices = len(devs)
         self.opt = MemOptions()
         self.reads = read_batch(SeqReader(fq), None, 1 << 62)
 
@@ -178,6 +193,10 @@ def main():
         "reps": N_REPS,
         "ours_s": [round(t, 4) for t in ours_ts],
         "oracle_s": [round(t, 4) for t in base_ts],
+        "engine": ours.engine_kind,
+        "platform": ours.platform,
+        "device_kind": ours.device_kind,
+        "n_devices": ours.n_devices,
     }))
 
 
