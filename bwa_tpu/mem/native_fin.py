@@ -174,7 +174,13 @@ def finalize_se_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
     rb_off_a = np.ascontiguousarray(rb_off_a, np.int32)
 
     out_off = np.zeros(n + 1, np.int64)
-    cap = max(1 << 20, 1024 * n)
+    # initial output-buffer guess: a SAM record carries SEQ+QUAL (~2x qlen)
+    # plus name/tags; long reads also emit supplementary records.  An
+    # undersized guess is CORRECT but costs a full second finalize run
+    # (the C++ side computes everything, then reports the needed size —
+    # that silent 2x was the entire pacbio finalize overhead once), so
+    # scale with total query bytes, not just read count.
+    cap = max(1 << 20, 1024 * n + 6 * int(l_off[-1]))
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -262,7 +268,13 @@ def finalize_pe_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
             pes_arr[d * 5:d * 5 + 5] = (p.failed, p.low, p.high, p.avg, p.std)
 
     out_off = np.zeros(n + 1, np.int64)
-    cap = max(1 << 20, 1024 * n)
+    # initial output-buffer guess: a SAM record carries SEQ+QUAL (~2x qlen)
+    # plus name/tags; long reads also emit supplementary records.  An
+    # undersized guess is CORRECT but costs a full second finalize run
+    # (the C++ side computes everything, then reports the needed size —
+    # that silent 2x was the entire pacbio finalize overhead once), so
+    # scale with total query bytes, not just read count.
+    cap = max(1 << 20, 1024 * n + 6 * int(l_off[-1]))
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)

@@ -433,6 +433,8 @@ void chain_flt(const MemOpt &o, std::vector<Chain> &chains) {
 }
 
 // mem_flt_chained_seeds (bwamem.c:597-641); long reads only
+long g_flt_calls = 0;  // BWA_TPU_FIN_DEBUG counter
+
 void flt_chained_seeds(const MemOpt &o, const RefView &r, int l_query,
                        const uint8_t *q, std::vector<Chain> &chains) {
   const int MEM_SHORT_EXT = 50, MEM_SHORT_LEN = 200;
@@ -461,6 +463,7 @@ void flt_chained_seeds(const MemOpt &o, const RefView &r, int l_query,
           fetch_seq(r, rb, mid, re, &rid, rseq);
           std::vector<uint8_t> qv(q + qb, q + qe);
           int out[7];
+          ++g_flt_calls;
           bt_ksw_align2(qe - qb, qv.data(), (int)rseq.size(), rseq.data(), 5,
                         o.mat, o.o_del, o.e_del, o.o_ins, o.e_ins,
                         /*byte*/ 0, /*start*/ 1, /*subo*/ 0, /*stop*/ 0, 0,
@@ -1991,9 +1994,9 @@ int64_t mem_finalize_se_batch(
     out_off[i + 1] = (int64_t)all.size();
   }
   if (dbg)
-    fprintf(stderr, "[memfin] chain=%.2fs flt_seeds=%.2fs "
-            "extend+dedup=%.2fs reg2sam=%.2fs\n", t_chain, t_flt, t_ext,
-            t_sam);
+    fprintf(stderr, "[memfin] n=%d chain=%.2fs flt_seeds=%.2fs (%ld sw) "
+            "extend+dedup=%.2fs reg2sam=%.2fs\n", n_reads, t_chain, t_flt,
+            g_flt_calls, t_ext, t_sam);
   if ((int64_t)all.size() > out_cap) return -(int64_t)all.size();
   memcpy(out, all.data(), all.size());
   return (int64_t)all.size();
