@@ -19,6 +19,7 @@ happens in the same serial code as the host path.
 from __future__ import annotations
 
 import ctypes
+import os
 
 import numpy as np
 
@@ -112,6 +113,15 @@ class DeviceExtContext:
         return out
 
     def _extend_all(self, meta, lres, rres):
+        if os.environ.get("BWA_TPU_EXT_FUSED", "1") != "0":
+            # ONE device program for the whole batch (left, left-retry,
+            # right, right-retry chained in-jit) — the per-batch program
+            # swaps of the 4-call path cost ~0.3-0.4s EACH on this
+            # backend and made device extension a 3.3x loss (PERF.md r4)
+            out = self.eng.run_fused(meta, self.opt)
+            lres[:] = out[:, :6]
+            rres[:] = out[:, 6:]
+            return
         q_base = meta[:, 0]
         l_query = meta[:, 1]
         qbeg = meta[:, 2]

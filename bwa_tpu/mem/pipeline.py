@@ -158,20 +158,22 @@ def _flatten_tuple_seeds(opt, mems_list, caches):
 
 
 def _use_device_ext(engine, codes) -> bool:
-    """Route chain2aln extensions through the banded Pallas kernel?  On
-    for long-read batches on a device engine (where the scalar C++ DP
-    dominates finalize); short reads keep the host DP (problems are tiny
-    and the per-call device round-trip would dominate)."""
+    """Route chain2aln extensions through the banded Pallas kernel?
+    Measured round 4 (PERF.md): the device path LOSES at every shipped
+    batch regime — short reads by 3.3x (program-swap thrash between the
+    seeding and extension executables, ~0.3-0.4s per swap on this
+    backend), pacbio by ~7x even fused into one program (the speculative
+    all-(chain,seed) job table computes ~20x the extensions the serial
+    containment-skip loop actually consumes, and the [jobs x tlen]
+    in-jit gather volume scales with that waste).  Host scalar DP wins
+    and pacbio beats the oracle with it (1.09x).  Default is therefore
+    HOST everywhere; BWA_TPU_EXT=device opts in (exactness-tested)."""
     import os
 
-    mode = os.environ.get("BWA_TPU_EXT", "auto")
-    if mode == "host" or not codes:
+    mode = os.environ.get("BWA_TPU_EXT", "host")
+    if mode != "device" or not codes:
         return False
-    if not hasattr(engine, "dev"):
-        return False
-    if mode == "device":
-        return True
-    return max(len(c) for c in codes) >= 512
+    return hasattr(engine, "dev")
 
 
 def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,

@@ -119,3 +119,61 @@ def test_finalize_device_ext_byte_identical(pe, small_genome):
     host = run("host")
     dev = run("device")
     assert host == dev
+
+
+def test_fused_matches_four_call_path(small_genome):
+    """ExtGatherEngine.run_fused (one program: left, left-retry, right,
+    right-retry chained in-jit) == the 4-call DeviceExtContext path,
+    including the band-doubling retry bookkeeping (aw column)."""
+    import os
+
+    from bwa_tpu.index.fmindex import FMIndex
+    from bwa_tpu.mem.ext_device import DeviceExtContext
+    from bwa_tpu.mem.pipeline import to_codes_batch
+    from bwa_tpu.mem.types import Read
+    from bwa_tpu.options import MemOptions
+    from datagen import random_genome, simulate_reads
+
+    fm = FMIndex.load(small_genome)
+    contigs = random_genome(200_000, seed=7, n_contigs=2)
+    sim = simulate_reads(contigs, 6, read_len=600, seed=21,
+                         err_rate=0.05, indel_rate=0.03)
+    reads = [Read(name=n, seq=s, qual=q) for n, s, q in sim]
+    codes = to_codes_batch(reads)
+    l_off = np.zeros(len(codes) + 1, np.int64)
+    for i, c in enumerate(codes):
+        l_off[i + 1] = l_off[i] + len(c)
+    flat = np.concatenate(codes).astype(np.uint8)
+    opt = MemOptions()
+    opt.apply_mode("pacbio")
+
+    # synthetic but structurally valid job table: seeds at varying spots
+    rng = np.random.default_rng(5)
+    n = 64
+    metas = np.zeros((n, 8), np.int64)
+    for j in range(n):
+        r = rng.integers(0, len(codes))
+        L = l_off[r + 1] - l_off[r]
+        qb = int(rng.integers(0, L - 40))
+        sl = int(rng.integers(20, min(120, L - qb)))
+        rb = int(rng.integers(300, fm.l_pac - 2000))
+        metas[j] = (l_off[r], L, qb, sl, rb,
+                    max(0, rb - qb - 100), min(2 * fm.l_pac,
+                                               rb + sl + (L - qb - sl) + 100),
+                    sl)  # h0 = seed length * a (a=1 under pacbio preset)
+
+    def run(fused: bool):
+        os.environ["BWA_TPU_EXT_FUSED"] = "1" if fused else "0"
+        try:
+            ctx = DeviceExtContext(opt, fm, flat)
+            lres = np.zeros((n, 6), np.int32)
+            rres = np.zeros((n, 6), np.int32)
+            ctx._extend_all(metas, lres, rres)
+            return lres, rres
+        finally:
+            del os.environ["BWA_TPU_EXT_FUSED"]
+
+    l1, r1 = run(True)
+    l0, r0 = run(False)
+    assert (l1 == l0).all(), np.argwhere(l1 != l0)
+    assert (r1 == r0).all(), np.argwhere(r1 != r0)
