@@ -27,7 +27,7 @@ def _pad_reads(codes_list, L: int) -> tuple[np.ndarray, np.ndarray]:
 
 # Device programs recompile per shape (and compiles are expensive on this
 # backend), so batches are chunked/padded to fixed buckets.
-BATCH_BUCKET = 8192
+BATCH_BUCKET = int(os.environ.get("BWA_TPU_BATCH_BUCKET", "8192"))
 
 
 def _lane_bucket(L: int, nb: int | None = None) -> int:

@@ -31,6 +31,7 @@ struct Opt {
   int s_mm, s_gapo, s_gape;
   int max_gape, max_seed_diff, max_entries, max_del_occ;
   int indel_end_skip, max_top2, mode;
+  bool pf;  // prefetch pushed entries' occ lines (big-genome only)
 };
 
 enum { MODE_GAPE = 0x01, MODE_LOGGAP = 0x04, MODE_NONSTOP = 0x10 };
@@ -74,7 +75,8 @@ static inline int aln_score(int m, int o, int e, const Opt &opt) {
 // Touch the occ cache lines a pushed entry will read when popped
 // (occ4_pair over k-1 and l).  The LIFO stack pops same-score pushes
 // next, so the lines arrive ahead of the dependent load; the search is
-// memory-bound on these 64-byte blocks.
+// memory-bound on these 64-byte blocks — but ONLY on indexes too big
+// for the LLC (call sites gate on opt.pf; see bt_aln_batch).
 static inline void pf_occ(const FM &g, int64_t k, int64_t l) {
   int64_t a = k - 1;
   if (a >= 0 && a < g.seq_len) {
@@ -199,10 +201,12 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
 
   while (stack.n) {
     if (stack.n > opt.max_entries) break;
+    // the bucket index IS aln_score(n_mm, n_gapo, n_gape) — entries are
+    // pushed into stacks[score], so the pop's score needs no recompute
+    int score = stack.best;
     Entry e = stack.pop();
     int i = e.i;
     int64_t k = e.k, l = e.l;
-    int score = aln_score(e.n_mm, e.n_gapo, e.n_gape, opt);
     if (!(opt.mode & MODE_NONSTOP) && score > best_score + opt.s_mm) break;
 
     int m = max_diff - (e.n_mm + e.n_gapo);
@@ -290,7 +294,7 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
           // insertion
           stack.push(mkent(i, k, l, e.n_mm, e.n_gapo + 1, e.n_gape,
                            e.n_ins + 1, e.n_del, ST_I, i),
-                     aln_score(e.n_mm, e.n_gapo + 1, e.n_gape, opt));
+                     score + opt.s_gapo);
           // deletions
           for (int j = 0; j < 4; ++j) {
             int64_t kk = g.L2[j] + cnt_k[j] + 1;
@@ -298,8 +302,8 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
             if (kk <= ll) {
               stack.push(mkent(i + 1, kk, ll, e.n_mm, e.n_gapo + 1,
                                e.n_gape, e.n_ins, e.n_del + 1, ST_D, i + 1),
-                         aln_score(e.n_mm, e.n_gapo + 1, e.n_gape, opt));
-              pf_occ(g, kk, ll);
+                         score + opt.s_gapo);
+              if (opt.pf) pf_occ(g, kk, ll);
             }
           }
         }
@@ -307,7 +311,7 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
         if (e.n_gape < opt.max_gape)
           stack.push(mkent(i, k, l, e.n_mm, e.n_gapo, e.n_gape + 1,
                            e.n_ins + 1, e.n_del, ST_I, i),
-                     aln_score(e.n_mm, e.n_gapo, e.n_gape + 1, opt));
+                     score + opt.s_gape);
       } else if (e.state == ST_D) {
         if (e.n_gape < opt.max_gape) {
           if (e.n_gape + e.n_gapo < max_diff || occ < opt.max_del_occ) {
@@ -318,8 +322,8 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
                 stack.push(mkent(i + 1, kk, ll, e.n_mm, e.n_gapo,
                                  e.n_gape + 1, e.n_ins, e.n_del + 1, ST_D,
                                  i + 1),
-                           aln_score(e.n_mm, e.n_gapo, e.n_gape + 1, opt));
-                pf_occ(g, kk, ll);
+                           score + opt.s_gape);
+                if (opt.pf) pf_occ(g, kk, ll);
               }
             }
           }
@@ -335,8 +339,8 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
         if (kk <= ll) {
           stack.push(mkent(i, kk, ll, e.n_mm + is_mm, e.n_gapo, e.n_gape,
                            e.n_ins, e.n_del, ST_M, is_mm ? i : 0),
-                     aln_score(e.n_mm + is_mm, e.n_gapo, e.n_gape, opt));
-          pf_occ(g, kk, ll);
+                     score + (is_mm ? opt.s_mm : 0));
+          if (opt.pf) pf_occ(g, kk, ll);
         }
       }
     } else if (seq[i] < 4) {
@@ -346,8 +350,8 @@ static void match_gap(const FM &g, const uint8_t *seq, int length,
       if (kk <= ll) {
         stack.push(mkent(i, kk, ll, e.n_mm, e.n_gapo, e.n_gape, e.n_ins,
                          e.n_del, ST_M, 0),
-                   aln_score(e.n_mm, e.n_gapo, e.n_gape, opt));
-        pf_occ(g, kk, ll);
+                   score);
+        if (opt.pf) pf_occ(g, kk, ll);
       }
     }
   }
@@ -374,8 +378,13 @@ int64_t bt_aln_batch(const uint8_t *g_inter,
                      int32_t max_top2, int32_t mode, int32_t *out_n,
                      int64_t *out_rec, int64_t rec_cap) {
   FM g{g_inter, g_seq_len, g_primary, g_L2};
+  // prefetch pays only when the occ lines actually miss: the interleaved
+  // index is seq_len/2 bytes, so small genomes are LLC-resident and the
+  // prefetch instructions were a measured 11% CPU tax (gprof, 262k reads
+  // on a 2 Mbp index).  256 Mbp of BWT ~= 128 MB, ~half this box's LLC.
   Opt opt{s_mm, s_gapo, s_gape, max_gape, max_seed_diff, max_entries,
-          max_del_occ, indel_end_skip, max_top2, mode};
+          max_del_occ, indel_end_skip, max_top2, mode,
+          g_seq_len > (int64_t)256e6};
   std::vector<Width> width, seed_w;
   std::vector<AlnRec> alns;
   std::vector<uint8_t> q;

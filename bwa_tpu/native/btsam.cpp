@@ -397,16 +397,20 @@ static void put_cigar(std::string &o, const std::vector<uint32_t> &cig) {
 
 // bwa_print_seq (bwase.c:366-384)
 static void put_seq(std::string &o, const Seq &p) {
+  // bulk-write into the string (per-char += was 37% of samse CPU)
   static const char *F = "ACGTN", *R = "TGCAN";
+  size_t at = o.size();
+  o.resize(at + (size_t)p.full_len);
+  char *d = &o[at];
   if (p.strand == 0) {
     for (int i = 0; i < p.full_len; ++i) {
       uint8_t c = p.codes[i];
-      o += F[c > 4 ? 4 : c];
+      d[i] = F[c > 4 ? 4 : c];
     }
   } else {
-    for (int i = p.full_len - 1; i >= 0; --i) {
-      uint8_t c = p.codes[i];
-      o += R[c > 4 ? 4 : c];
+    for (int i = 0; i < p.full_len; ++i) {
+      uint8_t c = p.codes[p.full_len - 1 - i];
+      d[i] = R[c > 4 ? 4 : c];
     }
   }
 }
@@ -417,8 +421,11 @@ enum { F_PD = 1, F_PP = 2, F_SU = 4, F_MU = 8, F_SR = 16, F_MR = 32,
 static void put_qual(std::string &o, const Seq &p) {
   if (p.qual) {
     if (p.strand) {
-      for (int i = p.len - 1; i >= 0; --i) o += (char)p.qual[i];
-      for (int i = p.len; i < p.qual_len; ++i) o += (char)p.qual[i];
+      size_t at = o.size();
+      o.resize(at + (size_t)p.qual_len);
+      char *d = &o[at];
+      for (int i = 0; i < p.len; ++i) d[i] = (char)p.qual[p.len - 1 - i];
+      for (int i = p.len; i < p.qual_len; ++i) d[i] = (char)p.qual[i];
     } else {
       o.append((const char *)p.qual, p.qual_len);
     }

@@ -37,6 +37,27 @@ static inline uint64_t keep_top(int nkeep) {  // nkeep in [1,32]
 
 static const uint64_t VM55 = 0x5555555555555555ull;
 
+// one 32-base word-pair, all four bases, valid-position mask vm
+static inline void acc4(uint64_t word, uint64_t vm, int64_t a[4]) {
+  uint64_t hi = (word >> 1) & VM55, lo = word & VM55;
+  a[3] += __builtin_popcountll(hi & lo);
+  a[2] += __builtin_popcountll(hi & ~lo);
+  a[1] += __builtin_popcountll(lo & ~hi);
+  a[0] += __builtin_popcountll(vm & ~hi & ~lo);
+}
+
+// one 32-base word-pair, single base given as xor-selects nh/nl
+// (nh = (c&2)?0:~0, nl = (c&1)?0:~0)
+static inline int64_t acc1(uint64_t word, uint64_t vm, uint64_t nh,
+                           uint64_t nl) {
+  uint64_t hi = (word >> 1) & VM55, lo = word & VM55;
+  return __builtin_popcountll((hi ^ nh) & (lo ^ nl) & vm);
+}
+
+// The decode loops below keep the masked tail pair OUT of the loop (the
+// reference's bwt_occ discipline, bwt.c:120-126): full pairs run with a
+// constant vm and no per-iteration mask select.
+
 // occ of all four bases at k (bwt_occ4, bwt.c:169-187)
 static inline void occ4(const View &g, int64_t k, int64_t cnt[4]) {
   if (k == -1) {
@@ -51,22 +72,15 @@ static inline void occ4(const View &g, int64_t k, int64_t cnt[4]) {
   int64_t blk = k >> 7;
   int kw = (int)((k >> 5) & 3), kb = (int)(k & 31);
   const uint32_t *w = blk_words(g, blk);
-  int64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
-  for (int i = 0; i <= kw; ++i) {
-    uint64_t mask2 = (i < kw) ? ~0ull : keep_top(kb + 1);
-    uint64_t word = wpair(w, i) & mask2;
-    uint64_t vm = mask2 & VM55;
-    uint64_t hi = (word >> 1) & VM55, lo = word & VM55;
-    a3 += __builtin_popcountll(hi & lo);
-    a2 += __builtin_popcountll(hi & ~lo);
-    a1 += __builtin_popcountll(lo & ~hi);
-    a0 += __builtin_popcountll(vm & ~hi & ~lo);
-  }
+  int64_t a[4] = {0, 0, 0, 0};
+  for (int i = 0; i < kw; ++i) acc4(wpair(w, i), VM55, a);
+  uint64_t mk = keep_top(kb + 1);
+  acc4(wpair(w, kw) & mk, mk & VM55, a);
   const int64_t *cp = blk_cnt(g, blk);
-  cnt[0] = cp[0] + a0;
-  cnt[1] = cp[1] + a1;
-  cnt[2] = cp[2] + a2;
-  cnt[3] = cp[3] + a3;
+  cnt[0] = cp[0] + a[0];
+  cnt[1] = cp[1] + a[1];
+  cnt[2] = cp[2] + a[2];
+  cnt[3] = cp[3] + a[3];
 }
 
 // single-base occ (bwt_occ, bwt.c:107-130)
@@ -77,16 +91,12 @@ static inline int64_t occ1(const View &g, int64_t k, int c) {
   int64_t blk = k >> 7;
   int kw = (int)((k >> 5) & 3), kb = (int)(k & 31);
   const uint32_t *w = blk_words(g, blk);
+  uint64_t nh = (c & 2) ? 0ull : ~0ull;
+  uint64_t nl = (c & 1) ? 0ull : ~0ull;
   int64_t acc = 0;
-  uint64_t want_hi = (c & 2) ? ~0ull : 0ull;
-  uint64_t want_lo = (c & 1) ? ~0ull : 0ull;
-  for (int i = 0; i <= kw; ++i) {
-    uint64_t mask2 = (i < kw) ? ~0ull : keep_top(kb + 1);
-    uint64_t word = wpair(w, i) & mask2;
-    uint64_t vm = mask2 & VM55;
-    uint64_t hi = (word >> 1) & VM55, lo = word & VM55;
-    acc += __builtin_popcountll((hi ^ ~want_hi) & (lo ^ ~want_lo) & vm);
-  }
+  for (int i = 0; i < kw; ++i) acc += acc1(wpair(w, i), VM55, nh, nl);
+  uint64_t mk = keep_top(kb + 1);
+  acc += acc1(wpair(w, kw) & mk, mk & VM55, nh, nl);
   return blk_cnt(g, blk)[c] + acc;
 }
 
@@ -107,18 +117,22 @@ static inline void occ1_pair(const View &g, int64_t k, int64_t l, int c,
   int kw = (int)((_k >> 5) & 3), kb = (int)(_k & 31);
   int lw = (int)((_l >> 5) & 3), lb = (int)(_l & 31);
   const uint32_t *w = blk_words(g, blk);
-  uint64_t want_hi = (c & 2) ? ~0ull : 0ull;
-  uint64_t want_lo = (c & 1) ? ~0ull : 0ull;
-  int64_t acc = 0, acck = 0;
-  for (int i = 0; i <= lw; ++i) {
-    uint64_t mask2 = (i < lw) ? ~0ull : keep_top(lb + 1);
-    uint64_t word = wpair(w, i) & mask2;
-    uint64_t vm = mask2 & VM55;
-    uint64_t hi = (word >> 1) & VM55, lo = word & VM55;
-    uint64_t match = (hi ^ ~want_hi) & (lo ^ ~want_lo) & vm;
-    acc += __builtin_popcountll(match);
-    if (i == kw)
-      acck = acc - __builtin_popcountll(match & ~keep_top(kb + 1));
+  uint64_t nh = (c & 2) ? 0ull : ~0ull;
+  uint64_t nl = (c & 1) ? 0ull : ~0ull;
+  int64_t acc = 0;
+  for (int i = 0; i < kw; ++i) acc += acc1(wpair(w, i), VM55, nh, nl);
+  // pair kw splits at kb (k <= l, so kw <= lw and kb <= lb if equal)
+  uint64_t wkw = wpair(w, kw);
+  uint64_t mk = keep_top(kb + 1);
+  int64_t acck = acc + acc1(wkw & mk, mk & VM55, nh, nl);
+  uint64_t ml = keep_top(lb + 1);
+  if (kw < lw) {
+    acc += acc1(wkw, VM55, nh, nl);
+    for (int i = kw + 1; i < lw; ++i)
+      acc += acc1(wpair(w, i), VM55, nh, nl);
+    acc += acc1(wpair(w, lw) & ml, ml & VM55, nh, nl);
+  } else {
+    acc += acc1(wkw & ml, ml & VM55, nh, nl);
   }
   const int64_t base = blk_cnt(g, blk)[c];
   *ok = base + acck;
@@ -143,25 +157,22 @@ static inline void occ4_pair(const View &g, int64_t k, int64_t l,
   const uint32_t *w = blk_words(g, blk);
   const int64_t *cp = blk_cnt(g, blk);
   int64_t a[4] = {0, 0, 0, 0};
-  for (int i = 0; i <= lw; ++i) {
-    uint64_t mask2 = (i < lw) ? ~0ull : keep_top(lb + 1);
-    uint64_t word = wpair(w, i) & mask2;
-    uint64_t vm = mask2 & VM55;
-    uint64_t hi = (word >> 1) & VM55, lo = word & VM55;
-    a[3] += __builtin_popcountll(hi & lo);
-    a[2] += __builtin_popcountll(hi & ~lo);
-    a[1] += __builtin_popcountll(lo & ~hi);
-    a[0] += __builtin_popcountll(vm & ~hi & ~lo);
-    if (i == kw) {
-      // k counts = running totals minus this pair's tail beyond kb
-      uint64_t tail = word & ~keep_top(kb + 1);
-      uint64_t vmt = vm & ~keep_top(kb + 1);
-      uint64_t hit = (tail >> 1) & VM55, lot = tail & VM55;
-      cntk[3] = cp[3] + a[3] - __builtin_popcountll(hit & lot);
-      cntk[2] = cp[2] + a[2] - __builtin_popcountll(hit & ~lot);
-      cntk[1] = cp[1] + a[1] - __builtin_popcountll(lot & ~hit);
-      cntk[0] = cp[0] + a[0] - __builtin_popcountll(vmt & ~hit & ~lot);
-    }
+  for (int i = 0; i < kw; ++i) acc4(wpair(w, i), VM55, a);
+  // pair kw splits at kb (k <= l, so kw <= lw and kb <= lb if equal)
+  uint64_t wkw = wpair(w, kw);
+  uint64_t mk = keep_top(kb + 1);
+  {
+    int64_t t[4] = {a[0], a[1], a[2], a[3]};
+    acc4(wkw & mk, mk & VM55, t);
+    for (int c = 0; c < 4; ++c) cntk[c] = cp[c] + t[c];
+  }
+  uint64_t ml = keep_top(lb + 1);
+  if (kw < lw) {
+    acc4(wkw, VM55, a);
+    for (int i = kw + 1; i < lw; ++i) acc4(wpair(w, i), VM55, a);
+    acc4(wpair(w, lw) & ml, ml & VM55, a);
+  } else {
+    acc4(wkw & ml, ml & VM55, a);
   }
   for (int c = 0; c < 4; ++c) cntl[c] = cp[c] + a[c];
 }
