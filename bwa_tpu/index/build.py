@@ -231,7 +231,13 @@ def _index_build_bounded(prefix: str, code2: np.ndarray, n: int,
     log.info("building BWT incrementally over %d bases (block=%d)",
              n, block_size)
     pac2 = pack_codes(code2)
-    counts = np.bincount(code2, minlength=4).astype(np.uint64)
+    # chunked count: np.bincount casts its input to int64, which on the
+    # 6.2e9-char doubled text is a 49.6 GB transient (measured: it was
+    # the entire 56 GB peak of the first full-scale run)
+    counts = np.zeros(4, dtype=np.uint64)
+    for s in range(0, n, 1 << 28):
+        counts += np.bincount(code2[s:s + (1 << 28)],
+                              minlength=4).astype(np.uint64)
     del code2
     L2 = np.zeros(5, dtype=np.uint64)
     np.cumsum(counts, out=L2[1:])
