@@ -89,28 +89,48 @@ static inline void pf_occ(const FM &g, int64_t k, int64_t l) {
   }
 }
 
-// bwt_cal_width over seq (stored orientation)
-static void cal_width(const FM &g, const uint8_t *seq, int len,
-                      std::vector<Width> *out) {
-  int64_t k = 0, l = g.seq_len;
-  int bid = 0;
-  out->resize(len + 1);
-  for (int p = 0; p < len; ++p) {
-    int c = seq[p];
-    if (c < 4) {
-      int64_t ok, ol;
-      occ1_pair(g, k - 1, l, c, &ok, &ol);
-      k = g.L2[c] + ok + 1;
-      l = g.L2[c] + ol;
-    }
-    if (k > l || c > 3) {
-      k = 0;
-      l = g.seq_len;
-      ++bid;
-    }
-    (*out)[p] = {l - k + 1, bid};
+// bwt_cal_width (bwtaln.c:57-81) over up to several reads in lockstep.
+// One read's occ chain is strictly latency-bound (each occ1_pair feeds
+// the next k/l), but chains are independent ACROSS reads — interleaving
+// lanes lets the out-of-order core overlap their loads/popcounts.  The
+// reference computes widths one read at a time (bwtaln.c:120-123);
+// per-lane semantics here are exactly its loop.
+struct WLane {
+  const uint8_t *seq;
+  int len;
+  int64_t k, l;
+  int bid;
+  Width *out;
+};
+
+static void cal_width_multi(const FM &g, WLane *ln, int nl) {
+  int maxlen = 0;
+  for (int t = 0; t < nl; ++t) {
+    ln[t].k = 0;
+    ln[t].l = g.seq_len;
+    ln[t].bid = 0;
+    if (ln[t].len > maxlen) maxlen = ln[t].len;
   }
-  (*out)[len] = {0, bid + 1};
+  for (int p = 0; p < maxlen; ++p) {
+    for (int t = 0; t < nl; ++t) {
+      WLane &s = ln[t];
+      if (p >= s.len) continue;
+      int c = s.seq[p];
+      if (c < 4) {
+        int64_t ok, ol;
+        occ1_pair(g, s.k - 1, s.l, c, &ok, &ol);
+        s.k = g.L2[c] + ok + 1;
+        s.l = g.L2[c] + ol;
+      }
+      if (s.k > s.l || c > 3) {
+        s.k = 0;
+        s.l = g.seq_len;
+        ++s.bid;
+      }
+      s.out[p] = {s.l - s.k + 1, s.bid};
+    }
+  }
+  for (int t = 0; t < nl; ++t) ln[t].out[ln[t].len] = {0, ln[t].bid + 1};
 }
 
 static inline int int_log2(uint32_t v) {
@@ -385,29 +405,48 @@ int64_t bt_aln_batch(const uint8_t *g_inter,
   Opt opt{s_mm, s_gapo, s_gape, max_gape, max_seed_diff, max_entries,
           max_del_occ, indel_end_skip, max_top2, mode,
           g_seq_len > (int64_t)256e6};
-  std::vector<Width> width, seed_w;
+  // widths for G reads at a time: the main and seed chains of the whole
+  // group run interleaved through cal_width_multi (up to 2G lanes)
+  constexpr int G = 4;
+  std::vector<Width> width[G], seed_w[G];
   std::vector<AlnRec> alns;
   std::vector<uint8_t> q;
   GapStack stack(0);
   int64_t tot = 0;
-  for (int r = 0; r < n_reads; ++r) {
-    const uint8_t *seq = seqs_flat + seq_off[r];
-    int len = (int)(seq_off[r + 1] - seq_off[r]);
-    cal_width(g, seq, len, &width);
-    std::vector<Width> *sw = nullptr;
-    if (len > seed_len[r]) {
-      cal_width(g, seq + (len - seed_len[r]), seed_len[r], &seed_w);
-      sw = &seed_w;
+  for (int r0 = 0; r0 < n_reads; r0 += G) {
+    int ng = n_reads - r0 < G ? n_reads - r0 : G;
+    WLane lanes[2 * G];
+    int nl = 0;
+    bool has_sw[G];
+    for (int j = 0; j < ng; ++j) {
+      int r = r0 + j;
+      const uint8_t *seq = seqs_flat + seq_off[r];
+      int len = (int)(seq_off[r + 1] - seq_off[r]);
+      width[j].resize(len + 1);
+      lanes[nl++] = {seq, len, 0, 0, 0, width[j].data()};
+      has_sw[j] = len > seed_len[r];
+      if (has_sw[j]) {
+        seed_w[j].resize(seed_len[r] + 1);
+        lanes[nl++] = {seq + (len - seed_len[r]), seed_len[r], 0, 0, 0,
+                       seed_w[j].data()};
+      }
     }
-    q.resize(len);
-    for (int p = 0; p < len; ++p) q[p] = seq[p] > 3 ? 4 : 3 - seq[p];
-    match_gap(g, q.data(), len, width, sw, max_diff[r], max_gapo[r], opt,
-              stack, &alns);
-    out_n[r] = (int32_t)alns.size();
-    if (tot + (int64_t)alns.size() * 8 <= rec_cap) {
-      std::memcpy(out_rec + tot, alns.data(), alns.size() * sizeof(AlnRec));
+    cal_width_multi(g, lanes, nl);
+    for (int j = 0; j < ng; ++j) {
+      int r = r0 + j;
+      const uint8_t *seq = seqs_flat + seq_off[r];
+      int len = (int)(seq_off[r + 1] - seq_off[r]);
+      q.resize(len);
+      for (int p = 0; p < len; ++p) q[p] = seq[p] > 3 ? 4 : 3 - seq[p];
+      match_gap(g, q.data(), len, width[j], has_sw[j] ? &seed_w[j] : nullptr,
+                max_diff[r], max_gapo[r], opt, stack, &alns);
+      out_n[r] = (int32_t)alns.size();
+      if (tot + (int64_t)alns.size() * 8 <= rec_cap) {
+        std::memcpy(out_rec + tot, alns.data(),
+                    alns.size() * sizeof(AlnRec));
+      }
+      tot += (int64_t)alns.size() * 8;
     }
-    tot += (int64_t)alns.size() * 8;
   }
   return tot;
 }
