@@ -577,8 +577,16 @@ LocalResult striped_sw_simd(int qlen, const uint8_t *query, int tlen,
   const int minsc = (xtra & 0x10000) ? (xtra & 0xffff) : 0x10000;
   const int endsc = (xtra & 0x20000) ? (xtra & 0xffff) : 0x10000;
 
-  std::vector<__m128i> qp((size_t)m * slen), H0(slen), H1(slen), E(slen),
-      Hmax(slen);
+  // scratch reused across calls (flt_seeds/mate-SW issue tens of
+  // thousands of calls per batch; per-call malloc+value-init of five
+  // vectors was measurable).  H0/E are re-zeroed below; qp/H1/Hmax are
+  // fully overwritten before any read.
+  static thread_local std::vector<__m128i> qp, H0, H1, E, Hmax;
+  qp.resize((size_t)m * slen);
+  H0.resize(slen);
+  H1.resize(slen);
+  E.resize(slen);
+  Hmax.resize(slen);
   {  // striped query profile
     if (SZ == 1) {
       int8_t *t = (int8_t *)qp.data();
@@ -612,7 +620,8 @@ LocalResult striped_sw_simd(int qlen, const uint8_t *query, int tlen,
                                   : _mm_set1_epi16(e_ins);
   std::fill(H0.begin(), H0.end(), zero);
   std::fill(E.begin(), E.end(), zero);
-  std::vector<uint64_t> b;
+  static thread_local std::vector<uint64_t> b;
+  b.clear();
   int gmax = 0, te = -1;
 
   for (int i = 0; i < tlen; ++i) {
@@ -690,6 +699,9 @@ LocalResult striped_sw_simd(int qlen, const uint8_t *query, int tlen,
     std::swap(H0, H1);
   }
 
+  // if no row ever improved gmax, Hmax was never assigned this call —
+  // restore the fresh-allocation semantics the qe scan below expects
+  if (te < 0) std::fill(Hmax.begin(), Hmax.end(), zero);
   if (SZ == 1) {
     r.score = gmax + shift < 255 ? gmax : 255;
     r.te = te;
