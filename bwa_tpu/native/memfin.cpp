@@ -1242,16 +1242,25 @@ void aln2sam(const MemOpt &o, const RefView &r, const char *name,
       }
     }
     if (!p.is_rev) {
-      for (int i = qb; i < qe; ++i) str += FWD[seq_codes[i]];
+      size_t at = str.size();  // bulk write (per-char += is measurable
+      str.resize(at + (size_t)(qe - qb));  // at headline batch sizes)
+      char *d = &str[at];
+      for (int i = qb; i < qe; ++i) d[i - qb] = FWD[seq_codes[i]];
       str += '\t';
       if (qual) {
-        for (int i = qb; i < qe; ++i) str += qual[i];
+        str.append(qual + qb, (size_t)(qe - qb));
       } else str += '*';
     } else {
-      for (int i = qe - 1; i >= qb; --i) str += REV[seq_codes[i]];
+      size_t at = str.size();
+      str.resize(at + (size_t)(qe - qb));
+      char *d = &str[at];
+      for (int i = qe - 1; i >= qb; --i) d[qe - 1 - i] = REV[seq_codes[i]];
       str += '\t';
       if (qual) {
-        for (int i = qe - 1; i >= qb; --i) str += qual[i];
+        at = str.size();
+        str.resize(at + (size_t)(qe - qb));
+        d = &str[at];
+        for (int i = qe - 1; i >= qb; --i) d[qe - 1 - i] = qual[i];
       } else str += '*';
     }
   }
