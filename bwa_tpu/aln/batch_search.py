@@ -107,23 +107,42 @@ def _init_state(idx, cdt, opt: GapOpt, lens, md, mg, wb0, cap, cap_a,
 
 def _run_bucket(engine, idx, cdt, opt: GapOpt, qc, lens, md, mg,
                 seed_en, use_seed, wb0, sb, active, cap, cap_a,
-                max_steps):
+                max_steps, mesh=None):
     """One gap_machine invocation over a [B, L] lane bucket; returns
-    (packed [B, cap_a, 8], n_aln, ovf) as host arrays."""
+    (packed [B, cap_a, 8], n_aln, ovf) as host arrays.  mesh: run the
+    machine under shard_map with reads data-parallel over the "dp" axis
+    (parallel/mesh.gap_machine_sharded) — the multi-chip analog of
+    bwtaln.c:102's static pthread read partition."""
     i32 = np.int32
     state = _init_state(idx, cdt, opt, lens, md, mg, wb0, cap, cap_a,
                         active)
-    out = gm.gap_machine(
-        state, idx, jnp.asarray(qc), jnp.asarray(lens),
-        jnp.asarray(md), jnp.asarray(mg), jnp.asarray(seed_en),
-        sb, i32(opt.s_mm), i32(opt.s_gapo), i32(opt.s_gape),
-        i32(opt.max_gape), i32(opt.max_seed_diff), i32(opt.max_entries),
-        i32(opt.max_del_occ), i32(opt.indel_end_skip), i32(opt.max_top2),
-        i32(opt.seed_len), i32(max_steps), cap=cap, cap_a=cap_a,
-        use_seed=use_seed,
-        f_gape=bool(opt.mode & BWA_MODE_GAPE),
-        f_nonstop=bool(opt.mode & BWA_MODE_NONSTOP),
-        f_loggap=bool(opt.mode & BWA_MODE_LOGGAP))
+    scalars = (i32(opt.s_mm), i32(opt.s_gapo), i32(opt.s_gape),
+               i32(opt.max_gape), i32(opt.max_seed_diff),
+               i32(opt.max_entries), i32(opt.max_del_occ),
+               i32(opt.indel_end_skip), i32(opt.max_top2),
+               i32(opt.seed_len), i32(max_steps))
+    kw = dict(cap=cap, cap_a=cap_a, use_seed=use_seed,
+              f_gape=bool(opt.mode & BWA_MODE_GAPE),
+              f_nonstop=bool(opt.mode & BWA_MODE_NONSTOP),
+              f_loggap=bool(opt.mode & BWA_MODE_LOGGAP))
+    if mesh is not None:
+        from bwa_tpu.parallel.mesh import gap_machine_sharded
+
+        key = ("gap", qc.shape, cap, cap_a) + tuple(sorted(kw.items()))
+        cache = getattr(engine, "_mesh_gap", None)
+        if cache is None:
+            cache = engine._mesh_gap = {}
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = gap_machine_sharded(mesh, **kw)
+        out = fn(idx, state, jnp.asarray(qc), jnp.asarray(lens),
+                 jnp.asarray(md), jnp.asarray(mg), jnp.asarray(seed_en),
+                 sb, scalars)
+    else:
+        out = gm.gap_machine(
+            state, idx, jnp.asarray(qc), jnp.asarray(lens),
+            jnp.asarray(md), jnp.asarray(mg), jnp.asarray(seed_en),
+            sb, *scalars, **kw)
     d = dict(zip(gm.GAP_KEYS, out))
     packed = jnp.concatenate(
         [d["aln_m"].astype(cdt), d["aln_kl"]], axis=2)
@@ -198,13 +217,18 @@ def aln_batch_device(fm, engine, pk, opt: GapOpt):
         else:
             sb = jnp.zeros((Bb, 1, 2), cdt)
         todo = active.copy()
+        # multi-chip: lanes data-parallel over the engine's dp mesh
+        # (lane buckets are pow2-padded, so they divide the mesh)
+        mesh = getattr(engine, "mesh", None)
+        if mesh is not None and Bb % mesh.devices.size != 0:
+            mesh = None
         for ci, cap in enumerate(caps):
             if not todo.any():
                 break
             packed, n_aln, ovf = _run_bucket(
                 engine, idx, cdt, opt, b_qc, b_lens, b_md, b_mg,
                 b_sen, use_seed, wb0, sb, todo, cap,
-                cap_a0 * (1 << ci), max_steps)
+                cap_a0 * (1 << ci), max_steps, mesh=mesh)
             good = todo & ~ovf
             for bi in np.flatnonzero(good[:nb]):
                 cnt = int(n_aln[bi])

@@ -302,18 +302,72 @@ def _demux_bucket(opt, fm, seeds_out, nb, L, B2, cs, n_shard=1):
     return (iv_off, x2, start, end, rbegs, rb_off)
 
 
-def se_flat_buckets(opt, engine, fm, codes_list, cap_s: int = 24):
+def trip_order(opt, engine, codes_list):
+    """Trip-sorted antithetic bucket packing (the kt_for work-stealing
+    analog, kthread.c:25-61): the seeding machine runs every lane to the
+    bucket's slowest lane, and file-order packing measures 36-40% lane
+    utilization.  Order reads by the device probe's predicted trip count
+    (ops/fm.py probe_breaks, corr 0.97) and arrange each bucket so
+    _pack_bucket's lane pairing (slot 0 = chunk[i], slot 1 = chunk[B2+i])
+    pairs rank j with rank nb-1-j — lane sums equalize and the bucket's
+    max step count drops ~38% (measured: 3505 -> 2184 machine steps on
+    the 24576-read headline vs 2169 for oracle trip counts).
+
+    Returns a [B] permutation (position -> original read index) or None
+    when gated off.  Byte-identity is order-independent per read; the
+    caller must feed ORIGINAL read ids to the finalize for hash_64."""
+    mode = os.environ.get("BWA_TPU_TRIP_SORT", "auto")
+    if mode == "off" or not hasattr(engine, "probe_trips"):
+        return None
+    if getattr(engine, "mesh", None) is not None:
+        return None  # mesh shards reads over chips; ordering is per-shard
+    B = len(codes_list)
+    if mode != "force" and B < 4096:
+        return None  # probe cost doesn't amortize on small batches
+    L = _len_bucket(max(len(c) for c in codes_list))
+    if L > 256:
+        return None  # long reads are lane-sharded (91% utilization)
+    pred = engine.probe_trips(codes_list)
+    perm = np.argsort(pred, kind="stable").astype(np.int64)
+    pack_k = int(os.environ.get("BWA_TPU_PACK_K", "2"))
+    bucket0 = _lane_bucket(L)
+    out = np.empty(B, np.int64)
+    for lo in range(0, B, bucket0):
+        s = perm[lo:lo + bucket0]
+        nb = len(s)
+        bucket = _lane_bucket(L, nb)
+        k = 1 if nb < bucket // 2 else pack_k
+        if k == 2:
+            B2 = bucket // 2
+            n1 = min(B2, nb)
+            out[lo:lo + n1] = s[:n1]
+            if nb > B2:
+                # slot-1 positions B2..nb-1 get ranks nb-1 down to B2
+                out[lo + B2:lo + nb] = s[nb - 1:B2 - 1:-1]
+        else:
+            out[lo:lo + nb] = s
+    return out
+
+
+def se_flat_buckets(opt, engine, fm, codes_list, cap_s: int = 24,
+                    row_ids=None):
     """Generator yielding (lo, nb, flat | None) per bucket, with the NEXT
     bucket's device seeding dispatched before this bucket's host demux —
     the kt_pipeline analog (kthread.c:119-147): the chip seeds bucket k+1
     while the host demuxes/finalizes bucket k.  flat arrays use
     bucket-local offsets; None = exactness fallback (seed-cap overflow
-    even at the roomy retry cap) — redo that bucket via the tuple path."""
+    even at the roomy retry cap) — redo that bucket via the tuple path.
+
+    row_ids: original-batch row index per entry of codes_list (set by the
+    trip_order caller).  When the engine still holds the probe's
+    device-resident batch matrix, buckets pack their lanes by DEVICE
+    gather (collect_seeds_dispatch_gather) instead of re-uploading q."""
     B = len(codes_list)
     if B == 0:
         return
+    Lg = _len_bucket(max(len(c) for c in codes_list))
     if (os.environ.get("BWA_TPU_SEED_REFILL")
-            and _len_bucket(max(len(c) for c in codes_list)) <= 256
+            and Lg <= 256
             and hasattr(engine, "collect_seeds_refill_dispatch")
             and getattr(engine, "mesh", None) is None):
         yield from _se_flat_refill(opt, engine, fm, codes_list, cap_s)
@@ -321,24 +375,49 @@ def se_flat_buckets(opt, engine, fm, codes_list, cap_s: int = 24):
     can_async = hasattr(engine, "collect_seeds_dispatch") and \
         os.environ.get("BWA_TPU_SEED_MACHINE", "unified") != "split" and \
         not os.environ.get("BWA_TPU_SEED_COMPACT")
-    bucket0 = _lane_bucket(_len_bucket(max(len(c) for c in codes_list)))
+    use_gather = (row_ids is not None and can_async and Lg <= 256
+                  and hasattr(engine, "collect_seeds_dispatch_gather")
+                  and engine.qdev_batch() == B
+                  and int(os.environ.get("BWA_TPU_PACK_K", "2")) == 2)
+    bucket0 = _lane_bucket(Lg)
     los = list(range(0, B, bucket0))
     packed = {}
 
     def _dispatch(idx):
         lo = los[idx]
         chunk = codes_list[lo:lo + bucket0]
+        nb = len(chunk)
+        if use_gather:
+            bucket = _lane_bucket(Lg, nb)
+            B2 = bucket // 2
+            if nb >= B2:  # the k=2 regime _pack_bucket would pick
+                rid = np.asarray(row_ids[lo:lo + nb], np.int32)
+                pa = rid[:B2]
+                pb = np.full(B2, -1, np.int32)
+                pb[:nb - B2] = rid[B2:nb]
+                la = np.array([len(c) for c in chunk[:B2]], np.int32)
+                qlen = la.copy()
+                lb = np.array([len(c) for c in chunk[B2:nb]], np.int32)
+                qlen[:nb - B2] = (Lg + 1) + lb
+                h = engine.collect_seeds_dispatch_gather(
+                    pa, pb, qlen, opt, 2 * cap_s)
+                # host q/lens deferred: only the (rare) retry ladder
+                # needs them — rebuilt from chunk there
+                packed[idx] = (None, None, Lg, B2, 2, 2 * cap_s, None, 1,
+                               h, nb, chunk)
+                return
         q, lens, L, B2, pack_k, cs, shard, ns = _pack_bucket(opt, chunk,
                                                              cap_s)
         h = engine.collect_seeds_dispatch(q, lens, opt, cs, shard=shard) \
             if can_async else None
-        packed[idx] = (q, lens, L, B2, pack_k, cs, shard, ns, h, len(chunk))
+        packed[idx] = (q, lens, L, B2, pack_k, cs, shard, ns, h, nb, None)
 
     _dispatch(0)
     for idx, lo in enumerate(los):
         if idx + 1 < len(los):
             _dispatch(idx + 1)  # next bucket's seeding in flight
-        q, lens, L, B2, pack_k, cs, shard, ns, h, nb = packed.pop(idx)
+        q, lens, L, B2, pack_k, cs, shard, ns, h, nb, chunk = \
+            packed.pop(idx)
         out = engine.collect_seeds_wait(h) if h is not None \
             else engine.collect_seeds(q, lens, opt, cs, shard=shard)
         if (out[5] > cs).any():
@@ -346,6 +425,9 @@ def se_flat_buckets(opt, engine, fm, codes_list, cap_s: int = 24):
             # cap ladder on DEVICE before any host fallback — on a
             # GRCh38-scale repeat genome the host-spec redo was 90% of
             # the whole alignment wall time
+            if q is None:  # gather-mode bucket: rebuild host lanes
+                q, lens, L, B2, pack_k, cs0, shard, ns = _pack_bucket(
+                    opt, chunk, cap_s)
             for cs2, sc2 in ((96 * pack_k, 32), (256 * pack_k, 64)):
                 cs = cs2
                 out = engine.collect_seeds(q, lens, opt, cs2,
@@ -358,19 +440,51 @@ def se_flat_buckets(opt, engine, fm, codes_list, cap_s: int = 24):
         yield lo, nb, _demux_bucket(opt, fm, out, nb, L, B2, cs, ns)
 
 
-def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
+def _reorder_flat(flat, order):
+    """Gather the per-read segments of permuted-order flat seed arrays
+    back into ORIGINAL read order (trip-sorted seeding, original-order
+    finalize — the PE pipeline consumes reads pairwise in file order)."""
+    iv_off, x2, start, end, rbegs, rb_off = flat
+    B = len(order)
+    inv = np.empty(B, np.int64)
+    inv[order] = np.arange(B)
+    cnt_o = (iv_off[1:] - iv_off[:-1]).astype(np.int64)[inv]
+    new_iv_off = np.zeros(B + 1, np.int32)
+    new_iv_off[1:] = np.cumsum(cnt_o)
+    tot = int(new_iv_off[-1])
+    ramp = np.arange(tot, dtype=np.int64) - np.repeat(
+        new_iv_off[:-1].astype(np.int64), cnt_o)
+    g = np.repeat(iv_off[:-1].astype(np.int64)[inv], cnt_o) + ramp
+    rb_cnt = (rb_off[1:] - rb_off[:-1]).astype(np.int64)[g]
+    new_rb_off = np.zeros(tot + 1, np.int32)
+    new_rb_off[1:] = np.cumsum(rb_cnt)
+    rtot = int(new_rb_off[-1])
+    rramp = np.arange(rtot, dtype=np.int64) - np.repeat(
+        new_rb_off[:-1].astype(np.int64), rb_cnt)
+    rg = np.repeat(rb_off[:-1].astype(np.int64)[g], rb_cnt) + rramp
+    return (new_iv_off, x2[g], start[g], end[g], rbegs[rg], new_rb_off)
+
+
+def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24,
+                    order=None):
     """Whole-batch flat seed arrays (batch-global offsets) — the PE path
     and callers that need one finalize over everything.  Returns None if
-    any bucket overflows (caller uses the tuple path)."""
+    any bucket overflows (caller uses the tuple path).
+
+    order: optional trip_order permutation — seeding runs in permuted
+    order (lane utilization), but the returned arrays are gathered back
+    to ORIGINAL read order, so callers are order-agnostic."""
     B = len(codes_list)
     if B == 0:
         return None
+    src = codes_list if order is None else [codes_list[j] for j in order]
     iv_off = [np.zeros(1, np.int32)]
     iv_x2, iv_start, iv_end, rbegs, rb_off = [], [], [], [], \
         [np.zeros(1, np.int32)]
     iv_base = 0
     rb_base = 0
-    for lo, nb, flat in se_flat_buckets(opt, engine, fm, codes_list, cap_s):
+    for lo, nb, flat in se_flat_buckets(opt, engine, fm, src, cap_s,
+                                        row_ids=order):
         if flat is None:
             return None
         o_iv, x2, start, end, rb, o_rb = flat
@@ -382,12 +496,13 @@ def collect_se_flat(opt, engine, fm, codes_list, cap_s: int = 24):
         rb_off.append((rb_base + o_rb[1:]).astype(np.int32))
         iv_base += int(o_iv[-1])
         rb_base += int(o_rb[-1])
-    return (np.concatenate(iv_off),
-            np.concatenate(iv_x2) if iv_x2 else np.zeros(0, np.int64),
-            np.concatenate(iv_start) if iv_start else np.zeros(0, np.int32),
-            np.concatenate(iv_end) if iv_end else np.zeros(0, np.int32),
-            np.concatenate(rbegs) if rbegs else np.zeros(0, np.int64),
-            np.concatenate(rb_off))
+    out = (np.concatenate(iv_off),
+           np.concatenate(iv_x2) if iv_x2 else np.zeros(0, np.int64),
+           np.concatenate(iv_start) if iv_start else np.zeros(0, np.int32),
+           np.concatenate(iv_end) if iv_end else np.zeros(0, np.int32),
+           np.concatenate(rbegs) if rbegs else np.zeros(0, np.int64),
+           np.concatenate(rb_off))
+    return out if order is None else _reorder_flat(out, order)
 
 
 def collect_intv_batch_unfused(opt, engine, codes_list) -> list[list[tuple]]:

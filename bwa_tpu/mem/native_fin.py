@@ -31,7 +31,7 @@ def _lib():
             ctypes.c_void_p,
             u8p, ctypes.c_int64, i64p, i32p, u8p, ctypes.c_char_p, i32p, c,
             c, u8p, i64p, ctypes.c_char_p, i64p, ctypes.c_char_p, i64p,
-            ctypes.c_char_p, i64p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_char_p, i64p, ctypes.c_int64, i64p, ctypes.c_char_p,
             i32p, i64p, i32p, i32p, i64p, i32p,
             ctypes.c_char_p, ctypes.c_int64, i64p,
         ]
@@ -99,7 +99,8 @@ class RefBlob:
 
 def finalize_se_batch(opt, fm, ref_blob: RefBlob, reads, codes_list,
                       mems_list, caches, n_processed: int,
-                      rg_id: str | None, device_ext: bool = False) -> list[str]:
+                      rg_id: str | None, device_ext: bool = False,
+                      ids=None) -> list[str]:
     """Run the full post-seeding SE pipeline in C++; returns SAM per read."""
     n = len(reads)
     iv_off = np.zeros(n + 1, np.int32)
@@ -129,17 +130,21 @@ def finalize_se_batch(opt, fm, ref_blob: RefBlob, reads, codes_list,
         iv_off, np.array(iv_x2, np.int64), np.array(iv_start, np.int32),
         np.array(iv_end, np.int32), np.array(rbegs, np.int64),
         np.array(rb_off, np.int32), n_processed, rg_id,
-        device_ext=device_ext)
+        device_ext=device_ext, ids=ids)
 
 
 def finalize_se_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
                        iv_off, iv_x2, iv_start, iv_end, rbegs_a, rb_off_a,
                        n_processed: int, rg_id: str | None,
-                       device_ext: bool = False) -> list[str]:
+                       device_ext: bool = False, ids=None) -> list[str]:
     """The ctypes call itself, over pre-flattened seed/occurrence arrays
     (either from the tuple path above or collect_se_flat).  device_ext
     routes the chain2aln seed extensions through the batched Pallas
-    kernel (mem/ext_device.py) instead of the scalar C++ DP."""
+    kernel (mem/ext_device.py) instead of the scalar C++ DP.
+
+    ids: optional per-read int64 hash_64 seeds (the ORIGINAL
+    n_processed + read index) for callers that feed reads in a permuted
+    order (trip-sorted seeding buckets); None = id0 + i."""
     lib = _lib()
     n = len(reads)
     blob = pack_opt(opt)
@@ -172,6 +177,8 @@ def finalize_se_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
     iv_end = np.ascontiguousarray(iv_end, np.int32)
     rbegs_a = np.ascontiguousarray(rbegs_a, np.int64)
     rb_off_a = np.ascontiguousarray(rb_off_a, np.int32)
+    if ids is not None:
+        ids = np.ascontiguousarray(ids, np.int64)
 
     out_off = np.zeros(n + 1, np.int64)
     # initial output-buffer guess: a SAM record carries SEQ+QUAL (~2x qlen)
@@ -199,7 +206,9 @@ def finalize_se_arrays(opt, fm, ref_blob: RefBlob, reads, codes_list,
             names_b, name_off.ctypes.data_as(i64p),
             quals_b, qual_off.ctypes.data_as(i64p),
             comm_b, comm_off.ctypes.data_as(i64p),
-            n_processed, (rg_id or "").encode(),
+            n_processed,
+            ids.ctypes.data_as(i64p) if ids is not None else None,
+            (rg_id or "").encode(),
             iv_off.ctypes.data_as(i32p), iv_x2.ctypes.data_as(i64p),
             iv_start.ctypes.data_as(i32p), iv_end.ctypes.data_as(i32p),
             rbegs_a.ctypes.data_as(i64p), rb_off_a.ctypes.data_as(i32p),

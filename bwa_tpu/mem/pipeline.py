@@ -192,9 +192,10 @@ def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
             fm._ref_blob = RefBlob(fm)
         flat = None
         if hasattr(engine, "collect_seeds"):
-            from bwa_tpu.mem.batch_seed import collect_se_flat
+            from bwa_tpu.mem.batch_seed import collect_se_flat, trip_order
 
-            flat = collect_se_flat(opt, engine, fm, codes)
+            flat = collect_se_flat(opt, engine, fm, codes,
+                                   order=trip_order(opt, engine, codes))
         if flat is None:
             mems_list, caches = _collect_batch(opt, engine, fm, codes)
             flat = _flatten_tuple_seeds(opt, mems_list, caches)
@@ -217,23 +218,34 @@ def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
         if not hasattr(fm, "_ref_blob"):
             fm._ref_blob = RefBlob(fm)
         if hasattr(engine, "collect_seeds"):
-            from bwa_tpu.mem.batch_seed import se_flat_buckets
+            from bwa_tpu.mem.batch_seed import se_flat_buckets, trip_order
 
-            for lo, nb, flat in se_flat_buckets(opt, engine, fm, codes):
-                sl = slice(lo, lo + nb)
+            # trip-sorted bucket packing (batch_seed.trip_order): reads
+            # flow through seeding in predicted-trip order so packed
+            # lanes finish together; SAM scatters back to file order and
+            # hash_64 ids stay the ORIGINAL read indices — output is
+            # byte-identical to the unsorted path.
+            order = trip_order(opt, engine, codes)
+            src = codes if order is None else [codes[j] for j in order]
+            for lo, nb, flat in se_flat_buckets(opt, engine, fm, src,
+                                                row_ids=order):
+                ix = (np.arange(lo, lo + nb, dtype=np.int64)
+                      if order is None else order[lo:lo + nb])
+                rd = [reads[j] for j in ix]
+                cd = [codes[j] for j in ix]
+                ids = n_processed + ix
                 if flat is not None:
                     sams = finalize_se_arrays(
-                        opt, fm, fm._ref_blob, reads[sl], codes[sl], *flat,
-                        n_processed + lo, rg_id, device_ext=dev_ext)
+                        opt, fm, fm._ref_blob, rd, cd, *flat,
+                        0, rg_id, device_ext=dev_ext, ids=ids)
                 else:  # exactness fallback for an overflowing bucket
-                    mems_list, caches = _collect_batch(opt, engine, fm,
-                                                       codes[sl])
+                    mems_list, caches = _collect_batch(opt, engine, fm, cd)
                     sams = finalize_se_batch(
-                        opt, fm, fm._ref_blob, reads[sl], codes[sl],
-                        mems_list, caches, n_processed + lo, rg_id,
-                        device_ext=dev_ext)
-                for r, s in zip(reads[sl], sams):
-                    r.sam = s
+                        opt, fm, fm._ref_blob, rd, cd,
+                        mems_list, caches, 0, rg_id,
+                        device_ext=dev_ext, ids=ids)
+                for j, s in zip(ix, sams):
+                    reads[j].sam = s
         else:
             mems_list, caches = _collect_batch(opt, engine, fm, codes)
             sams = finalize_se_batch(opt, fm, fm._ref_blob, reads, codes,

@@ -1937,7 +1937,7 @@ int64_t mem_finalize_se_batch(
     int32_t n_reads, const uint8_t *codes_flat, const int64_t *l_off,
     const char *names, const int64_t *name_off, const char *quals,
     const int64_t *qual_off, const char *comments, const int64_t *comment_off,
-    int64_t id0, const char *rg_id,
+    int64_t id0, const int64_t *ids, const char *rg_id,
     // seeds
     const int32_t *iv_off, const int64_t *iv_x2, const int32_t *iv_start,
     const int32_t *iv_end, const int64_t *rbegs, const int32_t *rb_off,
@@ -1985,7 +1985,10 @@ int64_t mem_finalize_se_batch(
     auto t2 = now();
     for (Reg &p : regs)
       if (p.rid >= 0 && r.bns.is_alt[p.rid]) p.is_alt = 1;
-    mark_primary_se(o, regs, id0 + i);
+    // ids: per-read hash_64 seed (bwamem.c:1250's n_processed + i) when
+    // the caller feeds reads in a permuted order (trip-sorted seeding
+    // buckets) — the tie-break hash must use the ORIGINAL read index
+    mark_primary_se(o, regs, ids ? ids[i] : id0 + i);
     if (o.flag & MEM_F_PRIMARY5) reorder_primary5(o.T, regs);
     std::string sam;
     const char *qual = qual_off[i] >= 0 ? quals + qual_off[i] : nullptr;

@@ -174,6 +174,21 @@ def _next_valid_device(q, qlen):
 
 
 @jax.jit
+def _gather_pack(q_all, pa, pb):
+    """Build the pack_k=2 lane layout ON DEVICE from a batch-resident
+    read matrix: lane i = q_all[pa[i]] | 4 | q_all[pb[i]] | 4 (the exact
+    _pack_bucket layout).  The batch q uploads ONCE (the trip-count
+    probe already needs it); per-bucket H2D shrinks from the ~2.4 MB
+    packed lanes to two [B2] int32 index vectors — the transfer diet
+    that makes trip-sorted packing pay on the ~55 MB/s tunnel."""
+    B2 = pa.shape[0]
+    sep = jnp.full((B2, 1), 4, q_all.dtype)
+    qb = q_all[jnp.maximum(pb, 0)]
+    qb = jnp.where((pb >= 0)[:, None], qb, q_all.dtype.type(4))
+    return jnp.concatenate([q_all[pa], sep, qb, sep], axis=1)
+
+
+@jax.jit
 def _refill_table(q, qlen):
     """Per-READ device table for the retire-and-refill machine: one int32
     row per read = qlen | chars[L] | next-valid[L+1] — so the machine's
@@ -232,6 +247,60 @@ def _set_intv(idx, c):
     x1 = z[:, 2] + 1
     x2 = z[:, 1] - z[:, 0]
     return x0, x1, x2
+
+
+@jax.jit
+def probe_breaks(idx, q, qlen):
+    """Trip-count predictor for seeding-bucket packing: ONE lockstep
+    forward scan over x = 0..L-1 maintaining a single forward interval,
+    restarting on extension failure.  Exactly L steps per lane (a
+    lax.scan, no divergent tail), so it costs ~44 ms on a 24k x 150 bp
+    batch.  Returns [B] break counts — measured corr 0.97 with the real
+    per-read machine trip counts (PERF.md round 5): a read's machine
+    trips are dominated by its restart count (sequencing errors split
+    SMEMs), which is exactly what the breaks count.
+
+    This is an ORDERING HEURISTIC only — seeding results are per-read
+    and order-independent, so byte-identity never depends on it."""
+    from bwa_tpu.ops.fm_machine import _pick3
+
+    cdt = idx["ckpt"].dtype
+    B, L = q.shape
+    i32 = jnp.int32
+    L2r = idx["L2"][:4][None, :].astype(cdt)
+
+    def step(carry, c_t):
+        x0, x1, x2, started, breaks = carry
+        c = c_t.astype(i32)
+        good = c < 4
+        # forward extension by char c == backward extension of the
+        # reverse-complement interval (the bwt_extend is_back=0 case)
+        tk = _occ4(idx, x1 - 1)
+        tl = _occ4(idx, x1 - 1 + x2)
+        ok_nb = L2r + 1 + tk
+        ok_sz = (tl - tk).astype(cdt)
+        span = ((x1 <= idx["primary"])
+                & (x1 + x2 - 1 >= idx["primary"])).astype(cdt)
+        acc3 = x0 + span
+        acc2 = acc3 + ok_sz[:, 3]
+        acc1 = acc2 + ok_sz[:, 2]
+        acc0 = acc1 + ok_sz[:, 1]
+        accs = jnp.stack([acc0, acc1, acc2, acc3], axis=-1)
+        cf = jnp.clip(3 - c, 0, 3)
+        of = _pick3(accs, ok_nb, ok_sz, cf)
+        ext_ok = started & good & (of[:, 2] >= 1)
+        brk = started & good & (of[:, 2] < 1)
+        s0, s1, s2 = _set_intv(idx, c)
+        restart = good & ~ext_ok
+        x0n = jnp.where(ext_ok, of[:, 0], jnp.where(restart, s0, x0))
+        x1n = jnp.where(ext_ok, of[:, 1], jnp.where(restart, s1, x1))
+        x2n = jnp.where(ext_ok, of[:, 2], jnp.where(restart, s2, x2))
+        return (x0n, x1n, x2n, good, breaks + brk.astype(i32)), None
+
+    init = (jnp.ones(B, cdt), jnp.ones(B, cdt), jnp.zeros(B, cdt),
+            jnp.zeros(B, bool), jnp.zeros(B, i32))
+    out, _ = lax.scan(step, init, jnp.transpose(q, (1, 0)))
+    return out[4]
 
 
 def _push(buf_x0, buf_x1, buf_x2, buf_i0, buf_i1, n, mask, x0, x1, x2, i0, i1):
@@ -697,6 +766,70 @@ class BatchedFMEngine:
         # cross-checked alternative (tests/test_fm_device.py) but the
         # host path avoids a program swap against the seeding machine
         return self.fm.sa_lookup(ks)
+
+    def probe_trips(self, codes_list) -> np.ndarray:
+        """[B] predicted machine trip counts (break counts from ONE
+        lockstep forward scan, probe_breaks above) used to order reads
+        into seeding buckets so packed lanes finish together.  Shapes
+        bucket like the machine's: L to the 64-multiple, B up to the
+        next pow2 (<= one BATCH_BUCKET) or BATCH_BUCKET multiple."""
+        from bwa_tpu.mem.batch_seed import (BATCH_BUCKET, _len_bucket,
+                                            _pad_reads)
+
+        B = len(codes_list)
+        L = _len_bucket(max(len(c) for c in codes_list))
+        if B <= BATCH_BUCKET:
+            Bp = max(256, 1 << (B - 1).bit_length())
+        else:
+            Bp = -(-B // BATCH_BUCKET) * BATCH_BUCKET
+        q, lens = _pad_reads(codes_list, L)
+        if Bp > B:
+            q = np.concatenate([q, np.full((Bp - B, L), 4, np.uint8)])
+            lens = np.concatenate([lens, np.zeros(Bp - B, np.int32)])
+        qd = jnp.asarray(q)
+        br = probe_breaks(self.idx, qd, jnp.asarray(lens))
+        # keep the batch device-resident: collect_seeds_dispatch_gather
+        # packs lanes from it on device, so the bucket loop never
+        # re-uploads q
+        self._qdev_cache = (qd, lens[:B], L, B)
+        return np.asarray(jax.device_get(br))[:B]
+
+    def collect_seeds_dispatch_gather(self, pa, pb, qlen, opt, cap_s: int,
+                                      stack_cap: int | None = None):
+        """collect_seeds_dispatch for a bucket whose packed lanes are
+        GATHERED on device from the probe_trips-resident batch matrix
+        (_gather_pack): pa/pb are original-read row indices per lane
+        (pb = -1 masks to an all-N slot-1), qlen the packed per-lane
+        lengths.  Only valid right after probe_trips on the same batch;
+        the caller checks qdev_batch()."""
+        from bwa_tpu.ops import fm_machine
+
+        cdt = self.fm.coord_dtype
+        qd_all, _, L, B = self._qdev_cache
+        split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+        if stack_cap is None:
+            stack_cap = int(os.environ.get("BWA_TPU_STACK_CAP", "16"))
+        Lp = 2 * (L + 1)
+        stack_cap = min(stack_cap, Lp + 2)
+        use_p3 = bool(opt.max_mem_intv > 0)
+        qd = _gather_pack(qd_all, jnp.asarray(pa.astype(np.int32)),
+                          jnp.asarray(pb.astype(np.int32)))
+        qld = jnp.asarray(qlen.astype(np.int32))
+        nvd = _next_valid_device(qd, qld)
+        seeds, seed_n, st1, ovf, ds1 = fm_machine.seed_machine(
+            self.idx, qd, qld, nvd, np.int32(opt.min_seed_len),
+            np.int32(split_len), cdt(opt.split_width),
+            cdt(opt.max_mem_intv), cap=stack_cap, cap_s=cap_s,
+            use_p3=use_p3, shard=None)
+        meta = _pack_meta(seed_n, ovf, ds1, st1)
+        seeds = fm_machine.sort_seeds(seeds, seed_n, key64=bool(Lp >= 32768))
+        return (seeds, meta, cap_s)
+
+    def qdev_batch(self) -> int:
+        """Batch size of the device-resident read matrix left by the
+        last probe_trips call, or -1 when absent."""
+        c = getattr(self, "_qdev_cache", None)
+        return c[3] if c is not None else -1
 
     def collect_seeds(self, q_pad: np.ndarray, qlen: np.ndarray, opt,
                       cap_s: int, fused: bool = False,

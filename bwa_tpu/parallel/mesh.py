@@ -136,6 +136,35 @@ def machine_sharded(idx, mesh: Mesh, min_seed_len, split_len, split_width,
     return jax.jit(partial(smapped, idx))
 
 
+def gap_machine_sharded(mesh: Mesh, cap: int, cap_a: int, use_seed: bool,
+                        f_gape: bool, f_nonstop: bool, f_loggap: bool):
+    """The device backtrack search (ops/gap_machine.py, the TPU
+    reformulation of bwt_match_gap, bwtgap.c:109-264) under shard_map:
+    reads data-parallel over the "dp" axis with the index replicated —
+    the mesh analog of bwtaln.c:102's static pthread read partition.
+    Every per-lane state array shards with the batch; the scalar step
+    counter is pmax'd so the host sees the slowest shard's trip count.
+
+    fn(idx, state, q, qlen, md, mg, seed_en, sb, scalars) -> state'."""
+    from bwa_tpu.ops import gap_machine as gm
+
+    def step(idx, state, q, qlen, md, mg, seed_en, sb, scal):
+        out = gm.gap_machine(
+            state, idx, q, qlen, md, mg, seed_en, sb, *scal,
+            cap=cap, cap_a=cap_a, use_seed=use_seed, f_gape=f_gape,
+            f_nonstop=f_nonstop, f_loggap=f_loggap)
+        d = dict(zip(gm.GAP_KEYS, out))
+        d["steps"] = jax.lax.pmax(d["steps"], "dp")
+        return tuple(d[k] for k in gm.GAP_KEYS)
+
+    b = P("dp")
+    st_spec = tuple(P() if k == "steps" else b for k in gm.GAP_KEYS)
+    smapped = shard_map(step, mesh=mesh,
+                        in_specs=(P(), st_spec, b, b, b, b, b, b, P()),
+                        out_specs=st_spec, check_rep=False)
+    return jax.jit(smapped)
+
+
 def pestat_allgather(mesh: Mesh):
     """The one batch-global collective of the PE pipeline: every shard
     contributes its padded (dir, isize) candidate rows and receives the

@@ -59,3 +59,21 @@ def test_mem_fastmap_tpu_engine(oracle_bwa, small_genome):
            "PYTHONPATH": str(REPO)}
     _run_pair(oracle_bwa, ["mem", str(small_genome), str(fq)], env)
     _run_pair(oracle_bwa, ["fastmap", str(small_genome), str(fq)], env)
+
+
+def test_mem_trip_sort_tpu_engine(oracle_bwa, small_genome, small_reads_se,
+                                  small_reads_pe):
+    """Trip-sorted antithetic bucket packing (batch_seed.trip_order):
+    reads flow through seeding in probe-predicted trip order, SAM
+    scatters back to file order with ORIGINAL hash_64 ids — byte-diffed
+    against the oracle for SE (per-bucket finalize with the ids array)
+    and PE (collect_se_flat's segment gather back to file order).
+    force bypasses the B>=4096 amortization gate so the small suite
+    genuinely exercises the permuted path."""
+    env = {"BWA_TPU_ENGINE": "tpu", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": str(REPO), "BWA_TPU_TRIP_SORT": "force"}
+    _run_pair(oracle_bwa, ["mem", str(small_genome), str(small_reads_se)],
+              env)
+    fq1, fq2 = small_reads_pe
+    _run_pair(oracle_bwa, ["mem", str(small_genome), str(fq1), str(fq2)],
+              env)
