@@ -87,7 +87,9 @@ def _daemon_forward(cmd: str, argv: list[str], args: list[str],
 
 
 def main_mem(argv: list[str], out_fp_override=None,
-             _in_daemon: bool = False) -> int:
+             _in_daemon: bool = False, chunk_done_hook=None) -> int:
+    # chunk_done_hook(n_reads): per-chunk completion callback for
+    # streaming benchmarks (bench_stream.py steady-state rate)
     import getopt as getopt_mod
 
     from bwa_tpu.index.fmindex import FMIndex
@@ -321,6 +323,8 @@ def main_mem(argv: list[str], out_fp_override=None,
                 process_seqs(opt, engine, fm, reads, n_processed, pes0, rg_id)
             n_processed += len(reads)
             wq.put(reads)
+            if chunk_done_hook is not None:
+                chunk_done_hook(len(reads))
             if pipe_err:
                 raise pipe_err[0]
     finally:
@@ -352,11 +356,11 @@ def main_index(argv: list[str]) -> int:
         elif c == "-6":
             is_64 = True
         elif c == "-a":
-            algo = a  # is/div/auto -> SA-IS; bwtsw -> bounded incremental
+            algo = a  # is/div/auto -> SA-IS; bwtsw/rb2 -> bounded incremental
         elif c == "-b":
             block_size = int(a)
     if not args:
-        print("Usage: bwa-tpu index [-a is|bwtsw] [-b blockLen] [-p prefix]"
+        print("Usage: bwa-tpu index [-a is|bwtsw|rb2] [-b blockLen] [-p prefix]"
               " <in.fasta>", file=sys.stderr)
         return 1
     if prefix is None:

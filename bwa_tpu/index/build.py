@@ -164,10 +164,16 @@ def index_build(fasta_path, prefix=None, algo: str = "auto",
 
     algo selects the BWT constructor like the reference's -a flag
     (bwtindex.c:215,236): "is"/"div"/"auto" run the one-pass 64-bit SA-IS
-    (fast, ~10 bytes/char peak); "bwtsw" runs the bounded-memory
+    (fast, ~10 bytes/char peak); "bwtsw" and "rb2" run the bounded-memory
     incremental builder (native/bwtinc.cpp — the bwt_gen.c:1431 memory
-    property, ~1.3 bytes/char + O(block_size) peak).  Output bytes are
-    identical either way (the BWT is unique).  block_size is the
+    property, ~1.3 bytes/char + O(block_size) peak).  "rb2" in the
+    reference is the ropebwt2 char-at-a-time dynamic-BWT insertion
+    (bwtindex.c:95-120, rope.c); our incremental builder is the same
+    algorithm class (dynamic-BWT insertion, counted B+-tree instead of a
+    run-length rope) batched blockwise, and the BWT of a text is unique,
+    so all five output files are byte-identical to the oracle's rb2
+    output (tests/test_index.py::test_index_rb2_oracle_bytes).  Output
+    bytes are identical across every algo.  block_size is the
     reference's -b knob (chars merged per incremental round); None
     auto-scales it as max(10M, n/96): merge traffic is O(n^2/block), so
     a fixed 10M block would spend GRCh38-scale builds mostly re-copying
@@ -184,10 +190,19 @@ def index_build(fasta_path, prefix=None, algo: str = "auto",
     code2 = revcomp_concat(fwd)
     del fwd
     n = code2.shape[0]
-    if algo == "bwtsw":
+    if algo in ("bwtsw", "rb2"):
         if block_size is None:
-            block_size = max(10_000_000, n // 96)
-        return _index_build_bounded(prefix, code2, n, block_size)
+            # n/192 (was n/96): halves the per-round B+-tree + pending
+            # footprint for ~+7% merge traffic — measured at the 1e8
+            # probe, PERF.md round-5 scale section
+            block_size = max(10_000_000, n // 192)
+        # hand the doubled text over in a box and DROP our reference:
+        # holding it here kept the 6.2 GB array alive through the whole
+        # build (the callee's `del` only cleared its local binding) —
+        # it was ~40% of the measured 15.6 GB full-scale steady state
+        box = [code2]
+        del code2
+        return _index_build_bounded(prefix, box, n, block_size)
     if algo not in ("auto", "is", "div"):
         raise ValueError(f"unknown BWT construction algorithm: {algo}")
     log.info("building suffix array over %d bases (SA-IS)", n)
@@ -216,7 +231,7 @@ def index_build(fasta_path, prefix=None, algo: str = "auto",
     return prefix
 
 
-def _index_build_bounded(prefix: str, code2: np.ndarray, n: int,
+def _index_build_bounded(prefix: str, code2_box: list, n: int,
                          block_size: int) -> str:
     """Bounded-memory .bwt/.sa construction (native/bwtinc.cpp): dynamic-BWT
     block insertion instead of a suffix array.  Peak ~= two n/2-byte
@@ -228,16 +243,18 @@ def _index_build_bounded(prefix: str, code2: np.ndarray, n: int,
     from bwa_tpu.index.pack import pack_codes
     from bwa_tpu.native.build import bwt_incremental, bwt_sa_walk
 
+    code2 = code2_box.pop()  # sole reference now lives in this frame
     log.info("building BWT incrementally over %d bases (block=%d)",
              n, block_size)
-    pac2 = pack_codes(code2)
-    # chunked count: np.bincount casts its input to int64, which on the
-    # 6.2e9-char doubled text is a 49.6 GB transient (measured: it was
-    # the entire 56 GB peak of the first full-scale run)
+    # chunked count FIRST (before pack doubles residency): np.bincount
+    # casts its input to int64, which on the 6.2e9-char doubled text is
+    # a 49.6 GB transient (measured: it was the entire 56 GB peak of
+    # the first full-scale run)
     counts = np.zeros(4, dtype=np.uint64)
     for s in range(0, n, 1 << 28):
         counts += np.bincount(code2[s:s + (1 << 28)],
                               minlength=4).astype(np.uint64)
+    pac2 = pack_codes(code2)
     del code2
     L2 = np.zeros(5, dtype=np.uint64)
     np.cumsum(counts, out=L2[1:])

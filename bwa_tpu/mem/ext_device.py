@@ -28,6 +28,7 @@ from bwa_tpu.ops.ext_gather import ExtGatherEngine, band_clamp
 
 _CB_T = ctypes.CFUNCTYPE(None, ctypes.c_int64,
                          ctypes.POINTER(ctypes.c_int64),
+                         ctypes.POINTER(ctypes.c_uint8),
                          ctypes.POINTER(ctypes.c_int32),
                          ctypes.POINTER(ctypes.c_int32))
 
@@ -69,12 +70,13 @@ class DeviceExtContext:
 
     # ---- the callback ----
 
-    def _run(self, njobs, meta_p, lres_p, rres_p):
+    def _run(self, njobs, meta_p, first_p, lres_p, rres_p):
         try:
             meta = np.ctypeslib.as_array(meta_p, shape=(njobs, 8))
+            first = np.ctypeslib.as_array(first_p, shape=(njobs,))
             lres = np.ctypeslib.as_array(lres_p, shape=(njobs, 6))
             rres = np.ctypeslib.as_array(rres_p, shape=(njobs, 6))
-            self._extend_all(meta, lres, rres)
+            self._extend_all(meta, first, lres, rres)
         except BaseException as e:  # ctypes swallows exceptions: stash
             self.err = e
 
@@ -112,16 +114,47 @@ class DeviceExtContext:
             out[idx, 5] = o.w << 1
         return out
 
-    def _extend_all(self, meta, lres, rres):
+    def _extend_all(self, meta, first, lres, rres):
+        # Staged extension (VERDICT r4 task 2): the serial consume loop
+        # containment-skips ~95% of the speculative (chain, seed) jobs —
+        # the oracle runs ~1 extension per chain (bwamem.c:697-732), so
+        # the fused all-jobs program computed ~20x the consumed work
+        # (PERF.md r4).  stage="first" extends ONLY the first-in-chain
+        # jobs on device (those are consumed with near certainty); the
+        # rare consumed-but-unresolved job falls back to the inline
+        # scalar DP in chain2aln (memfin.cpp), so SAM bytes are
+        # unchanged.  stage="all" restores the full speculative table.
+        stage = os.environ.get("BWA_TPU_EXT_STAGE", "first")
+        sel = None
+        if stage == "first" and first is not None:
+            sel = np.nonzero(first)[0]
+            if len(sel) == len(first):
+                sel = None
         if os.environ.get("BWA_TPU_EXT_FUSED", "1") != "0":
             # ONE device program for the whole batch (left, left-retry,
             # right, right-retry chained in-jit) — the per-batch program
             # swaps of the 4-call path cost ~0.3-0.4s EACH on this
             # backend and made device extension a 3.3x loss (PERF.md r4)
-            out = self.eng.run_fused(meta, self.opt)
-            lres[:] = out[:, :6]
-            rres[:] = out[:, 6:]
+            if sel is not None:
+                out = self.eng.run_fused(np.ascontiguousarray(meta[sel]),
+                                         self.opt)
+                lres[sel] = out[:, :6]
+                rres[sel] = out[:, 6:]
+            else:
+                out = self.eng.run_fused(meta, self.opt)
+                lres[:] = out[:, :6]
+                rres[:] = out[:, 6:]
             return
+        if sel is not None:
+            sub_l = np.empty((len(sel), 6), np.int32)
+            sub_r = np.empty((len(sel), 6), np.int32)
+            self._extend_4call(np.ascontiguousarray(meta[sel]), sub_l, sub_r)
+            lres[sel] = sub_l
+            rres[sel] = sub_r
+            return
+        self._extend_4call(meta, lres, rres)
+
+    def _extend_4call(self, meta, lres, rres):
         q_base = meta[:, 0]
         l_query = meta[:, 1]
         qbeg = meta[:, 2]

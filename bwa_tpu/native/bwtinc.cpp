@@ -175,6 +175,16 @@ struct BTree {
     dollar_leaf = -1;
   }
 
+  // Pre-size the node pools for `block` elements: split-born leaves run
+  // ~half..3/4 full, so LEAF_CAP/2 is the safe per-leaf floor.  Without
+  // this the vectors' doubling growth can overshoot the high-water mark
+  // by up to 2x — real gigabytes at GRCh38 block sizes.
+  void reserve_for(int64_t block) {
+    leaves.reserve((size_t)(block / (LEAF_CAP / 2)) + 16);
+    inners.reserve((size_t)(block / ((int64_t)(LEAF_CAP / 2) *
+                                     (INT_CAP / 2))) + 16);
+  }
+
   static int64_t leaf_last_gap(const Leaf &l) { return l.gap[l.n - 1]; }
   int64_t node_last_gap(int32_t id, bool is_leaf) const {
     if (is_leaf) return leaf_last_gap(leaves[id]);
@@ -428,7 +438,9 @@ int64_t bwt_inc_build(const uint8_t *pac2, int64_t n, int64_t block,
   int64_t C[5] = {0, 0, 0, 0, 0};  // cumulative: C[c] = #chars < c
   int64_t cnt[4] = {0, 0, 0, 0};
   BTree tree;
+  tree.reserve_for(block < n ? block : n);
   std::vector<std::pair<int64_t, int8_t>> pend;
+  pend.reserve((size_t)(block < n ? block : n) + 1);
 
   int64_t h = n;
   while (h > 0) {

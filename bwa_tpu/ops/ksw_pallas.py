@@ -54,7 +54,7 @@ def _prefix_max(x, colid, width, sentinel=NEG):
 
 
 def _mk_kernel(QP: int, T: int, o_del: int, e_del: int, o_ins: int,
-               e_ins: int, zdrop: int, half: bool):
+               e_ins: int, zdrop: int, half: bool, packed: bool = False):
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     n_tb = T // TB
@@ -153,14 +153,33 @@ def _mk_kernel(QP: int, T: int, o_del: int, e_del: int, o_ins: int,
             F = jnp.where(inband, F, neg)
             Hrow = jnp.maximum(jnp.maximum(M, e_cur), F)
             Hrow = jnp.where(inband, Hrow, neg)
-            # (Mosaic can't reduce int16 directly: widen first)
-            mrow = jnp.maximum(
-                jnp.max(Hrow.astype(jnp.int32), axis=1, keepdims=True), 0)
-            pos_row = sel(mrow > 0, 1, 0)
-            is_max = (Hrow.astype(jnp.int32) == mrow) & inband \
-                & wide(pos_row)
-            mj = jnp.max(jnp.where(is_max, col, -1), axis=1, keepdims=True)
-            mj = sel(pos_row, mj, jnp.full_like(mj, -1))
+            if packed:
+                # ONE reduce for (row max, argmax): key = score*QP + col.
+                # In-band Hrow >= 0 (e_cur is zero-floored), ties prefer
+                # the larger col exactly like the two-reduce form, and
+                # the caller guarantees score*QP fits int32 (axis-1
+                # reduces are ~1.2us each on v5e — this is the per-row
+                # diet, PERF.md r4 roofline)
+                key = jnp.where(inband,
+                                Hrow.astype(jnp.int32) * QP + col,
+                                jnp.int32(-(1 << 30)))
+                kmax = jnp.max(key, axis=1, keepdims=True)
+                mraw = jnp.floor_divide(kmax, QP)
+                mrow = jnp.maximum(mraw, 0)
+                pos_row = sel(mraw > 0, 1, 0)
+                mj = sel(pos_row, kmax - mraw * QP,
+                         jnp.full((TILE, 1), -1, jnp.int32))
+            else:
+                # (Mosaic can't reduce int16 directly: widen first)
+                mrow = jnp.maximum(
+                    jnp.max(Hrow.astype(jnp.int32), axis=1, keepdims=True),
+                    0)
+                pos_row = sel(mrow > 0, 1, 0)
+                is_max = (Hrow.astype(jnp.int32) == mrow) & inband \
+                    & wide(pos_row)
+                mj = jnp.max(jnp.where(is_max, col, -1), axis=1,
+                             keepdims=True)
+                mj = sel(pos_row, mj, jnp.full_like(mj, -1))
             h_last = jnp.sum(
                 jnp.where(col == jnp.maximum(end_r - 1, 0),
                           Hrow.astype(jnp.int32), 0),
@@ -242,14 +261,15 @@ def _mk_kernel(QP: int, T: int, o_del: int, e_del: int, o_ins: int,
 
 
 @partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins", "e_ins",
-                                   "zdrop", "half", "interpret"))
+                                   "zdrop", "half", "interpret", "packed"))
 def _extend_pallas(qs, ts, sc, par, o_del, e_del, o_ins, e_ins, zdrop,
-                   half, interpret):
+                   half, interpret, packed=False):
     N, QP = qs.shape
     T = ts.shape[1]
     TILE = _tile_for(QP, half)
     vt = jnp.int16 if half else jnp.int32
-    kern = _mk_kernel(QP, T, o_del, e_del, o_ins, e_ins, zdrop, half)
+    kern = _mk_kernel(QP, T, o_del, e_del, o_ins, e_ins, zdrop, half,
+                      packed)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((N, 128), jnp.int32),
@@ -317,10 +337,12 @@ def extend_batch_pallas(qs, qlens, ts, tlens, mat, o_del, e_del, o_ins,
     par[:N, 1] = np.asarray(tlens, np.int64)
     par[:N, 2] = w
     par[:N, 3] = np.asarray(h0s, np.int64)
+    # packed max+argmax single-reduce rows need score*QP to fit int32
+    packed = (smax + 4) * QP < (1 << 30)
     out = _extend_pallas(jnp.asarray(qsp), jnp.asarray(tsp),
                          jnp.asarray(sc), jnp.asarray(par),
                          int(o_del), int(e_del), int(o_ins), int(e_ins),
-                         int(zdrop), half, bool(interpret))
+                         int(zdrop), half, bool(interpret), packed)
     out = np.asarray(jax.device_get(out))[:N]
     return (out[:, 0], out[:, 1], out[:, 2], out[:, 3], out[:, 4],
             out[:, 5])
@@ -356,7 +378,8 @@ def _tile_band(P: int) -> int:
 
 
 def _mk_band_kernel(P: int, W: int, T: int, o_del: int, e_del: int,
-                    o_ins: int, e_ins: int, zdrop: int):
+                    o_ins: int, e_ins: int, zdrop: int,
+                    packed: bool = False):
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     n_tb = T // TB
@@ -481,11 +504,26 @@ def _mk_band_kernel(P: int, W: int, T: int, o_del: int, e_del: int,
             F = jnp.where(inband, F, NEG)
             Hrow = jnp.maximum(jnp.maximum(M, e_cur), F)
             Hrow = jnp.where(inband, Hrow, NEG)
-            mrow = jnp.maximum(jnp.max(Hrow, axis=1, keepdims=True), 0)
-            pos_row = sel(mrow > 0, 1, 0)
-            is_max = (Hrow == mrow) & inband & wide(pos_row)
-            mj = jnp.max(jnp.where(is_max, colj, -1), axis=1, keepdims=True)
-            mj = sel(pos_row, mj, jnp.full_like(mj, -1))
+            if packed:
+                # ONE reduce for (row max, argmax): key = score*P + colp
+                # (band-relative column, >= 0).  In-band Hrow >= 0, ties
+                # prefer the larger column exactly like the two-reduce
+                # form; caller guarantees score*P fits int32
+                key = jnp.where(inband, Hrow * P + colp,
+                                jnp.int32(-(1 << 30)))
+                kmax = jnp.max(key, axis=1, keepdims=True)
+                mraw = jnp.floor_divide(kmax, P)
+                mrow = jnp.maximum(mraw, 0)
+                pos_row = sel(mraw > 0, 1, 0)
+                mj = sel(pos_row, kmax - mraw * P + (i - W),
+                         jnp.full((TILE, 1), -1, jnp.int32))
+            else:
+                mrow = jnp.maximum(jnp.max(Hrow, axis=1, keepdims=True), 0)
+                pos_row = sel(mrow > 0, 1, 0)
+                is_max = (Hrow == mrow) & inband & wide(pos_row)
+                mj = jnp.max(jnp.where(is_max, colj, -1), axis=1,
+                             keepdims=True)
+                mj = sel(pos_row, mj, jnp.full_like(mj, -1))
             h_last = jnp.sum(
                 jnp.where(colj == jnp.maximum(end_r - 1, 0), Hrow, 0),
                 axis=1, keepdims=True)
@@ -573,13 +611,14 @@ def _mk_band_kernel(P: int, W: int, T: int, o_del: int, e_del: int,
 
 
 @partial(jax.jit, static_argnames=("P", "W", "o_del", "e_del", "o_ins",
-                                   "e_ins", "zdrop", "interpret"))
+                                   "e_ins", "zdrop", "interpret", "packed"))
 def _extend_band(qb0, qn, ts, sc, par, P, W, o_del, e_del, o_ins, e_ins,
-                 zdrop, interpret):
+                 zdrop, interpret, packed=False):
     N = qb0.shape[0]
     T = ts.shape[1]
     TILE = _tile_band(P)
-    kern = _mk_band_kernel(P, W, T, o_del, e_del, o_ins, e_ins, zdrop)
+    kern = _mk_band_kernel(P, W, T, o_del, e_del, o_ins, e_ins, zdrop,
+                           packed)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((N, 128), jnp.int32),
@@ -651,10 +690,12 @@ def extend_band_pallas(qs, qlens, ts, tlens, mat, o_del, e_del, o_ins,
     par[:N, 1] = np.asarray(tlens, np.int64)
     par[:N, 2] = w
     par[:N, 3] = np.asarray(h0s, np.int64)
+    smax = int(np.max(h0s, initial=0)) + int(qlens.max(initial=0)) * mmax + 64
+    packed = (smax + 4) * P < (1 << 30)
     out = _extend_band(jnp.asarray(qb0), jnp.asarray(qn), jnp.asarray(tsp),
                        jnp.asarray(sc), jnp.asarray(par), int(P), int(W),
                        int(o_del), int(e_del), int(o_ins), int(e_ins),
-                       int(zdrop), bool(interpret))
+                       int(zdrop), bool(interpret), packed)
     out = np.asarray(jax.device_get(out))[:N]
     return (out[:, 0], out[:, 1], out[:, 2], out[:, 3], out[:, 4],
             out[:, 5])

@@ -194,10 +194,13 @@ def _write_wrapped(f, codes: np.ndarray, line: int, final: bool):
 
 
 def simulate_reads_stream(fa_path, n_reads: int, read_len: int = 150,
-                          seed: int = 13, err_rate: float = 0.005):
-    """SE read simulation against a genome too big to join in memory:
+                          seed: int = 13, err_rate: float = 0.005,
+                          paired: bool = False, insert_mean: int = 350,
+                          insert_std: int = 40):
+    """Read simulation against a genome too big to join in memory:
     streams contigs (one at a time) and samples reads proportional to
-    contig length.  Returns [(name, seq, qual)] in deterministic order."""
+    contig length.  Returns [(name, seq, qual)] in deterministic order;
+    paired mode returns (r1_list, r2_list) like simulate_reads."""
     from bwa_tpu.index.pack import read_fasta
 
     rng = np.random.default_rng(seed)
@@ -206,8 +209,35 @@ def simulate_reads_stream(fa_path, n_reads: int, read_len: int = 150,
     total = sum(l for _, l in lens)
     counts = rng.multinomial(n_reads, [l / total for _, l in lens])
     quals = b"I" * read_len
-    reads = []
     ri = 0
+    if paired:
+        r1, r2 = [], []
+        for (name, _, seq), cnt in zip(read_fasta(fa_path), counts):
+            arr = np.frombuffer(seq, dtype=np.uint8)
+            glen = arr.shape[0]
+            for _ in range(int(cnt)):
+                isize = max(read_len + 10,
+                            int(rng.normal(insert_mean, insert_std)))
+                isize = min(isize, glen - 1)
+                start = int(rng.integers(0, glen - isize))
+
+                def grab(s):
+                    frag = arr[s:s + read_len].copy()
+                    sub = rng.random(read_len) < err_rate
+                    if sub.any():
+                        frag[sub] = BASES[rng.integers(0, 4,
+                                                       size=int(sub.sum()))]
+                    return frag.tobytes()
+
+                a = grab(start)
+                b = revcomp(grab(start + isize - read_len))
+                if rng.random() < 0.5:
+                    a, b = b, a
+                r1.append((f"r{ri}", a, quals))
+                r2.append((f"r{ri}", b, quals))
+                ri += 1
+        return r1, r2
+    reads = []
     for (name, _, seq), cnt in zip(read_fasta(fa_path), counts):
         arr = np.frombuffer(seq, dtype=np.uint8)
         glen = arr.shape[0]

@@ -81,10 +81,14 @@ def test_ext_gather_matches_scalar():
         assert got == exp, (i, got, exp)
 
 
+@pytest.mark.parametrize("stage", ["first", "all"])
 @pytest.mark.parametrize("pe", [False, True])
-def test_finalize_device_ext_byte_identical(pe, small_genome):
+def test_finalize_device_ext_byte_identical(pe, stage, small_genome):
     """Native finalize with the Pallas extension callback == without, on
-    long reads (the production pacbio wiring, interpret mode on CPU)."""
+    long reads (the production pacbio wiring, interpret mode on CPU).
+    stage="first" is the staged path (only first-in-chain jobs resolved on
+    device, consumed misses fall back to the inline scalar DP in
+    chain2aln); stage="all" is the full speculative table."""
     import os
 
     from datagen import random_genome, simulate_reads
@@ -108,6 +112,7 @@ def test_finalize_device_ext_byte_identical(pe, small_genome):
 
     def run(mode):
         os.environ["BWA_TPU_EXT"] = mode
+        os.environ["BWA_TPU_EXT_STAGE"] = stage
         try:
             for r in reads:
                 r.sam = ""
@@ -115,6 +120,7 @@ def test_finalize_device_ext_byte_identical(pe, small_genome):
             return [r.sam for r in reads]
         finally:
             del os.environ["BWA_TPU_EXT"]
+            del os.environ["BWA_TPU_EXT_STAGE"]
 
     host = run("host")
     dev = run("device")
@@ -168,7 +174,7 @@ def test_fused_matches_four_call_path(small_genome):
             ctx = DeviceExtContext(opt, fm, flat)
             lres = np.zeros((n, 6), np.int32)
             rres = np.zeros((n, 6), np.int32)
-            ctx._extend_all(metas, lres, rres)
+            ctx._extend_all(metas, np.ones(n, np.uint8), lres, rres)
             return lres, rres
         finally:
             del os.environ["BWA_TPU_EXT_FUSED"]

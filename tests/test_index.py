@@ -47,6 +47,24 @@ def test_index_bounded_bytes_match_oracle(small_genome, ext, tmp_path):
     assert mine == theirs, f"{ext}: {len(mine)} vs {len(theirs)} bytes"
 
 
+@pytest.mark.parametrize("ext", [".pac", ".ann", ".amb", ".bwt", ".sa"])
+def test_index_rb2_oracle_bytes(oracle_bwa, small_genome, ext, tmp_path):
+    """`index -a rb2` parity: the reference's rb2 is the ropebwt2
+    char-at-a-time dynamic-BWT insertion (bwtindex.c:95-120, rope.c); ours
+    routes rb2 to the incremental dynamic-BWT builder (native/bwtinc.cpp)
+    — the same algorithm class, blockwise — and the BWT of a text is
+    unique, so every index file byte-matches the oracle's OWN `-a rb2`
+    output (not just its default-algo output)."""
+    subprocess.run([str(oracle_bwa), "index", "-a", "rb2", "-p",
+                    str(tmp_path / "oracle_rb2"), str(small_genome)],
+                   check=True, capture_output=True)
+    prefix = index_build(small_genome, prefix=tmp_path / "ours_rb2",
+                         algo="rb2")
+    theirs = (tmp_path / ("oracle_rb2" + ext)).read_bytes()
+    mine = Path(prefix + ext).read_bytes()
+    assert mine == theirs, f"{ext}: {len(mine)} vs {len(theirs)} bytes"
+
+
 def test_index_bounded_sad_sidecar(small_genome, tmp_path):
     """The bounded path's inverse-Psi-walk .sad sidecar matches SA-IS's."""
     a = tmp_path / "a"
