@@ -28,6 +28,22 @@ extern "C" int sais_u8_i32(const uint8_t *text, int32_t n, int32_t *sa_out);
 // phase/call profiling counters (see bsw2_prof_read)
 int64_t g_prof_cnt[8];
 
+// phase profiling accumulators (ns), read via bsw2_prof_read.
+// Slots: 0 = DAG traversal, 1 = SA-resolve/dedup, 2 = overlap resolution
+// + bookkeeping, 3 = read-BWT build + connectivity, 5 = extends.
+static int64_t g_prof[8];
+struct ProfTimer {
+  int slot;
+  std::chrono::steady_clock::time_point t0;
+  explicit ProfTimer(int s)
+      : slot(s), t0(std::chrono::steady_clock::now()) {}
+  ~ProfTimer() {
+    g_prof[slot] += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                        std::chrono::steady_clock::now() - t0)
+                        .count();
+  }
+};
+
 namespace {
 
 constexpr int32_t kMinusInf = -0x3fffffff;
@@ -540,10 +556,13 @@ int64_t bsw2_core_run(const uint8_t *g_inter,
   GenomeFM g{g_inter, g_seq_len, g_primary, g_L2};
   Opt opt{a, b_pen, q_pen, r_pen, q_pen + r_pen, t_thres, z_best, is_intv, bw};
   ReadBwt target;
-  if (build_read_bwt(read, l, &target) != 0) return -2;
-
   FlatMap64 chash;
-  connectivity(target, &chash);
+  {
+    ProfTimer pt(3);  // read-BWT build + connectivity
+    if (build_read_bwt(read, l, &target) != 0) return -2;
+    ProfTimer pt2(6);  // connectivity alone
+    connectivity(target, &chash);
+  }
 
   int score_mat[16];
   for (int i = 0; i < 4; ++i)
@@ -1221,20 +1240,6 @@ static void chain_filter_c(int max_chain_gap, int bw, int t_seeds,
 
 }  // namespace
 
-// phase profiling accumulators (ns), read via bsw2_prof_read
-static int64_t g_prof[8];
-struct ProfTimer {
-  int slot;
-  std::chrono::steady_clock::time_point t0;
-  explicit ProfTimer(int s)
-      : slot(s), t0(std::chrono::steady_clock::now()) {}
-  ~ProfTimer() {
-    g_prof[slot] += std::chrono::duration_cast<std::chrono::nanoseconds>(
-                        std::chrono::steady_clock::now() - t0)
-                        .count();
-  }
-};
-
 extern "C" {
 
 void bsw2_prof_read(int64_t *out) {
@@ -1324,6 +1329,7 @@ int64_t bsw2_aln1_run(const uint8_t *g_inter, int64_t g_seq_len,
   const uint8_t *seqs[2] = {seq0, seq1};
   std::vector<uint8_t> rq(l), target;
   int qle, tle, gtle, gscore, moff;
+  ProfTimer *pt_ext = new ProfTimer(5);  // extends (left/right + dedup)
   for (int kk = 0; kk < 2; ++kk) {
     const uint8_t *query = seqs[kk];
     for (int i = 0; i < l; ++i) rq[i] = query[l - 1 - i];
@@ -1351,6 +1357,8 @@ int64_t bsw2_aln1_run(const uint8_t *g_inter, int64_t g_seq_len,
       target.resize((size_t)tl_len);
       for (int64_t j = 0; j < tl_len; ++j)
         target[j] = (uint8_t)pac_at2(pac, p.k - 1 - j);
+      ++g_prof_cnt[5];
+      g_prof_cnt[6] += tl_len;
       int sc = bt_ksw_extend2((int)p.beg, rq.data() + (l - p.beg),
                               (int)tl_len, target.data(), 5, mat, q_pen,
                               r_pen, q_pen, r_pen, bw, 0, -1, (int)p.G,
@@ -1376,6 +1384,8 @@ int64_t bsw2_aln1_run(const uint8_t *g_inter, int64_t g_seq_len,
       target.resize((size_t)tl_len);
       for (int64_t j = 0; j < tl_len; ++j)
         target[j] = (uint8_t)pac_at2(pac, p.k + j);
+      ++g_prof_cnt[5];
+      g_prof_cnt[6] += tl_len;
       int sc = bt_ksw_extend2((int)(l - p.beg), query + p.beg, (int)tl_len,
                               target.data(), 5, mat, q_pen, r_pen, q_pen,
                               r_pen, bw, 0, -1, 1, &qle, &tle, &gtle,
@@ -1389,6 +1399,7 @@ int64_t bsw2_aln1_run(const uint8_t *g_inter, int64_t g_seq_len,
     }
     dedup_hits(bw0);
   }
+  delete pt_ext;
   // merge reverse-orientation hits (flip + flag 0x10)
   for (Hit &h : bb[1][0]) {
     int64_t x = h.beg;

@@ -53,15 +53,17 @@ int bt_ksw_extend2(int qlen, const uint8_t *query, int tlen, const uint8_t *targ
     for (int j = 0; j < qlen; ++j) row[j] = mat[c * m + query[j]];
   }
 
-  // rolling rows: at the top of a cell body H[j] holds H(i-1,j-1) (the
-  // diagonal just ahead of the cursor) and E[j] holds E(i,j).  Row -1 is
-  // the seed row: h0 at the seed column, decayed leftward by insertions.
-  std::vector<int32_t> H(qlen + 2, 0), E(qlen + 2, 0);
-  H[0] = h0;
-  if (h0 > open_ext_i) H[1] = h0 - open_ext_i;
+  // rolling row of paired (h, e) cells — one stream, not two: at the top
+  // of a cell body row[j].h holds H(i-1,j-1) (the diagonal just ahead of
+  // the cursor) and row[j].e holds E(i,j).  Row -1 is the seed row: h0 at
+  // the seed column, decayed leftward by insertions.
+  struct Roll { int32_t h, e; };
+  std::vector<Roll> row((size_t)qlen + 2, Roll{0, 0});
+  row[0].h = h0;
+  if (h0 > open_ext_i) row[1].h = h0 - open_ext_i;
   for (int j = 2; j <= qlen; ++j) {
-    if (H[j - 1] <= e_ins) break;
-    H[j] = H[j - 1] - e_ins;
+    if (row[j - 1].h <= e_ins) break;
+    row[j].h = row[j - 1].h - e_ins;
   }
 
   // cap the band at the widest gap any positive-scoring alignment could
@@ -86,23 +88,26 @@ int bt_ksw_extend2(int qlen, const uint8_t *query, int tlen, const uint8_t *targ
     int left = lo == 0 ? imax(h0 - (o_del + e_del * (i + 1)), 0) : 0;
     int f = 0, row_max = 0, row_argmax = -1;
     for (int j = lo; j < hi; ++j) {
-      // invariants: H[j] = H(i-1,j-1), E[j] = E(i,j), left = H(i,j-1),
+      // invariants: row[j] = (H(i-1,j-1), E(i,j)), left = H(i,j-1),
       // f = F(i,j)
-      const int diag = H[j];
-      int e = E[j];
-      H[j] = left;
+      const int diag = row[j].h;
+      int e = row[j].e;
+      row[j].h = left;
       const int match = diag ? diag + sc[j] : 0;  // no extension out of a dead cell
       const int h = imax(imax(match, e), f);
       left = h;
-      if (h >= row_max) { row_max = h; row_argmax = j; }
+      // ties move the argmax forward; ternary forms keep this loop
+      // branchless (cmov) — an if-update here measurably mispredicts
+      row_argmax = h >= row_max ? j : row_argmax;
+      row_max = h >= row_max ? h : row_max;
       const int open_d = imax(match - open_ext_d, 0);
       e = imax(e - e_del, open_d);
-      E[j] = e;
+      row[j].e = e;
       const int open_i = imax(match - open_ext_i, 0);
       f = imax(f - e_ins, open_i);
     }
-    H[hi] = left;
-    E[hi] = 0;
+    row[hi].h = left;
+    row[hi].e = 0;
     if (hi == qlen && left >= end_score) { end_score = left; end_i = i; }
     if (row_max == 0) break;  // the whole band died
     if (row_max > best) {
@@ -120,10 +125,10 @@ int bt_ksw_extend2(int qlen, const uint8_t *query, int tlen, const uint8_t *targ
     }
     // adaptive band: trim leading/trailing columns that went dead
     int j = lo;
-    while (j < hi && H[j] == 0 && E[j] == 0) ++j;
+    while (j < hi && row[j].h == 0 && row[j].e == 0) ++j;
     lo = j;
     j = hi;
-    while (j >= lo && H[j] == 0 && E[j] == 0) --j;
+    while (j >= lo && row[j].h == 0 && row[j].e == 0) --j;
     hi = imin(j + 2, qlen);
   }
   if (_qle) *_qle = best_j + 1;
@@ -378,25 +383,26 @@ int bt_ksw_global2(int qlen, const uint8_t *query, int tlen, const uint8_t *targ
       // invariants: H[j] = H(i-1,j-1), E[j] = E(i,j), left = H(i,j-1),
       // f = F(i,j).  dir bits: 0/1 = H from M, 1/2 in bits 0-1 = from
       // E/F; bit 2 = E extends a deletion; bit 5 = F extends an insertion.
+      // ternary forms keep the loop branchless (cmov); dir bit rules:
+      // bits 0-1 = H source (0 diag, 1 E, 2 F), bit 2 = E extends a
+      // deletion, bit 5 = F extends an insertion
       const int32_t diag = H[j] + sc[j];
       int32_t e = E[j];
       H[j] = left;
-      uint8_t dir;
-      int32_t h;
-      if (diag >= e) { dir = 0; h = diag; } else { dir = 1; h = e; }
-      if (f > h) { dir = 2; h = f; }
+      uint8_t dir = diag >= e ? 0 : 1;
+      int32_t h = diag >= e ? diag : e;
+      dir = h >= f ? dir : 2;
+      h = h >= f ? h : f;
       left = h;
+      const int32_t og_d = diag - open_ext_d;
       e -= e_del;
-      {
-        const int32_t og = diag - open_ext_d;
-        if (e > og) dir |= 1 << 2; else e = og;
-      }
+      dir |= e > og_d ? 1 << 2 : 0;
+      e = e > og_d ? e : og_d;
       E[j] = e;
+      const int32_t og_i = diag - open_ext_i;
       f -= e_ins;
-      {
-        const int32_t og = diag - open_ext_i;
-        if (f > og) dir |= 2 << 4; else f = og;
-      }
+      dir |= f > og_i ? 2 << 4 : 0;
+      f = f > og_i ? f : og_i;
       if (zrow) zrow[j - lo] = dir;
     }
     H[hi] = left;

@@ -256,7 +256,8 @@ def aln1_native(opt: Bsw2Opt, fm, idx: Sw2Index, length: int, seq2,
     rng_state = np.array([rng.x], np.uint64)
     cap = max(4 * length, 256)
     while True:
-        rows = np.zeros((cap, 10), np.int64)
+        # write-only output: the native side fills rows [0, r) completely
+        rows = np.empty((cap, 10), np.int64)
         rng_state[0] = rng.x  # restore on capacity retry
         r = lib.bsw2_aln1_run(
             idx.inter.ctypes.data_as(_u8p), ctypes.c_int64(fm.seq_len),
@@ -357,6 +358,17 @@ def gen_cigar(opt: Bsw2Opt, lq: int, seq2, fm, b: HitSet) -> None:
     n_cig_p = i32[0:].ctypes.data_as(i32p_t)
     nm_p = i32[1:].ctypes.data_as(i32p_t)
     sc_p = i32[2:].ctypes.data_as(i32p_t)
+    # hoist per-hit-invariant ctypes marshaling (measurable at 512-read
+    # batch scale: these wrappers were rebuilt per hit)
+    l_pac_c = ctypes.c_int64(fm.l_pac)
+    a_c, b_c = np.int32(opt.a), np.int32(opt.b)
+    q_c, r_c, bw_c = np.int32(opt.q), np.int32(opt.r), np.int32(opt.bw)
+    cap = 3 * lq + 16  # >= (end-beg) + p.len + 8 for every hit
+    cig = np.empty(cap, np.uint32)
+    cig_p = cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    cap_c = np.int32(cap)
+    md = ctypes.create_string_buffer(6 * cap + 16)
+    mdlen_c = np.int32(len(md))
     for p, q in zip(b.hits, b.aux):
         if p.l:
             continue
@@ -364,24 +376,30 @@ def gen_cigar(opt: Bsw2Opt, lq: int, seq2, fm, b: HitSet) -> None:
         end = lq - p.beg if (p.flag & 0x10) else p.end
         query = np.ascontiguousarray(seq2[1 if (p.flag & 0x10) else 0]
                                      [beg:end], np.uint8)
-        cap = (end - beg) + p.len + 8
-        cig = np.empty(cap, np.uint32)
-        md = ctypes.create_string_buffer(6 * cap + 16)
         rc = lib.bt_gen_cigar2(
-            pac_p, ctypes.c_int64(fm.l_pac), np.int32(opt.a),
-            np.int32(opt.b), np.int32(opt.q), np.int32(opt.r),
-            np.int32(opt.bw), np.int32(end - beg),
+            pac_p, l_pac_c, a_c, b_c, q_c, r_c, bw_c, np.int32(end - beg),
             query.ctypes.data_as(_u8p), ctypes.c_int64(p.k),
             ctypes.c_int64(p.k + p.len),
-            cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            np.int32(cap), n_cig_p, nm_p, md, np.int32(len(md)), sc_p)
-        if rc < 0:
-            raise RuntimeError("bt_gen_cigar2 buffer overflow")
+            cig_p, cap_c, n_cig_p, nm_p, md, mdlen_c, sc_p)
+        cig_use = cig
+        if rc < 0:  # shared buffer too small (odd -a/-r): retry exact
+            cap2 = (end - beg) + p.len + 8
+            cig_use = np.empty(cap2, np.uint32)
+            md2 = ctypes.create_string_buffer(6 * cap2 + 16)
+            rc = lib.bt_gen_cigar2(
+                pac_p, l_pac_c, a_c, b_c, q_c, r_c, bw_c,
+                np.int32(end - beg), query.ctypes.data_as(_u8p),
+                ctypes.c_int64(p.k), ctypes.c_int64(p.k + p.len),
+                cig_use.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                np.int32(cap2), n_cig_p, nm_p, md2, np.int32(len(md2)),
+                sc_p)
+            if rc < 0:
+                raise RuntimeError("bt_gen_cigar2 buffer overflow")
         if rc == 0:
             q.cigar, q.n_cigar, q.nm = None, 0, -1
             continue
         nc = int(i32[0])
-        q.cigar = [(int(v) & 0xF, int(v) >> 4) for v in cig[:nc]]
+        q.cigar = [(int(v) & 0xF, int(v) >> 4) for v in cig_use[:nc]]
         q.nm = int(i32[1])
         if q.cigar and (beg != 0 or end < lq):  # write soft clipping
             if beg != 0:
