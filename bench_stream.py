@@ -71,9 +71,10 @@ def main():
             write_fastq(fq2, r2)
         else:
             write_fastq(fq1, simulate_reads_stream(fa, args.reads))
-    # parity prefix files
-    pfq1 = d / f"stream_{tag}_prefix_1.fq"
-    pfq2 = d / f"stream_{tag}_prefix_2.fq"
+    # parity prefix files (named by the parent read set: a prefix of a
+    # different-sized simulation is a different read set entirely)
+    pfq1 = d / f"stream_{tag}_{args.reads}_prefix_1.fq"
+    pfq2 = d / f"stream_{tag}_{args.reads}_prefix_2.fq"
     if not pfq1.exists():
         for src, dst in ([(fq1, pfq1), (fq2, pfq2)] if args.pe
                          else [(fq1, pfq1)]):

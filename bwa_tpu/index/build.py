@@ -158,6 +158,20 @@ def write_sa_file(path, primary: int, L2: np.ndarray, sa_intv: int,
         sa_samples[1:].astype(np.uint64).tofile(f)
 
 
+def _sais_would_swap(n: int) -> bool:
+    """True when the ~10.2 bytes/char SA-IS working set (8 B suffix array
+    + text + BWT derivation temporaries) exceeds available memory."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable"):
+                    avail = int(line.split()[1]) * 1024
+                    return 10.2 * n > 0.9 * avail
+    except OSError:
+        pass
+    return False
+
+
 def index_build(fasta_path, prefix=None, algo: str = "auto",
                 block_size: int | None = None) -> str:
     """Equivalent of `bwa index <fasta>`: writes prefix.{pac,ann,amb,bwt,sa}.
@@ -205,6 +219,18 @@ def index_build(fasta_path, prefix=None, algo: str = "auto",
         return _index_build_bounded(prefix, box, n, block_size)
     if algo not in ("auto", "is", "div"):
         raise ValueError(f"unknown BWT construction algorithm: {algo}")
+    if algo == "auto" and _sais_would_swap(n):
+        # the in-place SA-IS needs ~10 bytes/char (a 63 GB peak at GRCh38);
+        # when that exceeds available RAM the bounded incremental builder
+        # (~1.4 GB + O(n/192) at full scale, PERF.md r5) is the only build
+        # that finishes — mirror the reference's auto -> bwtsw choice for
+        # big genomes (bwtindex.c:276)
+        log.info("auto: SA-IS peak (~%.1f GB) exceeds available RAM; "
+                 "using the bounded incremental builder", 10.2 * n / 1e9)
+        box = [code2]
+        del code2
+        return _index_build_bounded(prefix, box, n,
+                                    max(10_000_000, n // 192))
     log.info("building suffix array over %d bases (SA-IS)", n)
     rows_sa = suffix_array_rows(code2)  # (n+1)-row model, rows_sa[0] == n
 
