@@ -159,21 +159,35 @@ def _flatten_tuple_seeds(opt, mems_list, caches):
 
 def _use_device_ext(engine, codes) -> bool:
     """Route chain2aln extensions through the banded Pallas kernel?
-    Measured round 4 (PERF.md): the device path LOSES at every shipped
-    batch regime — short reads by 3.3x (program-swap thrash between the
-    seeding and extension executables, ~0.3-0.4s per swap on this
-    backend), pacbio by ~7x even fused into one program (the speculative
-    all-(chain,seed) job table computes ~20x the extensions the serial
-    containment-skip loop actually consumes, and the [jobs x tlen]
-    in-jit gather volume scales with that waste).  Host scalar DP wins
-    and pacbio beats the oracle with it (1.09x).  Default is therefore
-    HOST everywhere; BWA_TPU_EXT=device opts in (exactness-tested)."""
+    Round-4 measured the device path losing everywhere (3.3x program-swap
+    thrash on short reads; ~7x on pacbio from the speculative
+    all-(chain,seed) job table computing ~20x the consumed extensions).
+    Round 5 STAGED it — only the first-in-chain jobs run on device, the
+    rare consumed miss falls back to the inline scalar DP (memfin.cpp) —
+    and the staged fused program now BEATS host extension on the pacbio
+    bench (2.73 vs 2.95 s same-window, byte-identical, PERF.md r5).
+    Default "auto": device for long-read batches (>= 512 bp, where one
+    extension program serves the whole batch), host for short reads
+    (extension is ~4% of wall there and the swap cost is not).
+    BWA_TPU_EXT=host|device force either path."""
     import os
 
-    mode = os.environ.get("BWA_TPU_EXT", "host")
-    if mode != "device" or not codes:
+    mode = os.environ.get("BWA_TPU_EXT", "auto")
+    if mode == "host" or not codes or not hasattr(engine, "dev"):
         return False
-    return hasattr(engine, "dev")
+    if mode == "device":
+        return True
+    # auto only engages on a real accelerator: on the CPU backend the
+    # Pallas path is an exactness artifact at interpret-ish speed (the
+    # explicit =device tests cover it)
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            return False
+    except Exception:
+        return False
+    return max(len(c) for c in codes) >= 512
 
 
 def process_seqs(opt, engine, fm, reads: list[Read], n_processed: int = 0,
