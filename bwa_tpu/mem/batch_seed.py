@@ -331,6 +331,23 @@ def trip_order(opt, engine, codes_list):
     perm = np.argsort(pred, kind="stable").astype(np.int64)
     pack_k = int(os.environ.get("BWA_TPU_PACK_K", "2"))
     bucket0 = _lane_bucket(L)
+    nbk = (B + bucket0 - 1) // bucket0
+    if nbk > 1:
+        # deal sorted ranks round-robin across buckets: consecutive-rank
+        # chunks concentrate ALL the hard reads in the last bucket, which
+        # skews the per-bucket host-finalize cost and the seeding/finalize
+        # overlap; dealing keeps every bucket an even difficulty mix while
+        # the antithetic pairing below still equalizes lane sums (total
+        # machine steps are ~unchanged either way — lane sums ~ 2x mean)
+        sizes = [min(bucket0, B - b * bucket0) for b in range(nbk)]
+        assign = [[] for _ in range(nbk)]
+        bi = 0
+        for r in range(B):
+            while len(assign[bi]) >= sizes[bi]:
+                bi = (bi + 1) % nbk
+            assign[bi].append(perm[r])
+            bi = (bi + 1) % nbk
+        perm = np.concatenate([np.asarray(a, np.int64) for a in assign])
     out = np.empty(B, np.int64)
     for lo in range(0, B, bucket0):
         s = perm[lo:lo + bucket0]
