@@ -324,6 +324,17 @@ def trip_order(opt, engine, codes_list):
     B = len(codes_list)
     if mode != "force" and B < 4096:
         return None  # probe cost doesn't amortize on small batches
+    if mode == "auto" and getattr(engine, "fm", None) is not None \
+            and engine.fm.l_pac < 200_000_000:
+        # The probe is a SERIAL device pass (~0.1 s/batch) before any
+        # bucket can seed.  On small genomes trips/read are few, seeding
+        # overlaps host finalize anyway, and the probe is a net LOSS
+        # (measured quiet-window 24576-read headline A/B: off 28.6k vs
+        # on 25.2k reads/s).  At GRCh38 scale trips/read are ~10x and
+        # seeding dominates: on wins both same-window 100k-stream pairs
+        # (steady 1263 vs 1111 clean, 979 vs 914 contended).  Gate auto
+        # on big genomes only.
+        return None
     L = _len_bucket(max(len(c) for c in codes_list))
     if L > 256:
         return None  # long reads are lane-sharded (91% utilization)
