@@ -15,9 +15,11 @@
 // batched device kernels live in bwa_tpu/ops.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <algorithm>
 #include <chrono>
+#include <string>
 #include <vector>
 #include <cstdlib>
 #include <memory>
@@ -1458,6 +1460,461 @@ int64_t bsw2_aln1_run(const uint8_t *g_inter, int64_t g_seq_len,
   std::memcpy(rows_out, hits.data(), hits.size() * sizeof(Hit));
   *rng_state = rng.x;
   return (int64_t)hits.size();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Batch SAM finish: write_aux + update_mate_aux + print_hits for a whole
+// batch in one call (bwtsw2_aux.c:399-543).  The per-hit banded-global
+// CIGAR runs through bt_gen_cigar2 (memfin.cpp); everything else --
+// contig-boundary cigar fixing, the float32 mapQ accumulator, PE mate
+// bookkeeping and the SAM text itself -- is assembled here so the Python
+// driver makes ONE native call per batch instead of per-hit string work
+// (measured ~0.26 s of batch Python vs the oracle's ~0.1 s of ksprintf
+// on the 512x2kb bench).  sw2/aln.py write_aux/print_hits stay as the
+// executable spec (BWA_TPU_SW2_FINISH=python).
+// ---------------------------------------------------------------------
+
+extern "C" int bt_gen_cigar2(const uint8_t *pac, int64_t l_pac, int32_t a,
+                             int32_t b, int32_t q_pen, int32_t r_pen,
+                             int32_t w_, int32_t l_query,
+                             const uint8_t *query, int64_t rb, int64_t re,
+                             uint32_t *cigar_out, int32_t cigar_cap,
+                             int32_t *n_cigar_out, int32_t *nm_out,
+                             char *md_out, int32_t md_cap,
+                             int32_t *score_out);
+
+namespace sw2fin {
+
+// hit flags (bwtsw2.h:9-12)
+constexpr int FLAG_MATESW = 0x100;
+constexpr int FLAG_TANDEM = 0x200;
+
+// IUPAC complement for raw SAM SEQ bytes (nt_comp_table, bwtsw2_aux.c:32-49)
+static const char *NT_COMP =
+    "NNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNNN"
+    "NTVGHNNCDNNMNKNN"
+    "NNYSANBWXRNNNNNN"
+    "ntvghnncdnnmnknn"
+    "nnysanbwxrnNNNNN";  // indices 128-255 are 'N' (handled in comp())
+
+static inline char comp(uint8_t c) { return c < 128 ? NT_COMP[c] : 'N'; }
+
+struct FHit {  // row layout of bsw2_aln1_run / _hit_from_row
+  int64_t k, l, flag, n_seeds, len, G, G2, beg, end, is_rev;
+};
+
+struct CigOp { int op; int64_t ln; };
+
+struct FAux {  // bsw2aux_t (bwtsw2.h:29-32), calloc semantics
+  int flag = 0, nn = 0, chr = 0, qual = 0, mchr = 0, pqual = 0, nm = 0;
+  int64_t pos = 0, mpos = 0, isize = 0;
+  bool has_cigar = false;
+  std::vector<CigOp> cig;
+};
+
+struct Bnt {
+  const int64_t *ctg_off, *ctg_len;
+  const char *names; const int64_t *name_off; int32_t n_ctg;
+  const int64_t *hole_off, *hole_len; int32_t n_holes;
+
+  int pos2rid(int64_t pos_f, int64_t l_pac) const {
+    if (pos_f >= l_pac) return -1;
+    // searchsorted(offsets, pos_f, 'right') - 1
+    const int64_t *p = std::upper_bound(ctg_off, ctg_off + n_ctg, pos_f);
+    return (int)(p - ctg_off) - 1;
+  }
+
+  int64_t cnt_ambi(int64_t pos_f, int64_t length) const {
+    // bntseq.c:380-401 -- stops at the first overlapping hole
+    int32_t left = 0, right = n_holes;
+    int64_t nn = 0;
+    while (left < right) {
+      int32_t mid = (left + right) >> 1;
+      int64_t ho = hole_off[mid], hl = hole_len[mid];
+      if (pos_f >= ho + hl) left = mid + 1;
+      else if (pos_f + length <= ho) right = mid;
+      else {
+        if (pos_f >= ho)
+          nn += (ho + hl < pos_f + length) ? ho + hl - pos_f : length;
+        else
+          nn += (ho + hl < pos_f + length) ? hl : length - (ho - pos_f);
+        break;
+      }
+    }
+    return nn;
+  }
+};
+
+// Split an alignment crossing a contig boundary (bwtsw2_aux.c:326-397).
+static void fix_cigar(const Bnt &bnt, FHit &p, std::vector<CigOp> &cigar,
+                      int64_t l_pac) {
+  int seqid = bnt.pos2rid(p.k, l_pac);
+  int64_t coor = p.k - bnt.ctg_off[seqid];
+  int64_t refl = bnt.ctg_len[seqid];
+  int64_t x = coor, y = 0;
+  for (const CigOp &c : cigar) {
+    if (c.op == 1 || c.op == 4 || c.op == 5) y += c.ln;
+    else if (c.op == 2) x += c.ln;
+    else { x += c.ln; y += c.ln; }
+  }
+  int64_t lq = y;
+  if (x <= refl) return;
+  // runs off the end of the contig: split
+  size_t nc = 0;
+  int64_t mq[2] = {0, 0}, nlen[2] = {0, 0}, kk = 0;
+  std::vector<CigOp> cn;
+  x = coor; y = 0;
+  for (const CigOp &c : cigar) {
+    if (c.op == 4 || c.op == 5 || c.op == 1) {
+      y += c.ln;
+      cn.push_back(c);
+    } else if (c.op == 2) {
+      if (x + c.ln >= refl && nc == 0) {
+        cn.push_back({4, lq - y});
+        nc = cn.size();
+        cn.push_back({4, y});
+        kk = p.k + (x + c.ln - refl);
+        nlen[0] = x - coor;
+        nlen[1] = p.len - nlen[0] - c.ln;
+      } else {
+        cn.push_back({2, c.ln});
+      }
+      x += c.ln;
+    } else if (c.op == 0) {
+      if (x + c.ln >= refl && nc == 0) {
+        cn.push_back({0, refl - x});
+        cn.push_back({4, lq - y - (refl - x)});
+        nc = cn.size();
+        mq[0] += refl - x;
+        cn.push_back({4, y + (refl - x)});
+        if (x + c.ln - refl) cn.push_back({0, x + c.ln - refl});
+        mq[1] += x + c.ln - refl;
+        kk = bnt.ctg_off[seqid] + refl;
+        nlen[0] = refl - coor;
+        nlen[1] = p.len - nlen[0];
+      } else {
+        cn.push_back({0, c.ln});
+        mq[nc ? 1 : 0] += c.ln;
+      }
+      x += c.ln;
+      y += c.ln;
+    }
+  }
+  if (mq[0] > mq[1]) {  // take the first part
+    p.len = nlen[0];
+    cigar.assign(cn.begin(), cn.begin() + nc);
+  } else {
+    p.k = kk;
+    p.len = nlen[1];
+    cigar.assign(cn.begin() + nc, cn.end());
+  }
+}
+
+static inline void app_i64(std::string &s, int64_t v) {
+  char b[24];
+  int n = snprintf(b, sizeof b, "%lld", (long long)v);
+  s.append(b, n);
+}
+
+}  // namespace sw2fin
+
+extern "C" {
+
+// Returns total SAM bytes written to out, or -(needed) when out_cap is
+// too small (caller retries with the exact size).  hit_rows: 10-int64
+// records per hit in bsw2_aln1_run layout; hit_off[n_reads+1].
+// qual/comment blobs use zero-length spans for "absent".
+int64_t bsw2_finish_batch(
+    const uint8_t *pac, int64_t l_pac,
+    const int64_t *ctg_off, const int64_t *ctg_len, const char *ctg_names,
+    const int64_t *ctg_name_off, int32_t n_ctg,
+    const int64_t *hole_off, const int64_t *hole_len, int32_t n_holes,
+    int32_t a, int32_t b_pen, int32_t q_pen, int32_t r_pen,
+    int32_t hard_clip, int32_t multi_2nd, int32_t cpy_cmt, int32_t is_pe,
+    const int32_t *t_arr, const int32_t *bw_arr,
+    int32_t n_reads,
+    const uint8_t *seq_blob, const int64_t *seq_off,
+    const uint8_t *codes_blob,
+    const uint8_t *qual_blob, const int64_t *qual_off,
+    const char *name_blob, const int64_t *name_off,
+    const char *cmt_blob, const int64_t *cmt_off,
+    const int64_t *hit_rows, const int64_t *hit_off,
+    char *out, int64_t out_cap) {
+  using namespace sw2fin;
+  Bnt bnt{ctg_off, ctg_len, ctg_names, ctg_name_off, n_ctg,
+          hole_off, hole_len, n_holes};
+
+  // mutable copies of the hits (fix_cigar updates k/len; the mate pass
+  // reads them afterwards, exactly like the in-place Python spec)
+  std::vector<std::vector<FHit>> hits(n_reads);
+  std::vector<std::vector<FAux>> aux(n_reads);
+  int64_t max_lq = 1;
+  for (int32_t i = 0; i < n_reads; ++i) {
+    int64_t h0 = hit_off[i], h1 = hit_off[i + 1];
+    hits[i].resize((size_t)(h1 - h0));
+    std::memcpy(hits[i].data(), hit_rows + 10 * h0,
+                (size_t)(h1 - h0) * sizeof(FHit));
+    aux[i].resize((size_t)(h1 - h0));
+    max_lq = std::max(max_lq, seq_off[i + 1] - seq_off[i]);
+  }
+
+  // shared CIGAR/MD scratch (per-batch; exact retry for odd matrices)
+  int32_t cig_cap = (int32_t)(3 * max_lq + 16);
+  std::vector<uint32_t> cigbuf((size_t)cig_cap);
+  std::vector<char> mdbuf((size_t)(6 * cig_cap + 16));
+  std::vector<uint8_t> rcbuf((size_t)max_lq);
+
+  // ---- write_aux for every read (bwtsw2_aux.c:399-436) ----
+  for (int32_t i = 0; i < n_reads; ++i) {
+    int64_t lq = seq_off[i + 1] - seq_off[i];
+    const uint8_t *codes = codes_blob + seq_off[i];
+    for (int64_t j = 0; j < lq; ++j) rcbuf[j] = (uint8_t)(3 - codes[lq - 1 - j]);
+    int32_t t = t_arr[i], bw = bw_arr[i];
+    for (size_t hx = 0; hx < hits[i].size(); ++hx) {
+      FHit &p = hits[i][hx];
+      FAux &q = aux[i][hx];
+      if (p.l == 0) {  // gen_cigar (bwtsw2_aux.c:173-212)
+        int64_t beg = (p.flag & 0x10) ? lq - p.end : p.beg;
+        int64_t end = (p.flag & 0x10) ? lq - p.beg : p.end;
+        const uint8_t *query = ((p.flag & 0x10) ? rcbuf.data() : codes) + beg;
+        int32_t nc = 0, nm = 0, sc = 0;
+        int rc = bt_gen_cigar2(pac, l_pac, a, b_pen, q_pen, r_pen, bw,
+                               (int32_t)(end - beg), query, p.k, p.k + p.len,
+                               cigbuf.data(), cig_cap, &nc, &nm,
+                               mdbuf.data(), (int32_t)mdbuf.size(), &sc);
+        const uint32_t *cu = cigbuf.data();
+        std::vector<uint32_t> big;
+        if (rc < 0) {  // shared buffer too small: exact retry
+          int32_t cap2 = (int32_t)((end - beg) + p.len + 8);
+          big.resize((size_t)cap2);
+          std::vector<char> md2((size_t)(6 * cap2 + 16));
+          rc = bt_gen_cigar2(pac, l_pac, a, b_pen, q_pen, r_pen, bw,
+                             (int32_t)(end - beg), query, p.k, p.k + p.len,
+                             big.data(), cap2, &nc, &nm, md2.data(),
+                             (int32_t)md2.size(), &sc);
+          if (rc < 0) return -1;  // cannot happen: exact capacity
+          cu = big.data();
+        }
+        if (rc == 0) {
+          q.has_cigar = false;
+          q.nm = -1;
+        } else {
+          q.has_cigar = true;
+          q.nm = nm;
+          q.cig.clear();
+          q.cig.reserve((size_t)nc + 2);
+          for (int32_t c = 0; c < nc; ++c)
+            q.cig.push_back({(int)(cu[c] & 0xF), (int64_t)(cu[c] >> 4)});
+          if (!q.cig.empty() && (beg != 0 || end < lq)) {  // soft clips
+            if (beg != 0) q.cig.insert(q.cig.begin(), {4, beg});
+            if (end < lq) q.cig.push_back({4, lq - end});
+          }
+        }
+      }
+      q.flag = (int)(p.flag & 0xfe);
+      q.isize = 0;
+      if (p.l == 0) {  // unique hit
+        if (q.has_cigar && !q.cig.empty()) fix_cigar(bnt, p, q.cig, l_pac);
+        // mapQ (bwtsw2_aux.c:423-429); c accumulates in float32
+        int64_t subo = p.G2 > t ? p.G2 : t;
+        float c = 1.0f;
+        if ((p.flag >> 16) == 1 || (p.flag >> 16) == 2)
+          c = (float)((double)c * 0.5);
+        if (p.n_seeds < 2) c = (float)((double)c * 0.2);
+        int64_t qual = (int64_t)((double)c * (double)(p.G - subo)
+                                 * (250.0 / (double)p.G + 0.03 / (double)a)
+                                 + 0.499);
+        if (qual > 250) qual = 250;
+        if (qual < 0) qual = 0;
+        if (p.flag & 1) qual = 0;  // randomly-picked repetitive hit
+        q.qual = (int)qual;
+        q.pqual = (int)qual;
+        q.chr = bnt.pos2rid(p.k, l_pac);
+        q.nn = (int)bnt.cnt_ambi(p.k, p.len);
+        // chr == -1 cannot occur for a unique hit (k < l_pac), but the
+        // Python spec's contigs[-1] would index the LAST contig -- keep
+        // the same semantics rather than UB
+        q.pos = p.k - ctg_off[q.chr >= 0 ? q.chr : n_ctg - 1];
+      } else {
+        q.qual = 0;
+        q.nn = 0;
+        q.chr = -1;
+        q.pos = -1;
+        q.has_cigar = false;
+        q.cig.clear();
+      }
+    }
+  }
+
+  // ---- update_mate_aux (bwtsw2_aux.c:438-473) ----
+  if (is_pe) {
+    for (int32_t x = 0; x < n_reads; ++x) {
+      std::vector<FHit> &bh = hits[x];
+      std::vector<FAux> &ba = aux[x];
+      std::vector<FHit> &mh = hits[x ^ 1];
+      std::vector<FAux> &ma = aux[x ^ 1];
+      for (size_t i = 0; i < bh.size(); ++i) {
+        FAux &q = ba[i];
+        q.flag |= 1;
+        if (mh.empty()) q.flag |= 8;
+        if (mh.size() == 1) {
+          q.mchr = ma[0].chr;
+          q.mpos = ma[0].pos;
+          if (ma[0].flag & 0x10) q.flag |= 0x20;
+          if (q.chr == q.mchr) {
+            if (q.mpos + mh[0].len > q.pos)
+              q.isize = q.mpos + mh[0].len - q.pos;
+            else
+              q.isize = q.mpos - q.pos - bh[0].len;
+          } else {
+            q.isize = 0;
+          }
+        } else if (mh.size() > 1) {
+          q.mchr = -1;
+          q.mpos = -1;
+        }
+      }
+      if (bh.size() == 1 && mh.size() == 1) {
+        FHit &p = bh[0];
+        if (p.flag & FLAG_MATESW) {
+          if (!(p.flag & FLAG_TANDEM) && ba[0].pqual < 20) ba[0].pqual = 20;
+          if (ba[0].pqual >= ma[0].qual) ba[0].pqual = ma[0].qual;
+        } else if ((p.flag & 2) && !((int64_t)mh[0].flag & FLAG_MATESW)) {
+          if (!(p.flag & FLAG_TANDEM)) {
+            ba[0].pqual += 20;
+            if (ba[0].pqual > ma[0].qual) ba[0].pqual = ma[0].qual;
+            if (ba[0].pqual < ba[0].qual) ba[0].pqual = ba[0].qual;
+          }
+        }
+      }
+    }
+  }
+
+  // ---- print_hits (bwtsw2_aux.c:477-543) ----
+  std::string s;
+  s.reserve((size_t)(n_reads * (max_lq * 2 + 192)));
+  const char *tbl = hard_clip ? "MIDNHHP" : "MIDNSHP";
+  for (int32_t x = 0; x < n_reads; ++x) {
+    const char *name = name_blob + name_off[x];
+    int64_t name_len = name_off[x + 1] - name_off[x];
+    const uint8_t *seq = seq_blob + seq_off[x];
+    int64_t lq = seq_off[x + 1] - seq_off[x];
+    const uint8_t *qual = qual_blob + qual_off[x];
+    int64_t lqual = qual_off[x + 1] - qual_off[x];
+    if (hits[x].empty()) {
+      s.append(name, (size_t)name_len);
+      s.append("\t4\t*\t0\t0\t*\t*\t0\t0\t");
+      s.append((const char *)seq, (size_t)lq);
+      s.push_back('\t');
+      if (lqual) s.append((const char *)qual, (size_t)lqual);
+      else s.push_back('*');
+      s.push_back('\n');
+    }
+    for (size_t i = 0; i < hits[x].size(); ++i) {
+      FHit &p = hits[x][i];
+      FAux &q = aux[x][i];
+      int hit_type = 0;
+      if (!q.has_cigar) q.flag |= 0x4;
+      int flag = q.flag | ((multi_2nd && i) ? 0x100 : 0);
+      s.append(name, (size_t)name_len);
+      s.push_back('\t');
+      app_i64(s, flag);
+      s.push_back('\t');
+      if (q.chr >= 0)
+        s.append(ctg_names + ctg_name_off[q.chr],
+                 (size_t)(ctg_name_off[q.chr + 1] - ctg_name_off[q.chr] - 1));
+      else
+        s.push_back('*');
+      s.push_back('\t');
+      app_i64(s, q.pos + 1);
+      if (p.l == 0 && q.has_cigar) {
+        s.push_back('\t');
+        app_i64(s, q.pqual);
+        s.push_back('\t');
+        for (const CigOp &c : q.cig) {
+          app_i64(s, c.ln);
+          s.push_back(tbl[c.op]);
+        }
+      } else {
+        s.append("\t0\t*");
+      }
+      if (!is_pe) {
+        s.append("\t*\t0\t0\t");
+      } else {
+        s.push_back('\t');
+        if (q.mchr == q.chr) s.push_back('=');
+        else if (q.mchr < 0) s.push_back('*');
+        else
+          s.append(ctg_names + ctg_name_off[q.mchr],
+                   (size_t)(ctg_name_off[q.mchr + 1]
+                            - ctg_name_off[q.mchr] - 1));
+        s.push_back('\t');
+        app_i64(s, q.mpos + 1);
+        s.push_back('\t');
+        app_i64(s, q.isize);
+        s.push_back('\t');
+      }
+      int64_t beg = 0, end = lq;
+      if (hard_clip && q.has_cigar && !q.cig.empty()) {
+        if (q.cig.front().op == 4) beg += q.cig.front().ln;
+        if (q.cig.back().op == 4) end -= q.cig.back().ln;
+      }
+      if (p.flag & 0x10) {
+        for (int64_t j = lq - beg - 1; j >= lq - end; --j)
+          s.push_back(comp(seq[j]));
+      } else {
+        s.append((const char *)seq + beg, (size_t)(end - beg));
+      }
+      if (lqual) {
+        s.push_back('\t');
+        if (p.flag & 0x10)
+          for (int64_t j = lq - beg - 1; j >= lq - end; --j)
+            s.push_back((char)qual[j]);
+        else
+          s.append((const char *)qual + beg, (size_t)(end - beg));
+      } else {
+        s.append("\t*");
+      }
+      s.append("\tAS:i:");
+      app_i64(s, p.G);
+      s.append("\tXS:i:");
+      app_i64(s, p.G2);
+      s.append("\tXF:i:");
+      app_i64(s, p.flag >> 16);
+      s.append("\tXE:i:");
+      app_i64(s, p.n_seeds);
+      s.append("\tNM:i:");
+      app_i64(s, q.nm);
+      if (q.nn) {
+        s.append("\tXN:i:");
+        app_i64(s, q.nn);
+      }
+      if (p.l) {
+        s.append("\tXI:i:");
+        app_i64(s, p.l - p.k + 1);
+      }
+      if (p.flag & FLAG_MATESW) hit_type |= 1;
+      if (p.flag & FLAG_TANDEM) hit_type |= 2;
+      if (hit_type) {
+        s.append("\tXT:i:");
+        app_i64(s, hit_type);
+      }
+      int64_t cl = cmt_off[x + 1] - cmt_off[x];
+      if (cpy_cmt && cl >= 6) {
+        const char *cmt = cmt_blob + cmt_off[x];
+        if (cmt[2] == ':' && cmt[4] == ':') {
+          s.push_back('\t');
+          s.append(cmt, (size_t)cl);
+        }
+      }
+      s.push_back('\n');
+    }
+  }
+  if ((int64_t)s.size() > out_cap) return -(int64_t)s.size();
+  std::memcpy(out, s.data(), s.size());
+  return (int64_t)s.size();
 }
 
 }  // extern "C"

@@ -633,6 +633,117 @@ def print_hits(bnt, opt: Bsw2Opt, read, b: HitSet | None,
     return "".join(out)
 
 
+def finish_batch_native(_opt: Bsw2Opt, fm, reads, buf: list[HitSet],
+                        is_pe: bool, rng) -> str:
+    """write_aux + update_mate_aux + print_hits for the whole batch in one
+    native call (bsw2.cpp bsw2_finish_batch; bwtsw2_aux.c:399-543).  The
+    Python write_aux/print_hits above are the executable spec
+    (BWA_TPU_SW2_FINISH=python).  The per-read N-resolution draws stay
+    here so the shared drand48 stream advances identically."""
+    import ctypes
+
+    from bwa_tpu.native.build import get_lib
+
+    lib = get_lib()
+    if not getattr(lib, "_fin_sig", False):
+        c32 = ctypes.c_int32
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.bsw2_finish_batch.restype = ctypes.c_int64
+        lib.bsw2_finish_batch.argtypes = [
+            _u8p, ctypes.c_int64,
+            _i64p, _i64p, ctypes.c_char_p, _i64p, c32,
+            _i64p, _i64p, c32,
+            c32, c32, c32, c32,
+            c32, c32, c32, c32,
+            i32p, i32p,
+            c32,
+            _u8p, _i64p, _u8p, _u8p, _i64p,
+            ctypes.c_char_p, _i64p, ctypes.c_char_p, _i64p,
+            _i64p, _i64p,
+            ctypes.c_char_p, ctypes.c_int64]
+        lib._fin_sig = True
+    bnt = fm.bnt
+    pac = np.ascontiguousarray(fm.pac, np.uint8)
+    ctg_off = np.ascontiguousarray(bnt.offsets(), np.int64)
+    ctg_len = np.array([c.length for c in bnt.contigs], np.int64)
+    names = b"".join(c.name.encode() + b"\0" for c in bnt.contigs)
+    name_off = np.zeros(len(bnt.contigs) + 1, np.int64)
+    np.cumsum([len(c.name.encode()) + 1 for c in bnt.contigs],
+              out=name_off[1:])
+    hole_off = np.array([h.offset for h in bnt.holes], np.int64)
+    hole_len = np.array([h.length for h in bnt.holes], np.int64)
+
+    n = len(reads)
+    t_arr = np.empty(n, np.int32)
+    bw_arr = np.empty(n, np.int32)
+    seq_off = np.zeros(n + 1, np.int64)
+    qual_off = np.zeros(n + 1, np.int64)
+    name2_off = np.zeros(n + 1, np.int64)
+    cmt_off = np.zeros(n + 1, np.int64)
+    seqs, quals, names2, cmts, codes_parts = [], [], [], [], []
+    hit_rows_l = []
+    hit_off = np.zeros(n + 1, np.int64)
+    for x, rd in enumerate(reads):
+        length = len(rd.seq)
+        codes = NT4_TABLE[np.frombuffer(rd.seq, dtype=np.uint8)].copy()
+        for ii in np.nonzero(codes >= 4)[0]:
+            codes[ii] = int(rng.drand48() * 4)
+        o = update_opt(_opt, length)
+        t_arr[x], bw_arr[x] = o.t, o.bw
+        seqs.append(rd.seq)
+        codes_parts.append(codes)
+        quals.append(rd.qual or b"")
+        names2.append(rd.name.encode())
+        cmt = rd.comment if (_opt.cpy_cmt and rd.comment) else None
+        cmts.append(cmt.encode() if isinstance(cmt, str) else (cmt or b""))
+        seq_off[x + 1] = seq_off[x] + length
+        qual_off[x + 1] = qual_off[x] + len(quals[-1])
+        name2_off[x + 1] = name2_off[x] + len(names2[-1])
+        cmt_off[x + 1] = cmt_off[x] + len(cmts[-1])
+        b = buf[x]
+        for h in b.hits:
+            hit_rows_l.append((h.k, h.l, h.flag, h.n_seeds, h.len, h.G,
+                               h.G2, h.beg, h.end, h.is_rev))
+        hit_off[x + 1] = len(hit_rows_l)
+    seq_blob = np.frombuffer(b"".join(seqs), np.uint8)
+    codes_blob = np.ascontiguousarray(np.concatenate(codes_parts)
+                                      if codes_parts else
+                                      np.zeros(0, np.uint8), np.uint8)
+    qual_blob = np.frombuffer(b"".join(quals) + b"\0", np.uint8)
+    rows = (np.array(hit_rows_l, np.int64).reshape(-1, 10)
+            if hit_rows_l else np.zeros((0, 10), np.int64))
+    cap = int(sum((hit_off[x + 1] - hit_off[x] + 1)
+                  * (2 * (seq_off[x + 1] - seq_off[x]) + 256)
+                  for x in range(n)))
+    i32p_t = ctypes.POINTER(ctypes.c_int32)
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        r = lib.bsw2_finish_batch(
+            pac.ctypes.data_as(_u8p), ctypes.c_int64(fm.l_pac),
+            ctg_off.ctypes.data_as(_i64p), ctg_len.ctypes.data_as(_i64p),
+            names, name_off.ctypes.data_as(_i64p),
+            np.int32(len(bnt.contigs)),
+            hole_off.ctypes.data_as(_i64p), hole_len.ctypes.data_as(_i64p),
+            np.int32(len(bnt.holes)),
+            np.int32(_opt.a), np.int32(_opt.b), np.int32(_opt.q),
+            np.int32(_opt.r),
+            np.int32(_opt.hard_clip), np.int32(_opt.multi_2nd),
+            np.int32(_opt.cpy_cmt), np.int32(1 if is_pe else 0),
+            t_arr.ctypes.data_as(i32p_t), bw_arr.ctypes.data_as(i32p_t),
+            np.int32(n),
+            seq_blob.ctypes.data_as(_u8p), seq_off.ctypes.data_as(_i64p),
+            codes_blob.ctypes.data_as(_u8p),
+            qual_blob.ctypes.data_as(_u8p), qual_off.ctypes.data_as(_i64p),
+            b"".join(names2), name2_off.ctypes.data_as(_i64p),
+            b"".join(cmts), cmt_off.ctypes.data_as(_i64p),
+            rows.ctypes.data_as(_i64p), hit_off.ctypes.data_as(_i64p),
+            out, ctypes.c_int64(cap))
+        if r >= 0:
+            break
+        cap = int(-r) + 16
+    return out.raw[:int(r)].decode("latin-1")
+
+
 # ---------------------------------------------------------------------
 # Batch driver (bwtsw2_aux.c:561-644, 727-776)
 # ---------------------------------------------------------------------
@@ -674,6 +785,8 @@ def aln_core(reads, _opt: Bsw2Opt, fm, idx: Sw2Index, is_pe: bool,
         buf.append(b0.dup_no_cigar())
     if is_pe:
         bsw2_pair(opt, fm, reads, buf)
+    if os.environ.get("BWA_TPU_SW2_FINISH", "native") == "native":
+        return [finish_batch_native(_opt, fm, reads, buf, is_pe, rng)]
     for x, rd in enumerate(reads):
         length = len(rd.seq)
         codes = NT4_TABLE[np.frombuffer(rd.seq, dtype=np.uint8)].copy()
