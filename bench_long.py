@@ -36,6 +36,13 @@ def _ensure_data():
         write_fastq(BENCH_DIR / "pb.fq", pb)
         se = simulate_reads(contigs, 8192, read_len=150, seed=103)
         write_fastq(BENCH_DIR / "se150.fq", se)
+    if not (BENCH_DIR / "pe_1.fq").exists():
+        contigs = random_genome(2_000_000, seed=101, n_contigs=1,
+                                with_ns=False)
+        r1, r2 = simulate_reads(contigs, 12288, read_len=150, seed=109,
+                                paired=True)
+        write_fastq(BENCH_DIR / "pe_1.fq", r1)
+        write_fastq(BENCH_DIR / "pe_2.fq", r2)
     if not (fa.parent / (fa.name + ".sad.npy")).exists():
         from bwa_tpu.index.build import index_build
 
@@ -89,6 +96,44 @@ def bench_pacbio(fa):
         "vs_baseline": round(o_best / best, 3),
         "oracle_s": round(o_best, 3), "byte_identical": ident,
         "ours_s": [round(t, 3) for t in ts]}))
+
+
+def bench_pe(fa):
+    """mem PE, 12288 x 2 x 150bp (one -K chunk: pestat/pairing included),
+    warm in-process engine vs oracle -t1 (bwamem_pair.c hot path)."""
+    from bwa_tpu.engine import make_engine
+    from bwa_tpu.index.fmindex import FMIndex
+    from bwa_tpu.io.fastq import SeqReader, read_batch
+    from bwa_tpu.mem.pipeline import process_seqs
+    from bwa_tpu.options import MEM_F_PE, MemOptions
+
+    fq1, fq2 = BENCH_DIR / "pe_1.fq", BENCH_DIR / "pe_2.fq"
+    fm = FMIndex.load(fa)
+    engine = make_engine(fm, os.environ.get("BWA_TPU_ENGINE", "tpu"))
+    opt = MemOptions()
+    opt.flag |= MEM_F_PE
+    reads = read_batch(SeqReader(fq1), SeqReader(fq2), 1 << 62)
+
+    def run():
+        for r in reads:
+            r.sam = ""
+        t0 = time.perf_counter()
+        process_seqs(opt, engine, fm, reads)
+        return time.perf_counter() - t0
+
+    run()  # warm
+    o_best, o_sam = _time_oracle(["mem", "-t1", str(fa), str(fq1), str(fq2)])
+    ts = [run() for _ in range(N_REPS)]
+    strip = lambda b: [l for l in b.split(b"\n") if not l.startswith(b"@")]
+    ours_sam = "".join(r.sam for r in reads).encode()
+    ident = strip(o_sam) == strip(ours_sam)
+    best = min(ts)
+    n = len(reads)
+    print(json.dumps({
+        "metric": "mem_pe_reads_per_sec", "value": round(n / best, 1),
+        "unit": "reads/s", "vs_baseline": round(o_best / best, 3),
+        "oracle_s": round(o_best, 3), "byte_identical": ident,
+        "n_reads": n, "ours_s": [round(t, 3) for t in ts]}))
 
 
 def bench_bwasw(fa):
@@ -325,6 +370,8 @@ def main():
     which = sys.argv[1:] or ["pacbio"]
     if "pacbio" in which:
         bench_pacbio(fa)
+    if "pe" in which:
+        bench_pe(fa)
     if "bwasw" in which:
         bench_bwasw(fa)
     if "backtrack" in which:
